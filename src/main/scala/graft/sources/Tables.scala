@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source readers for the engine.
+  *
+  * Mirrors the reference's source surface (SURVEY.md §2.1):
+  *  - S1 path-partitioned parquet scan (`event_verify.py:21`)
+  *  - S2 CSV scan with header + schema inference (`event_verify.py:27-30`)
+  *  - S3 local-collection source with explicit schema (`event_verify.py:106-119`)
+  *
+  * At cluster scale the parquet reader relies on Catalyst for predicate
+  * pushdown, column pruning, and partition pruning — callers should filter
+  * and select on the returned DataFrame rather than pre-materializing.
+  */
+object Tables {
+
+  /** S1 — read one table of the synthetic test corpus: `<dir>/<name>.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S1 — path-partitioned parquet scan, parameterized like the reference's
+    * `process_date=`/`event_date=` layout (`event_verify.py:18-21`). Path
+    * construction performs the partition pruning, exactly as the reference
+    * does; for multi-partition reads prefer [[partitionedRoot]] + a filter so
+    * Catalyst prunes instead.
+    */
+  def partitioned(spark: SparkSession, base: String, parts: (String, String)*): DataFrame = {
+    val suffix = parts.map { case (k, v) => s"$k=$v" }.mkString("/", "/", "")
+    spark.read.parquet(base + suffix)
+  }
+
+  /** S1 (scale path) — read the whole partitioned root with partition-column
+    * discovery so `df.filter($"process_date" === d)` prunes at plan time.
+    */
+  def partitionedRoot(spark: SparkSession, base: String): DataFrame =
+    spark.read.option("basePath", base).parquet(base)
+
+  /** S2 — CSV with header + inferSchema (`event_verify.py:27-30`). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+}
+
+/** S4 — sinks (SURVEY.md §2.1). */
+object Sinks {
+  /** Single-file CSV report, as the reference writes it
+    * (`event_verify.py:230-231`). `files = 1` reproduces the reference's
+    * `coalesce(1)`; at 100 TB a single file is a scale ceiling, so the file
+    * count is configurable and defaults to the natural partitioning.
+    */
+  def csvReport(df: DataFrame, path: String, files: Int = 0): Unit = {
+    val out = if (files > 0) df.coalesce(files) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
