@@ -35,10 +35,15 @@ object SparkEntry {
   */
 object CoreQueries {
 
-  /** q01 — S1/P1/F2/F3/A1/A2/J1/O1: per-event key presence vs totals. */
+  /** q01 — S1/P1/F2/F3/A1/A2/J1/O1: per-event key presence vs totals.
+    *
+    * `array_distinct` matches the reference's merged-keys dedup
+    * (`event_verify.py:85-86`) and pins duplicate-key JSON semantics to the
+    * oracle's (DuckDB `json_keys` dedups; Spark `json_object_keys` doesn't).
+    */
   def keyPresence(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    KeyPresence.keyCounts(ev, JsonKeys.keysOf(col("props")), "event_type")
+    KeyPresence.keyCounts(ev, array_distinct(JsonKeys.keysOf(col("props"))), "event_type")
       .select(
         col("event_type"),
         col("exploded_key").as("prop_key"),

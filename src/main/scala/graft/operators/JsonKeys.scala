@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object JsonKeys {
 
+  private val emptyStringArray: Column = array().cast(ArrayType(StringType))
+
   /** Keys of a top-level JSON object column (null-safe: null/malformed → null array). */
   def keysOf(col: Column): Column = json_object_keys(col)
 
@@ -32,10 +34,26 @@ object JsonKeys {
     * reference re-scans the cached catalog 5×), this produces ONE scan that
     * concatenates the per-payload key arrays and explodes once; `distinct`
     * is then a single hash-aggregate shuffle on the key column.
+    *
+    * An empty extractor list yields an empty (0-row) `key` frame rather than
+    * the zero-arg `concat()` analysis error.
     */
-  def allKeys(df: DataFrame, extractors: Seq[Column]): DataFrame = {
-    val arrays = extractors.map(e => coalesce(e, array().cast(ArrayType(StringType))))
-    df.select(explode(array_distinct(concat(arrays: _*))).as("key")).distinct()
+  def allKeys(df: DataFrame, extractors: Seq[Column]): DataFrame =
+    allKeysBy(df, extractors, Seq.empty)
+
+  /** [[allKeys]] with extra grouping columns carried through (e.g. the
+    * channel), so multi-tenant key discovery is one scan instead of one scan
+    * per group. Output: (groupCols…, key), distinct.
+    */
+  def allKeysBy(df: DataFrame, extractors: Seq[Column], groupCols: Seq[String]): DataFrame = {
+    val group = groupCols.map(col)
+    if (extractors.isEmpty)
+      return df
+        .select(group :+ lit(null).cast(StringType).as("key"): _*)
+        .filter(lit(false))
+    val arrays = extractors.map(e => coalesce(e, emptyStringArray))
+    df.select(group :+ explode(array_distinct(concat(arrays: _*))).as("key"): _*)
+      .distinct()
   }
 
   /** The reference's exact 5 extractors for the event-catalog schema. */
@@ -52,18 +70,28 @@ object JsonKeys {
     *
     * `array()` in Scala is `ArrayType(NullType)`; the cast to
     * `array<string>` is required for `concat` to typecheck (SURVEY §2.8 F4).
+    *
+    * Null semantics: with `lenientNulls = false` (default, parity) a null
+    * per-payload key array (null/malformed JSON payload) null-propagates
+    * through `concat` exactly like the reference (`event_verify.py:92`) — the
+    * whole row contributes zero keys, INCLUDING the org/project flag keys.
+    * `lenientNulls = true` instead coalesces null key arrays to empty, so a
+    * row with one malformed payload still contributes the other payload's
+    * keys and its flags — a deliberate engine improvement, not parity.
     */
   def mergedKeys(
       orgFlag: Column,
       projectFlag: Column,
       propertiesKeys: Column,
-      contextKeys: Column): Column = {
-    val empty = array().cast(ArrayType(StringType))
+      contextKeys: Column,
+      lenientNulls: Boolean = false): Column = {
+    val norm: Column => Column =
+      if (lenientNulls) c => coalesce(c, emptyStringArray) else identity
     array_distinct(concat(
-      when(orgFlag, array(lit("org_id"))).otherwise(empty),
-      when(projectFlag, array(lit("project_id"))).otherwise(empty),
-      coalesce(propertiesKeys, empty),
-      coalesce(contextKeys, empty)
+      when(orgFlag, array(lit("org_id"))).otherwise(emptyStringArray),
+      when(projectFlag, array(lit("project_id"))).otherwise(emptyStringArray),
+      norm(propertiesKeys),
+      norm(contextKeys)
     ))
   }
 }
