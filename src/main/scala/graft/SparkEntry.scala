@@ -24,10 +24,10 @@ object SparkEntry {
     CoreQueries.keyPresence(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles
+    CoreQueries.oracles ++ PipelineQueries.oracles
 }
 
 /** Core operator queries (SURVEY.md §2 inventory) over the synthetic
