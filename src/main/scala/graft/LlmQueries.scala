@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.DocumentsFixture
+import graft.llm.{Dedup, Similarity, TextStats}
+import graft.sources.Tables
+
+/** Oracle-checked queries for the LLM-training-data tier: text analysis,
+  * deduplication, and similarity search (the brief's first-class extension
+  * components). DuckDB twins mirror every Spark expression 1:1; the only
+  * rows-only entry is SimHash (xxhash64 has no DuckDB equivalent).
+  */
+object LlmQueries {
+
+  // ---- DuckDB twins of the TextStats/Dedup expressions -----------------
+
+  /** tokens of `text` (must mirror [[TextStats.tokens]]). */
+  private val dToks =
+    "(CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)"
+
+  private def dShingles(toks: String, n: Int): String =
+    s"(CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(1, len($toks) - ${n - 2}), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' '))) END)"
+
+  private def dWordHits(toks: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toks, t -> list_contains($lst, t)))"
+  }
+
+  private def dMinHash(shingles: String, seed: Int): String =
+    s"list_min(list_transform($shingles, s -> md5('$seed:' || s)))"
+
+  private val dJaccard =
+    "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+
+  // ---- q10: text stats -------------------------------------------------
+
+  /** Token counting (whitespace + BPE-ish), punctuation/stopword counts,
+    * quality score, language ID, content fingerprint — one narrow
+    * projection per document.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = TextStats.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      size(toks).as("n_tokens"),
+      size(TextStats.bpeishTokens(col("text"))).as("n_bpeish"),
+      TextStats.punctCount(col("text")).as("punct_cnt"),
+      TextStats.wordHits(toks, TextStats.enStopwords).as("stop_cnt"),
+      TextStats.qualityScore(col("text")).as("quality"),
+      TextStats.langId(col("text")).as("pred_lang"),
+      TextStats.contentFingerprint(col("text")).as("content_hash"))
+  }
+
+  private val q10Oracle: String = {
+    val markers = TextStats.defaultLangMarkers
+    val hits = markers.map { case (l, ws) => s"${dWordHits("toks", ws)} AS h_$l" }
+    val allZero = markers.map { case (l, _) => s"h_$l = 0" }.mkString(" AND ")
+    val langs = markers.map(_._1)
+    val chain = langs.dropRight(1).zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), acc) =>
+        val later = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"CASE WHEN $later THEN '$l' ELSE $acc END"
+    }
+    val stop = dWordHits("toks", TextStats.enStopwords)
+    s"""WITH t AS (SELECT doc_id, lang, text, $dToks AS toks FROM documents),
+       |h AS (SELECT *, ${hits.mkString(", ")},
+       |  (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS punct_cnt,
+       |  $stop AS stop_cnt
+       |  FROM t)
+       |SELECT doc_id, lang, len(toks) AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS n_bpeish,
+       |  punct_cnt, stop_cnt,
+       |  0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+       |    + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(len(text) AS DOUBLE))
+       |    + 0.3 * least(1.0, CAST(stop_cnt AS DOUBLE) * 5.0 / CAST(len(toks) AS DOUBLE)) AS quality,
+       |  CASE WHEN $allZero THEN 'und' ELSE $chain END AS pred_lang,
+       |  md5(trim(lower(text))) AS content_hash
+       |FROM h""".stripMargin
+  }
+
+  // ---- q11: exact dedup ------------------------------------------------
+
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(DocumentsFixture.corpusDf(spark, dir), "doc_id", "text")
+
+  private val q11Oracle: String =
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()})
+       |SELECT md5(trim(lower(text))) AS content_hash,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM corpus GROUP BY 1""".stripMargin
+
+  // ---- q12: MinHash-LSH near-dup pairs ---------------------------------
+
+  private val NumHashes = 8
+  private val RowsPerBand = 2
+  private val ShingleSize = 3
+  private val JaccThreshold = 0.5
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(DocumentsFixture.corpusDf(spark, dir), "doc_id", "text",
+      ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
+
+  private val q12Oracle: String = {
+    val sigs = (0 until NumHashes).map(i => s"${dMinHash("shingles", i)} AS sig$i")
+    val bandArms = (0 until NumHashes / RowsPerBand).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"sig${b * RowsPerBand + r}").mkString(" || ")
+      s"SELECT id, $b AS band_id, md5($parts) AS band_hash FROM sig"
+    }
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |t AS (SELECT doc_id AS id, $dToks AS toks FROM corpus),
+       |sh AS (SELECT id, ${dShingles("toks", ShingleSize)} AS shingles FROM t),
+       |sig AS (SELECT id, shingles, ${sigs.mkString(", ")} FROM sh),
+       |bands AS (${bandArms.mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+       |  FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id)
+       |SELECT id_a, id_b, $dJaccard AS jaccard
+       |FROM verified WHERE $dJaccard >= $JaccThreshold""".stripMargin
+  }
+
+  // ---- q13: blocked n-gram Jaccard -------------------------------------
+
+  def blockedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val block = concat(col("lang"), lit("|"),
+      floor(length(col("text")) / 100.0).cast("long").cast("string"))
+    Dedup.blockedJaccardPairs(corpus, "doc_id", "text", block, ShingleSize, JaccThreshold)
+  }
+
+  private val q13Oracle: String =
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |t AS (SELECT doc_id AS id,
+       |  lang || '|' || CAST(CAST(floor(len(text) / 100.0) AS BIGINT) AS STRING) AS block,
+       |  ${dShingles(dToks, ShingleSize)} AS shingles FROM corpus),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.shingles AS sh_a, b.shingles AS sh_b
+       |  FROM t a JOIN t b ON a.block = b.block AND a.id < b.id)
+       |SELECT id_a, id_b, $dJaccard AS jaccard
+       |FROM pairs WHERE $dJaccard >= $JaccThreshold""".stripMargin
+
+  // ---- q14: SimHash (rows-only — no DuckDB xxhash64) -------------------
+
+  /** SimHash sketch per doc + its 4-bit band keys (candidate generation
+    * for small-Hamming-distance pairs). No SQL oracle: xxhash64 is
+    * Spark-native; covered by SimHashSpec property tests instead.
+    */
+  def simhashSketch(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    corpus.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+  }
+
+  // ---- q15/q16/q17: similarity search ----------------------------------
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5)
+
+  private val q15Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(c.emb, q.emb) / (c.nrm * q.nrm), 6) AS score
+      |  FROM n c, q WHERE c.vec_id <> q.vec_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, col("id") % 100 === 0, k = 5)
+
+  private val q16Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE id % 100 = 0),
+      |assigned AS (
+      |  SELECT id, emb, nrm, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c) WHERE r = 1),
+      |q AS (SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket FROM assigned WHERE id % 50 = 0),
+      |pairs AS (
+      |  SELECT q.query_id, a.id AS neighbor_id,
+      |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
+      |  FROM assigned a JOIN q ON a.bucket = q.bucket AND a.id <> q.query_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
+  def embedNearest(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearestInBlock(Tables.embeddings(spark, dir), "vec_id", "embedding", col("label"))
+
+  private val q17Oracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id AS id, label AS block, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |pairs AS (
+      |  SELECT a.id, b.id AS neighbor_id,
+      |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+      |  FROM n a JOIN n b ON a.block = b.block AND a.id <> b.id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+      |SELECT id AS vec_id, neighbor_id, score FROM ranked WHERE r = 1""".stripMargin
+
+  // ---- registry --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_text_stats" -> ((s, d) => textStats(s, d)),
+    "q11_exact_dedup" -> ((s, d) => exactDedup(s, d)),
+    "q12_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+    "q13_blocked_jaccard" -> ((s, d) => blockedJaccard(s, d)),
+    "q14_simhash" -> ((s, d) => simhashSketch(s, d)),
+    "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
+    "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "q17_embed_nearest" -> ((s, d) => embedNearest(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q10_text_stats" -> q10Oracle,
+    "q11_exact_dedup" -> q11Oracle,
+    "q12_minhash_pairs" -> q12Oracle,
+    "q13_blocked_jaccard" -> q13Oracle,
+    "q15_ann_topk" -> q15Oracle,
+    "q16_ann_ivf" -> q16Oracle,
+    "q17_embed_nearest" -> q17Oracle
+    // q14_simhash: intentionally no oracle (rows-only check)
+  )
+}

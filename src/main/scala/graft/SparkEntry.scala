@@ -24,10 +24,10 @@ object SparkEntry {
     CoreQueries.keyPresence(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ PipelineQueries.queries ++ LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ PipelineQueries.oracles
+    CoreQueries.oracles ++ PipelineQueries.oracles ++ LlmQueries.oracles
 }
 
 /** Core operator queries (SURVEY.md §2 inventory) over the synthetic

@@ -1,0 +1,28 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Dedup corpus synthesized from the read-only `documents` table: the
+  * originals plus injected exact duplicates (every 10th doc) and near
+  * duplicates (every 7th doc with two junk tokens appended). Written in the
+  * shared Spark/DuckDB SQL dialect so engine and oracle see identical
+  * inputs (same pattern as [[EventCatalogFixture]]).
+  */
+object DocumentsFixture {
+
+  private val arms = Seq(
+    "SELECT doc_id, text, lang, source FROM %s",
+    "SELECT doc_id + 10000, text, lang, source FROM %s WHERE doc_id % 10 = 0",
+    "SELECT doc_id + 20000, text || ' zz9 qq8', lang, source FROM %s WHERE doc_id % 7 = 0")
+
+  def corpusDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.createOrReplaceTempView("__docs_fixture")
+    spark.sql(corpusSql("__docs_fixture"))
+  }
+
+  def corpusSql(rel: String = "documents"): String =
+    arms.map(_.replace("%s", rel)).mkString(" UNION ALL ")
+}

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH near-dup (banded signatures, bucketed
+  * self-join — never an all-pairs crossJoin), n-gram Jaccard with key
+  * blocking, and SimHash.
+  *
+  * Scale design: every pairing step goes through a shuffle on a
+  * high-selectivity bucket key (content hash, LSH band hash, blocking key,
+  * SimHash nibble), so candidate generation is O(bucket²) per bucket rather
+  * than O(N²) — the standard banded-LSH layout (Broder resemblance /
+  * Leskovec-Rajaraman-Ullman ch.3, public).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the min id. Output:
+    * (content_hash, keep_id, n_copies) — one row per distinct content.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextStats.contentFingerprint(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingles) frame used by both signature and verification steps. */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextStats.shingles(TextStats.tokens(col(textCol)), n).as("shingles"))
+
+  /** MinHash signature columns sig0..sig{k-1} (seeded-md5 min per shingle
+    * set — deterministic and cross-engine reproducible).
+    */
+  def withSignature(shingled: DataFrame, numHashes: Int): DataFrame =
+    (0 until numHashes).foldLeft(shingled) { (d, i) =>
+      d.withColumn(s"sig$i", TextStats.minShingleHash(col("shingles"), i))
+    }
+
+  /** LSH banding: hash `rowsPerBand` consecutive signature components into
+    * one band bucket key; docs sharing ANY band bucket become candidates.
+    */
+  def bandFrame(signed: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      md5(concat(parts: _*))
+    }
+    signed.select(col("id"), posexplode(array(bands: _*)).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Candidate pairs from the banded frame: self-join on (band_id,
+    * band_hash) — a bucketed equi-join, shuffle on the band hash — then
+    * distinct. `id_a < id_b` halves the pairs and kills self-matches.
+    */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over two shingle-set columns. */
+  def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa) + size(sb) - inter)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
+    * → exact-Jaccard verification at `threshold`. Output:
+    * (id_a, id_b, jaccard).
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val shingled = shingleFrame(df, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairs(
+      bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand))
+    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cands
+      .join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Blocked n-gram Jaccard: all pairs WITHIN a blocking key (no global
+    * crossJoin; recall is bounded by the blocking choice, which is the
+    * documented trade).
+    */
+  def blockedJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      blockCol.as("block"),
+      TextStats.shingles(TextStats.tokens(col(textCol)), shingleSize).as("shingles"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("jaccard", jaccard(col("a.shingles"), col("b.shingles")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+
+  /** SimHash (Charikar) over token xxhash64s, `bits` wide: per bit, sum +1
+    * for set / -1 for unset across tokens; the sign vector packs into a
+    * long. Cheap near-dup sketch; pairs within small Hamming distance are
+    * candidates. xxhash64 is Spark-native codegen — this operator has no
+    * DuckDB twin, so it is covered by property tests rather than an oracle.
+    */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val toks = TextStats.tokens(text)
+    val bitSums = (0 until bits).map { j =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex
+      .map { case (s, j) => when(s > 0, lit(1L << j)).otherwise(0L) }
+      .reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

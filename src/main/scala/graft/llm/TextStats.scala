@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, token counting, quality scoring,
+  * language ID, and content/shingle fingerprinting.
+  *
+  * Everything is built-in Catalyst expressions (split/regexp/higher-order
+  * array functions) — codegen-friendly, no UDFs, no driver-side loops, so
+  * each operator is a single narrow projection that scales linearly.
+  */
+object TextStats {
+
+  private val emptyStringArray: Column = array().cast(ArrayType(StringType))
+
+  /** Whitespace tokens of lowercased, trimmed text; empty → empty array,
+    * null → null (callers decide).
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, emptyStringArray)
+      .otherwise(split(trim(lower(c)), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, symbol runs — the
+    * shape GPT-2-style byte-pair encoders pre-split on (simplified, public
+    * knowledge).
+    */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+
+  val punctClass = "[.,;:!?]"
+
+  /** Count of punctuation characters (fixed class, cross-engine-safe). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, punctClass, ""))
+
+  /** Occurrences (not distinct types) of `words` among `toks`. */
+  def wordHits(toks: Column, words: Seq[String]): Column = {
+    val lits = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(lits, t)))
+  }
+
+  /** Default English stopword sample (public common-word list). */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "is", "in", "and", "to")
+
+  /** Deterministic per-row quality score in [0, 1]:
+    * 0.4·min(1, tokens/100) + 0.3·(1 − punctRatio) + 0.3·min(1, 5·stopRatio).
+    * Length-normalized token mass, punctuation penalty, stopword-presence
+    * bonus — the standard cheap quality heuristics.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stop = wordHits(toks, enStopwords).cast("double")
+    lit(0.4) * least(lit(1.0), n / 100.0) +
+      lit(0.3) * (lit(1.0) - punct / length(text).cast("double")) +
+      lit(0.3) * least(lit(1.0), stop * 5.0 / n)
+  }
+
+  /** Marker-word sets per language for the n-gram/stopword language-ID
+    * heuristic (public common-word lists).
+    */
+  val defaultLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "une"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5"))
+
+  /** Predicted language: the first language (in marker order) whose hit
+    * count is >= all later ones; all-zero → "und". Fixed precedence makes
+    * ties deterministic.
+    */
+  def langId(
+      text: Column,
+      markers: Seq[(String, Seq[String])] = defaultLangMarkers): Column = {
+    val toks = tokens(text)
+    val hits = markers.map { case (l, ws) => l -> wordHits(toks, ws) }
+    val allZero = hits.map(_._2 === 0).reduce(_ && _)
+    val chain = hits.zipWithIndex.foldRight(lit(markers.last._1)) {
+      case (((l, h), i), acc) =>
+        val laterGte = hits.drop(i + 1).map(h >= _._2)
+        if (laterGte.isEmpty) acc
+        else when(laterGte.reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    when(allZero, lit("und")).otherwise(chain)
+  }
+
+  /** Exact-content fingerprint: md5 of lowercased, trimmed text. */
+  def contentFingerprint(c: Column): Column = md5(trim(lower(c)))
+
+  /** Distinct n-gram (word) shingles; a doc shorter than n tokens
+    * contributes its whole token string as one shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** Rolling-hash-style document fingerprint: the lexicographic min of the
+    * seeded md5s over the shingle set — i.e. a 1-permutation MinHash, which
+    * is also the winnowing primitive.
+    */
+  def minShingleHash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed:"), s))))
+}
