@@ -212,6 +212,38 @@ object LlmQueries {
       |ranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
       |SELECT id AS vec_id, neighbor_id, score FROM ranked WHERE r = 1""".stripMargin
 
+  // ---- q18: multimodal binary features ---------------------------------
+
+  /** Declarative features over the synthesized binary media column (the
+    * SQL-expressible path; the batched mapPartitions decode path is
+    * exercised in MultimodalSpec).
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Multimodal.binaryFeatures(Tables.documents(spark, dir))
+
+  private val q18Oracle: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  substr(upper(hex(encode(text))), 1, 16) AS head_hex
+      |FROM documents""".stripMargin
+
+  // ---- q19: sessionization (batch form of the streaming aggregation) ---
+
+  private val SessionGapUs = 6L * 3600 * 1000000
+
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.sessionsBatch(Tables.events(spark, dir), "6 hours")
+
+  private val q19Oracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+       |o AS (SELECT user_id, tns, tns // 1000 AS tus,
+       |        lag(tns // 1000) OVER (PARTITION BY user_id ORDER BY tns) AS prev_tus FROM e),
+       |f AS (SELECT user_id, tns, tus,
+       |        CASE WHEN prev_tus IS NULL OR tus - prev_tus > $SessionGapUs THEN 1 ELSE 0 END AS new_s FROM o),
+       |s AS (SELECT user_id, tus,
+       |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tns ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+       |SELECT user_id, min(tus) AS first_us, max(tus) AS last_us, count(*) AS n_events
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -222,7 +254,9 @@ object LlmQueries {
     "q14_simhash" -> ((s, d) => simhashSketch(s, d)),
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
-    "q17_embed_nearest" -> ((s, d) => embedNearest(s, d))
+    "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
+    "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
+    "q19_sessions" -> ((s, d) => sessions(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -232,7 +266,9 @@ object LlmQueries {
     "q13_blocked_jaccard" -> q13Oracle,
     "q15_ann_topk" -> q15Oracle,
     "q16_ann_ivf" -> q16Oracle,
-    "q17_embed_nearest" -> q17Oracle
+    "q17_embed_nearest" -> q17Oracle,
+    "q18_multimodal" -> q18Oracle,
+    "q19_sessions" -> q19Oracle
     // q14_simhash: intentionally no oracle (rows-only check)
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.EventCatalogFixture
+import graft.operators.Report
+
+/** End-to-end pipeline tests on the sf0.001 corpus-backed fixture: golden
+  * invariants plus single-plan vs reference-shaped mode equivalence.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val catalog = EventCatalogFixture.catalogDf(spark, dir)
+  private lazy val specDf = EventCatalogFixture.specDf(spark)
+  private lazy val params = PipelineQueries.params
+  private lazy val report =
+    EventsVerificationPipeline.run(catalog, specDf, params).cache()
+
+  test("report has the exact 13-column contract in order") {
+    assert(report.columns.toSeq == Report.outputColumns)
+  }
+
+  test("scalable single-plan mode == reference-shaped loop mode") {
+    val parity = EventsVerificationPipeline.runParity(catalog, specDf, params)
+    assert(report.exceptAll(parity).count() == 0)
+    assert(parity.exceptAll(report).count() == 0)
+  }
+
+  test("invariant: value_null_count + value_not_null_count == total_records") {
+    val bad = report.filter(
+      col("value_null_count") + col("value_not_null_count") =!= col("total_records"))
+    assert(bad.count() == 0)
+  }
+
+  test("invariant: percentages within [0, 100]") {
+    val bad = report.filter(
+      col("value_null_count_percentage") < 0 || col("value_null_count_percentage") > 100 ||
+        col("key_null_count_percentage") < 0 || col("key_null_count_percentage") > 100)
+    assert(bad.count() == 0)
+  }
+
+  test("invariant: key presence counts never exceed totals") {
+    assert(report.filter(col("keys_not_null_count") > col("total_records")).count() == 0)
+  }
+
+  test("user_id rows carry the fill-after-derive quirk: all key metrics zero") {
+    val u = report.filter(col("prop_name") === "user_id")
+    assert(u.count() > 0)
+    val bad = u.filter(
+      col("keys_not_null_count") =!= 0 || col("key_null_count") =!= 0 ||
+        col("key_null_count_percentage") =!= 0.0)
+    assert(bad.count() == 0,
+      "na.fill(0) after the derive must zero unobserved key metrics, not total-0")
+  }
+
+  test("stale spec versions are dropped by the W1 latest-version pick") {
+    assert(report.filter(col("prop_name") === "old_k").count() == 0)
+    assert(report.filter(col("version") =!= "2.1").count() == 0)
+  }
+
+  test("exclusion quirk: the signup row's channel-valued cell is not a property") {
+    assert(report.filter(col("prop_name") === "web").count() == 0)
+    // signup still reports its real prop + implicit user_id
+    val signupProps = report.filter(col("event_name") === "signup")
+      .select("prop_name").collect().map(_.getString(0)).toSet
+    assert(signupProps == Set("k", "user_id"))
+  }
+
+  test("metadata stamps: release_date=process_date, event_date=param") {
+    val distinct = report.select("release_date", "event_date").distinct().collect()
+    assert(distinct.length == 1)
+    assert(distinct(0).getString(0) == EventCatalogFixture.processDate)
+    assert(distinct(0).getString(1) == EventCatalogFixture.eventDate)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "  The  Quick  Brown  Fox  Jumps  Over  The  Lazy  Dog ") // ws/case variant
+  ).toDF("doc_id", "text")
+
+  test("exact: groups by content fingerprint, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(t => (t._2, t._3)).toSet
+    // 1 == 2 exactly; 5 differs (internal whitespace survives lower/trim)
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash signatures: identical shingle sets give identical signatures") {
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+    val signed = Dedup.withSignature(sh, 8)
+    val sigCols = (0 until 8).map(i => col(s"sig$i"))
+    val rows = signed.select(col("id") +: sigCols: _*).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(4L))
+  }
+
+  test("minhashPairs: finds the exact and near duplicates, never a false self-pair") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)), "exact dup must survive banding + verification")
+    assert(pairs.forall(p => p._1 < p._2))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("jaccard bounds and symmetry") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j1 = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
+    val j2 = df.select(Dedup.jaccard(col("y"), col("x"))).as[Double].head()
+    assert(j1 == 0.5 && j2 == j1)
+  }
+
+  test("simhash: identical text -> identical sketch; near dup -> small hamming; 16-bit range") {
+    val out = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out.values.forall(v => v >= 0 && v < (1 << 16)))
+    val near = docs.select(
+      Dedup.hamming(lit(out(1L)), lit(out(3L))).as("h")).as[Long].head()
+    val far = docs.select(
+      Dedup.hamming(lit(out(1L)), lit(out(4L))).as("h")).as[Long].head()
+    assert(near <= 6, s"one-token change should flip few bits, got $near")
+    assert(near <= far, s"near dup ($near) must not be farther than unrelated text ($far)")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))
+    ).toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("c"))
+      .as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0)
+  }
+
+  test("bruteForceTopK: k results per query, scores descending, no self-match") {
+    val topk = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", col("id") % 50 === 0, k = 5)
+      .as[(Long, Long, Double)].collect()
+    val byQuery = topk.groupBy(_._1)
+    assert(byQuery.forall(_._2.length == 5))
+    assert(topk.forall(t => t._1 != t._2))
+    byQuery.values.foreach { rs =>
+      val scores = rs.sortBy(-_._3).map(_._3)
+      assert(scores.toSeq == rs.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+    }
+  }
+
+  test("ivfTopK: recall against brute force is reasonable for nprobe=1") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("id") % 50 === 0, col("id") % 100 === 0, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"nprobe=1 recall collapsed: $recall")
+    assert(recall <= 1.0)
+  }
+
+  test("nearestInBlock: one neighbor per vector, neighbor shares the block") {
+    val emb = Tables.embeddings(spark, dir)
+    val nn = Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))
+    assert(nn.count() == emb.count())
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val bad = nn.as[(Long, Long, Double)].collect()
+      .count(t => labels(t._1) != labels(t._2))
+    assert(bad == 0, "blocking violated: neighbor from another label")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** ScalaCheck-generated invariants for the text operators, evaluated
+  * through the real Spark expressions. (Raw `Gen` sampling with fixed
+  * seeds — the scalatest/scalacheck bridge artifact isn't in the offline
+  * cache, and deterministic seeds beat flaky property runs here anyway.)
+  */
+class TextStatsPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("the", "spark", "data", "a1", "zz9", "row", "of")
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(1, 30)
+    ws <- Gen.listOfN(n, wordGen)
+  } yield ws.mkString(" ")
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("quality score stays in [0,1]; stopword hits never exceed token count") {
+    val texts = samples(textGen, 40)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(
+      TextStats.qualityScore(col("text")).as("q"),
+      size(TextStats.tokens(col("text"))).as("n"),
+      TextStats.wordHits(TextStats.tokens(col("text")), TextStats.enStopwords).as("s"))
+      .as[(Double, Int, Int)].collect()
+    assert(rows.length == texts.length)
+    rows.foreach { case (q, n, s) =>
+      assert(q >= 0.0 && q <= 1.0, s"quality $q out of range")
+      assert(s <= n && n >= 1)
+    }
+  }
+
+  test("jaccard: reflexive 1.0, bounded [0,1] on generated shingle sets") {
+    val pairs = samples(Gen.zip(textGen, textGen), 25)
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      Dedup.jaccard(
+        TextStats.shingles(TextStats.tokens(col("a")), 3),
+        TextStats.shingles(TextStats.tokens(col("a")), 3)).as("self"),
+      Dedup.jaccard(
+        TextStats.shingles(TextStats.tokens(col("a")), 3),
+        TextStats.shingles(TextStats.tokens(col("b")), 3)).as("cross"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (self, cross) =>
+      assert(self == 1.0)
+      assert(cross >= 0.0 && cross <= 1.0)
+    }
+  }
+
+  test("simhash: equal text equal sketch, within declared bit range") {
+    val texts = samples(textGen, 25)
+    val df = texts.map(t => (t, t)).toDF("a", "b")
+    val rows = df.select(
+      Dedup.simhash(col("a"), 16), Dedup.simhash(col("b"), 16)).as[(Long, Long)].collect()
+    rows.foreach { case (x, y) =>
+      assert(x == y)
+      assert(x >= 0 && x < (1 << 16))
+    }
+  }
+
+  test("minhash signature is contained in the seeded-hash image of the shingle set") {
+    val texts = samples(textGen, 10)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = df.select(col("id"), TextStats.shingles(TextStats.tokens(col("text")), 3).as("s"))
+    val rows = sh.select(
+      TextStats.minShingleHash(col("s"), 0).as("mh"),
+      transform(col("s"), x => md5(concat(lit("0:"), x))).as("all"))
+      .as[(String, Seq[String])].collect()
+    rows.foreach { case (mh, all) => assert(all.min == mh) }
+  }
+}
