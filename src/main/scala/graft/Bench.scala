@@ -24,14 +24,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup outside the timed loop: JVM/codegen/session init plus one
-    // parquet read so the first timed query doesn't pay cold-start costs.
+    // Warmup outside the timed loop: generic JVM/session/parquet-reader
+    // init. (Deliberately NOT a per-query warmup pass: running every
+    // query's generated class first makes shared interpreter call sites
+    // megamorphic and measurably SLOWS the JSON-heavy queries - observed
+    // 12.6s -> 30.4s on q03 at sf0.1.)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/events.parquet").count()
     catch { case _: Throwable => () }
 
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries from each other's persisted/cached state
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -44,6 +44,7 @@ object LlmQueries {
     */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val toks = TextStats.tokens(col("text"))
     docs.select(
       col("doc_id"),
@@ -162,8 +163,11 @@ object LlmQueries {
 
   // ---- q15/q16/q17: similarity search ----------------------------------
 
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+
   def annBruteForce(spark: SparkSession, dir: String): DataFrame =
-    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.bruteForceTopK(embeddings(spark, dir), "vec_id", "embedding",
       col("id") % 50 === 0, k = 5)
 
   private val q15Oracle: String =
@@ -178,7 +182,7 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.ivfTopK(embeddings(spark, dir), "vec_id", "embedding",
       col("id") % 50 === 0, col("id") % 100 === 0, k = 5)
 
   private val q16Oracle: String =
@@ -200,7 +204,7 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 
   def embedNearest(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearestInBlock(Tables.embeddings(spark, dir), "vec_id", "embedding", col("label"))
+    Similarity.nearestInBlock(embeddings(spark, dir), "vec_id", "embedding", col("label"))
 
   private val q17Oracle: String =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -17,10 +17,15 @@ object DocumentsFixture {
     "SELECT doc_id + 10000, text, lang, source FROM %s WHERE doc_id % 10 = 0",
     "SELECT doc_id + 20000, text || ' zz9 qq8', lang, source FROM %s WHERE doc_id % 7 = 0")
 
+  /** The corpus is one tiny parquet split — without the reference's S5
+    * repartition (`event_verify.py:23`) every downstream text operator runs
+    * on ≤3 of local[32]'s cores. Round-robin to default parallelism first.
+    */
   def corpusDf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     docs.createOrReplaceTempView("__docs_fixture")
     spark.sql(corpusSql("__docs_fixture"))
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   def corpusSql(rel: String = "documents"): String =

@@ -66,9 +66,14 @@ object EventCatalogFixture {
     traitsSql -> "traits",
     propertiesSql -> "properties")
 
-  /** The synthesized catalog as a Spark DataFrame. */
+  /** The synthesized catalog as a Spark DataFrame. The events parquet is a
+    * single small split, so repartition first (the reference's own S5 knob,
+    * `event_verify.py:23`) — otherwise the JSON-heavy synthesis and
+    * extraction run on one core of local[32].
+    */
   def catalogDf(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .selectExpr(selectList.map { case (e, n) => s"($e) AS $n" }: _*)
 
   /** The identical catalog as a DuckDB CTE body over the `events` view.

@@ -103,7 +103,11 @@ object Similarity {
       .withColumn("nrm", norm(col("emb")))
     val b = n.select(col("block"), col("id").as("neighbor_id"),
       col("emb").as("n_emb"), col("nrm").as("n_nrm"))
-    val pairs = n.join(b, Seq("block"))
+    // Broadcast the candidate side: a shuffle on the block key would hash
+    // everything into #distinct-blocks partitions (3 labels -> 3 active
+    // cores); broadcasting keeps the probe side's full parallelism. At
+    // scale, salt the block key instead if candidates outgrow a broadcast.
+    val pairs = n.join(broadcast(b), Seq("block"))
       .filter(col("id") =!= col("neighbor_id"))
       .withColumn("score",
         round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 6))
