@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.fixtures.EventCatalogFixture
+import graft.sources.{Sinks, Tables}
+
+/** S2 (CSV scan with header+inferSchema) and S4 (CSV sink) end-to-end:
+  * the spec round-trips through a real CSV file — exactly how the
+  * reference consumes it (`event_verify.py:27-30`) — and the final report
+  * survives the reference-shaped single-file CSV write
+  * (`event_verify.py:230-231`).
+  */
+class SourcesSinksSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("S2: spec read from CSV produces the same report as the in-memory spec") {
+    val tmp = Files.createTempDirectory("graft-spec").toFile
+    val specPath = s"${tmp.getAbsolutePath}/spec"
+    Sinks.csvReport(EventCatalogFixture.specDf(spark), specPath, files = 1)
+
+    val specFromCsv = Tables.csv(spark, specPath)
+      // inferSchema turns the numeric-looking version column into double;
+      // the engine keeps versions stringly (SURVEY §2.11(8))
+      .selectExpr("channel", "CAST(version AS STRING) AS version", "event_name",
+        "release_date", "prop_1", "prop_2", "prop_3")
+    val catalog = EventCatalogFixture.catalogDf(spark, dir)
+    val fromCsv = EventsVerificationPipeline.run(catalog, specFromCsv, PipelineQueries.params)
+    val fromMem = EventsVerificationPipeline.run(
+      catalog, EventCatalogFixture.specDf(spark), PipelineQueries.params)
+    assert(fromCsv.exceptAll(fromMem).count() == 0)
+    assert(fromMem.exceptAll(fromCsv).count() == 0)
+  }
+
+  test("S4: single-file CSV report round-trips the 13-column output") {
+    val tmp = Files.createTempDirectory("graft-report").toFile
+    val outPath = s"${tmp.getAbsolutePath}/report"
+    val report = PipelineQueries.eventsReport(spark, dir)
+    Sinks.csvReport(report, outPath, files = 1)
+
+    val files = new java.io.File(outPath).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, "coalesce(1) must produce exactly one csv part")
+    val back = Tables.csv(spark, outPath)
+    assert(back.columns.toSeq == graft.operators.Report.outputColumns)
+    assert(back.count() == report.count())
+  }
+}
