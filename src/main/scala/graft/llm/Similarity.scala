@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * All math is done in DOUBLE with a sequential fold
-  * (`aggregate(zip_with(...))`) so results are bit-reproducible across
-  * engines (verified against DuckDB's `list_dot_product` on DOUBLE[]).
-  * Scores are rounded to 6 decimals before ranking so rank order never
-  * hinges on sub-ulp differences; remaining ties break on neighbor id.
+  * All math is done in DOUBLE with a sequential fold so results are
+  * bit-reproducible across engines (verified against DuckDB's
+  * `list_dot_product` on DOUBLE[]). Scores are rounded to 6 decimals
+  * before ranking so rank order never hinges on sub-ulp differences;
+  * remaining ties break on neighbor id.
+  *
+  * Scoring goes through the native fused kernel
+  * ([[graft.functions.CosineSimilarity]], registered as `cosine_sim` by
+  * [[graft.GraftExtensions]]) — one allocation-free codegen loop per pair
+  * instead of the composable `aggregate(zip_with(...))` chain, with
+  * bit-identical numerics. The composable forms ([[dot]]/[[norm]]/
+  * [[cosine]]) remain for sessions without the extension.
   *
   * Scale design: brute-force top-k is the correctness baseline (candidate
   * side × a BROADCAST query set — never an unbroadcast crossJoin); the IVF
@@ -23,18 +30,22 @@ object Similarity {
   /** Element-wise double cast (embeddings are float32 at rest). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product in double. */
+  /** Sequential-fold dot product in double (composable form). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Composable cosine — bit-identical to [[fusedCosine]]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** (id, emb, nrm) frame with the norm precomputed once. */
-  def normalized(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  /** The native fused kernel; requires [[graft.GraftExtensions]] on the
+    * session (`spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def fusedCosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  private def vectors(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
-      .withColumn("nrm", norm(col("emb")))
 
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
@@ -47,47 +58,42 @@ object Similarity {
     * measured against.
     */
   def bruteForceTopK(
-      vectors: DataFrame, idCol: String, embCol: String,
+      vectorsDf: DataFrame, idCol: String, embCol: String,
       queryFilter: Column, k: Int): DataFrame = {
-    val n = normalized(vectors, idCol, embCol)
+    val n = vectors(vectorsDf, idCol, embCol)
     val q = n.filter(queryFilter)
-      .select(col("id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
     val pairs = n.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("score",
-        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
     rankTopK(pairs, k)
   }
 
   /** IVF bucket assignment: nearest centroid by cosine (ties → smaller
-    * centroid id). Output: (id, emb, nrm, bucket).
+    * centroid id). Output: (id, emb, bucket).
     */
   def ivfAssign(n: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(
-      col("id").as("c_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val c = centroids.select(col("id").as("c_id"), col("emb").as("c_emb"))
     val scored = n.join(broadcast(c))
-      .withColumn("c_score",
-        round(dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")), 6))
+      .withColumn("c_score", round(fusedCosine(col("emb"), col("c_emb")), 6))
     val w = Window.partitionBy("id").orderBy(desc("c_score"), col("c_id"))
     scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("id"), col("emb"), col("nrm"), col("c_id").as("bucket"))
+      .select(col("id"), col("emb"), col("c_id").as("bucket"))
   }
 
   /** IVF top-k: search only the query's own bucket (nprobe=1). Recall < 1
     * by design; the property test asserts recall against [[bruteForceTopK]].
     */
   def ivfTopK(
-      vectors: DataFrame, idCol: String, embCol: String,
+      vectorsDf: DataFrame, idCol: String, embCol: String,
       queryFilter: Column, centroidFilter: Column, k: Int): DataFrame = {
-    val n = normalized(vectors, idCol, embCol)
+    val n = vectors(vectorsDf, idCol, embCol)
     val assigned = ivfAssign(n, n.filter(centroidFilter))
     val q = assigned.filter(queryFilter)
-      .select(col("id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
+      .select(col("id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
     val pairs = assigned.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("score",
-        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
     rankTopK(pairs, k)
   }
@@ -97,20 +103,17 @@ object Similarity {
     * crossJoin.
     */
   def nearestInBlock(
-      vectors: DataFrame, idCol: String, embCol: String, blockCol: Column): DataFrame = {
-    val n = vectors
+      vectorsDf: DataFrame, idCol: String, embCol: String, blockCol: Column): DataFrame = {
+    val n = vectorsDf
       .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"), blockCol.as("block"))
-      .withColumn("nrm", norm(col("emb")))
-    val b = n.select(col("block"), col("id").as("neighbor_id"),
-      col("emb").as("n_emb"), col("nrm").as("n_nrm"))
+    val b = n.select(col("block"), col("id").as("neighbor_id"), col("emb").as("n_emb"))
     // Broadcast the candidate side: a shuffle on the block key would hash
     // everything into #distinct-blocks partitions (3 labels -> 3 active
     // cores); broadcasting keeps the probe side's full parallelism. At
     // scale, salt the block key instead if candidates outgrow a broadcast.
     val pairs = n.join(broadcast(b), Seq("block"))
       .filter(col("id") =!= col("neighbor_id"))
-      .withColumn("score",
-        round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 6))
+      .withColumn("score", round(fusedCosine(col("emb"), col("n_emb")), 6))
     val w = Window.partitionBy("id").orderBy(desc("score"), col("neighbor_id"))
     pairs.withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("id").as("vec_id"), col("neighbor_id"), col("score"))
