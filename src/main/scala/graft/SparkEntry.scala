@@ -16,12 +16,12 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
-    * Per-event JSON key-presence counts joined with per-event totals — the
-    * reference's entry-point-2 core (`event_verify.py:44-45,51-62,99-101`)
-    * re-expressed as one scan + partial-agg + broadcast join.
+    * The reference's whole job end-to-end: latest-version spec select →
+    * key-presence + value-completeness metrics → 13-column report
+    * (`event_verify.py:215-231`), in the scalable single-plan mode.
     */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.keyPresence(spark, "/root/testdata/sf0.001")
+    PipelineQueries.eventsReport(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ PipelineQueries.queries ++ LlmQueries.queries
