@@ -125,9 +125,10 @@ object EventsVerificationPipeline {
       SpecParse.pairsDf(spark, keyPairs).drop("version"),
       keyCounts, Seq("channel", "event_name"))
 
-    // 8. Value completeness: wide extraction → stack unpivot → defined-pair
-    //    filter → single-pass metrics.
-    val wide = Completeness.withValueColumns(
+    // 8. Value completeness: wide extraction (single-parse json_tuple fast
+    //    path — ~5 payload parses/row instead of ~15) → stack unpivot →
+    //    defined-pair filter → single-pass metrics.
+    val wide = Completeness.withValueColumnsFast(
       cat, allProps, Seq("channel", "version", "event_name"))
     val long = Completeness.unpivot(wide, allProps, Seq("channel", "version", "event_name"))
     val longDefined = long.join(

@@ -125,7 +125,7 @@ object PipelineQueries {
     */
   def completenessMetrics(spark: SparkSession, dir: String): DataFrame = {
     val cat = catalogDf(spark, dir)
-    val wide = Completeness.withValueColumns(cat, q03Props, Seq("event_name"))
+    val wide = Completeness.withValueColumnsFast(cat, q03Props, Seq("event_name"))
     val long = Completeness.unpivot(wide, q03Props, Seq("event_name"))
     Completeness.metrics(long, Seq("event_name"))
   }
