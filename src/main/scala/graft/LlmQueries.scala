@@ -248,6 +248,55 @@ object LlmQueries {
        |SELECT user_id, min(tus) AS first_us, max(tus) AS last_us, count(*) AS n_events
        |FROM s GROUP BY user_id, sid""".stripMargin
 
+  // ---- q20: composite training-data prep -------------------------------
+
+  /** The realistic data-prep composition: quality-score filter + language
+    * filter + exact-dedup keep (min doc_id per content hash) over the
+    * duplicate-injected corpus — one declarative plan, one shuffle for the
+    * dedup group-by.
+    */
+  def trainingPrep(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val scored = corpus.select(
+      col("doc_id"), col("lang"),
+      TextStats.contentFingerprint(col("text")).as("content_hash"),
+      TextStats.qualityScore(col("text")).as("quality"),
+      TextStats.langId(col("text")).as("pred_lang"))
+    scored
+      .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "content_hash", "n_dups")
+  }
+
+  private val q20Oracle: String = {
+    val markers = TextStats.defaultLangMarkers
+    val langs = markers.map(_._1)
+    val hits = markers.map { case (l, ws) => s"${dWordHits("toks", ws)} AS h_$l" }
+    val allZero = markers.map { case (l, _) => s"h_$l = 0" }.mkString(" AND ")
+    val chain = langs.dropRight(1).zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), acc) =>
+        val later = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"CASE WHEN $later THEN '$l' ELSE $acc END"
+    }
+    val stop = dWordHits("toks", TextStats.enStopwords)
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |t AS (SELECT doc_id, text, $dToks AS toks FROM corpus),
+       |h AS (SELECT *, ${hits.mkString(", ")},
+       |  (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS punct_cnt,
+       |  $stop AS stop_cnt FROM t),
+       |scored AS (
+       |  SELECT doc_id, md5(trim(lower(text))) AS content_hash,
+       |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+       |      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(len(text) AS DOUBLE))
+       |      + 0.3 * least(1.0, CAST(stop_cnt AS DOUBLE) * 5.0 / CAST(len(toks) AS DOUBLE)) AS quality,
+       |    CASE WHEN $allZero THEN 'und' ELSE $chain END AS pred_lang
+       |  FROM h)
+       |SELECT min(doc_id) AS doc_id, content_hash, count(*) AS n_dups
+       |FROM scored WHERE quality >= 0.5 AND pred_lang = 'en'
+       |GROUP BY content_hash""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,7 +309,8 @@ object LlmQueries {
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
-    "q19_sessions" -> ((s, d) => sessions(s, d))
+    "q19_sessions" -> ((s, d) => sessions(s, d)),
+    "q20_training_prep" -> ((s, d) => trainingPrep(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -272,7 +322,8 @@ object LlmQueries {
     "q16_ann_ivf" -> q16Oracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
-    "q19_sessions" -> q19Oracle
+    "q19_sessions" -> q19Oracle,
+    "q20_training_prep" -> q20Oracle
     // q14_simhash: intentionally no oracle (rows-only check)
   )
 }
