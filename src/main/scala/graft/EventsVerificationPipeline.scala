@@ -79,20 +79,32 @@ object EventsVerificationPipeline {
 
     // 3. Catalog filtered to (channel, current version) via broadcast join —
     //    P2/P3 semantics of event_verify.py:42-43 with channel carried as a
-    //    column instead of a driver loop. Persisted (the reference's S6
-    //    cache, event_verify.py:24): three downstream passes (key discovery,
-    //    key counts, value metrics) read it.
+    //    column instead of a driver loop. Payloads go through the
+    //    single-parse shred structs (PayloadShred): context is shredded
+    //    BEFORE the version join (it carries the $.app.version filter key),
+    //    traits/properties AFTER it, so filtered-out rows never pay those
+    //    parses. Persisted (the reference's S6 cache, event_verify.py:24):
+    //    three downstream passes (key discovery, key counts, value metrics)
+    //    read the parsed structs — each payload is parsed once per row for
+    //    the whole pipeline.
+    val generics = PayloadShred.genericProps(allProps)
     val latestDf = spark.createDataFrame(byChannel.map(_._1)).toDF("channel", "version")
-    val cat = catalog
-      .withColumn("extracted_version", get_json_object(col("context"), params.versionPath))
-      .join(broadcast(latestDf),
-        col("client_name") === col("channel") && col("extracted_version") === col("version"))
+    val cat = PayloadShred.withPayloadShreds(
+      PayloadShred.withContextShred(catalog, generics, withVersion = true)
+        .join(broadcast(latestDf),
+          col("client_name") === col("channel") &&
+            PayloadShred.versionExpr === col("version")),
+      generics)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 4. Observed identifier keys per channel (event_verify.py:51-66) —
-    //    distinct (channel, key) is tiny; collected to build literal regex
-    //    patterns so the hot path keeps compiled-once regexes.
-    val obs = JsonKeys.allKeysBy(cat, JsonKeys.catalogKeyExtractors(), Seq("channel"))
+    //    filtered to the identifier spellings INSIDE the plan, so the
+    //    collect is provably bounded by |identifiers| × channels rows no
+    //    matter how adversarial the payload key space is; the literal
+    //    patterns keep the hot path on compiled-once regexes.
+    val idSpellings = (params.orgIdentifiers ++ params.projectIdentifiers).distinct
+    val obs = JsonKeys.allKeysBy(cat, PayloadShred.keyExtractors, Seq("channel"),
+        restrictTo = Some(idSpellings))
       .collect()
       .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getString(1)).toSeq).toMap
@@ -113,8 +125,8 @@ object EventsVerificationPipeline {
     //    (channel, event, key) — partial agg before the shuffle.
     val merged = JsonKeys.mergedKeys(
       orgFlag, projFlag,
-      array_distinct(JsonKeys.keysOf(col("properties"))),
-      array_distinct(JsonKeys.keysOf(col("context"))))
+      array_distinct(PayloadShred.propertiesKeys),
+      array_distinct(PayloadShred.contextKeys))
     val keyCounts = cat
       .select(col("channel"), col("event_name"), explode(merged).as("exploded_key"))
       .groupBy("channel", "event_name", "exploded_key")
@@ -125,10 +137,10 @@ object EventsVerificationPipeline {
       SpecParse.pairsDf(spark, keyPairs).drop("version"),
       keyCounts, Seq("channel", "event_name"))
 
-    // 8. Value completeness: wide extraction (single-parse json_tuple fast
-    //    path — ~5 payload parses/row instead of ~15) → stack unpivot →
-    //    defined-pair filter → single-pass metrics.
-    val wide = Completeness.withValueColumnsFast(
+    // 8. Value completeness: wide extraction reads the cached shred structs
+    //    (ZERO additional payload parses) → stack unpivot → defined-pair
+    //    filter → single-pass metrics.
+    val wide = PayloadShred.withValueColumns(
       cat, allProps, Seq("channel", "version", "event_name"))
     val long = Completeness.unpivot(wide, allProps, Seq("channel", "version", "event_name"))
     val longDefined = long.join(

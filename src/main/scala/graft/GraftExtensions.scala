@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, StringType}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, JsonShred}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -25,6 +26,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("json_shred"),
+      new ExpressionInfo(
+        classOf[JsonShred].getName,
+        null,
+        "json_shred",
+        "json_shred(json, wantKeys, fieldsCsv, nestedKeysCsv) - single-parse " +
+          "JSON shred: struct of top-level keys, depth<=2 field values, and " +
+          "nested-object key lists",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "json_shred takes exactly 4 arguments")
+        def strLit(e: Expression, what: String): String = e match {
+          case Literal(s, _: StringType) if s != null => s.toString
+          case _ =>
+            throw new IllegalArgumentException(
+              s"json_shred $what must be a non-null string literal")
+        }
+        val wantKeys = children(1) match {
+          case Literal(b: Boolean, BooleanType) => b
+          case _ =>
+            throw new IllegalArgumentException(
+              "json_shred wantKeys must be a boolean literal")
+        }
+        val fields = strLit(children(2), "fields").split(',').filter(_.nonEmpty).toSeq
+        val nested = strLit(children(3), "nestedKeys").split(',').filter(_.nonEmpty).toSeq
+        JsonShred(children(0), wantKeys, fields, nested)
       }))
   }
 }

@@ -121,11 +121,14 @@ object PipelineQueries {
 
   /** P7/F9/F10/V1/A3-equivalent/F12: per-(event, property) null-count
     * metrics over the full synthesized catalog (no channel/version filter —
-    * that's q06's job).
+    * that's q06's job). Extraction reads the single-parse
+    * [[graft.operators.PayloadShred]] structs (3 payload parses per row,
+    * inside whole-stage codegen).
     */
   def completenessMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val cat = catalogDf(spark, dir)
-    val wide = Completeness.withValueColumnsFast(cat, q03Props, Seq("event_name"))
+    val cat = PayloadShred.withShreds(
+      catalogDf(spark, dir), PayloadShred.genericProps(q03Props))
+    val wide = PayloadShred.withValueColumns(cat, q03Props, Seq("event_name"))
     val long = Completeness.unpivot(wide, q03Props, Seq("event_name"))
     Completeness.metrics(long, Seq("event_name"))
   }
@@ -145,9 +148,12 @@ object PipelineQueries {
 
   // ---- q04: U1 all-keys discovery --------------------------------------
 
-  /** U1/F2/F3/A4: distinct keys across the 5 extractors, one scan. */
+  /** U1/F2/F3/A4: distinct keys across the 5 extractors — one scan, one
+    * parse per payload via the shred structs.
+    */
   def allKeysQuery(spark: SparkSession, dir: String): DataFrame =
-    JsonKeys.allKeys(catalogDf(spark, dir), JsonKeys.catalogKeyExtractors())
+    JsonKeys.allKeys(
+      PayloadShred.withShreds(catalogDf(spark, dir)), PayloadShred.keyExtractors)
 
   private val q04Oracle: String =
     s"""WITH cat AS (${catalogSql()})
@@ -160,8 +166,12 @@ object PipelineQueries {
     * key arrays + (event, key) counts + per-event totals.
     */
   def mergedKeyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val cat = catalogDf(spark, dir)
-    val allK = JsonKeys.allKeys(cat, JsonKeys.catalogKeyExtractors())
+    // Persist the shredded catalog: the observed-keys collect and the
+    // key-count aggregation both read it, so each payload is parsed once
+    // per row for the WHOLE query, not once per pass.
+    val cat = PayloadShred.withShreds(catalogDf(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allK = JsonKeys.allKeys(cat, PayloadShred.keyExtractors)
     val payloads = Seq(col("context"), col("traits"), col("properties"))
     val orgFlag = KeyPresence.anyKeyPresent(
       payloads, KeyPresence.matchingKeys(allK, params.orgIdentifiers))
@@ -169,9 +179,9 @@ object PipelineQueries {
       payloads, KeyPresence.matchingKeys(allK, params.projectIdentifiers))
     val merged = JsonKeys.mergedKeys(
       orgFlag, projFlag,
-      array_distinct(JsonKeys.keysOf(col("properties"))),
-      array_distinct(JsonKeys.keysOf(col("context"))))
-    KeyPresence.keyCounts(cat, merged, "event_name")
+      array_distinct(PayloadShred.propertiesKeys),
+      array_distinct(PayloadShred.contextKeys))
+    KeyPresence.keyCounts(cat, merged, "event_name", reuse = false)
       .select("event_name", "exploded_key", "key_count", "total_records")
   }
 

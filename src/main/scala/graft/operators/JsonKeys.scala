@@ -44,16 +44,31 @@ object JsonKeys {
   /** [[allKeys]] with extra grouping columns carried through (e.g. the
     * channel), so multi-tenant key discovery is one scan instead of one scan
     * per group. Output: (groupCols…, key), distinct.
+    *
+    * `restrictTo` narrows the output to the given key spellings via
+    * `array_intersect` BEFORE the explode: non-matching keys are never
+    * generated, the distinct shuffle carries at most |restrictTo| × groups
+    * rows, and a driver `.collect()` on the result is provably bounded.
+    * (Deliberately NOT a `Filter` on the exploded column: a Filter between
+    * this Generate and the distinct Aggregate trips a Spark 4.1 column
+    * pruning bug — generator nested-column aliasing drops the group columns
+    * from the Generate child and execution dies with
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND.)
     */
-  def allKeysBy(df: DataFrame, extractors: Seq[Column], groupCols: Seq[String]): DataFrame = {
+  def allKeysBy(
+      df: DataFrame,
+      extractors: Seq[Column],
+      groupCols: Seq[String],
+      restrictTo: Option[Seq[String]] = None): DataFrame = {
     val group = groupCols.map(col)
     if (extractors.isEmpty)
       return df
         .select(group :+ lit(null).cast(StringType).as("key"): _*)
         .filter(lit(false))
     val arrays = extractors.map(e => coalesce(e, emptyStringArray))
-    df.select(group :+ explode(array_distinct(concat(arrays: _*))).as("key"): _*)
-      .distinct()
+    val all = array_distinct(concat(arrays: _*))
+    val keys = restrictTo.fold(all)(ids => array_intersect(all, array(ids.map(lit): _*)))
+    df.select(group :+ explode(keys).as("key"): _*).distinct()
   }
 
   /** The reference's exact 5 extractors for the event-catalog schema. */
