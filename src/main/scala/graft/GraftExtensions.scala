@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BooleanType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, JsonShred}
+import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -55,6 +55,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val fields = strLit(children(2), "fields").split(',').filter(_.nonEmpty).toSeq
         val nested = strLit(children(3), "nestedKeys").split(',').filter(_.nonEmpty).toSeq
         JsonShred(children(0), wantKeys, fields, nested)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_hits"),
+      new ExpressionInfo(
+        classOf[WordHits].getName,
+        null,
+        "word_hits",
+        "word_hits(tokens, wordsCsv) - occurrences of the comma-separated " +
+          "static word list among an array<string> of tokens",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_hits takes exactly 2 arguments")
+        val words = children(1) match {
+          case Literal(s, _: StringType) if s != null =>
+            s.toString.split(',').filter(_.nonEmpty).toSeq
+          case _ =>
+            throw new IllegalArgumentException(
+              "word_hits words must be a non-null string literal (comma-separated)")
+        }
+        WordHits(children(0), words)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(
+        classOf[MinHashSignatures].getName,
+        null,
+        "minhash_sigs",
+        "minhash_sigs(shingles, numHashes) - all numHashes seeded-md5 " +
+          "MinHash minima of an array<string> shingle set in one traversal",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sigs takes exactly 2 arguments")
+        val n = children(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case _ =>
+            throw new IllegalArgumentException(
+              "minhash_sigs numHashes must be an integer literal")
+        }
+        MinHashSignatures(children(0), n)
       }))
   }
 }

@@ -30,8 +30,25 @@ object Dedup {
 
   /** MinHash signature columns sig0..sig{k-1} (seeded-md5 min per shingle
     * set — deterministic and cross-engine reproducible).
+    *
+    * All k minima come from ONE shingle-array traversal through the native
+    * [[graft.functions.MinHashSignatures]] kernel (bit-identical to k
+    * sequential `array_min(transform(...md5...))` passes, which cost k
+    * interpreted lambda walks + k array allocations per row — the round-3
+    * q12 hot spot). Requires [[graft.GraftExtensions]] on the session.
     */
-  def withSignature(shingled: DataFrame, numHashes: Int): DataFrame =
+  def withSignature(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val sigs = call_function("minhash_sigs", col("shingles"), lit(numHashes))
+    val sigCols = (0 until numHashes).map(i => element_at(col("__sigs"), i + 1).as(s"sig$i"))
+    shingled.withColumn("__sigs", sigs)
+      .select(col("*") +: sigCols: _*)
+      .drop("__sigs")
+  }
+
+  /** The interpreted-HOF twin of [[withSignature]] (equivalence-spec +
+    * extensionless-session fallback).
+    */
+  def withSignatureComposable(shingled: DataFrame, numHashes: Int): DataFrame =
     (0 until numHashes).foldLeft(shingled) { (d, i) =>
       d.withColumn(s"sig$i", TextStats.minShingleHash(col("shingles"), i))
     }

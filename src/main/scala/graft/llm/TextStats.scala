@@ -38,8 +38,22 @@ object TextStats {
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, punctClass, ""))
 
-  /** Occurrences (not distinct types) of `words` among `toks`. */
-  def wordHits(toks: Column, words: Seq[String]): Column = {
+  /** Occurrences (not distinct types) of `words` among `toks`.
+    *
+    * Goes through the native [[graft.functions.WordHits]] kernel (requires
+    * [[graft.GraftExtensions]] on the session, like `cosine_sim`): the
+    * composable `size(filter(toks, t => array_contains(...)))` form walks
+    * the interpreted lambda eval path per element — the call sites Spark's
+    * higher-order functions share JVM-wide, which round 3 identified as
+    * the megamorphic source of 4-10x bench swings on every text query.
+    */
+  def wordHits(toks: Column, words: Seq[String]): Column =
+    call_function("word_hits", toks, lit(words.mkString(",")))
+
+  /** The interpreted-HOF twin of [[wordHits]], kept for sessions without
+    * the extension and for the equivalence spec.
+    */
+  def wordHitsComposable(toks: Column, words: Seq[String]): Column = {
     val lits = array(words.map(lit): _*)
     size(filter(toks, t => array_contains(lits, t)))
   }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.llm.{Dedup, TextStats}
+
+/** Pins the native [[WordHits]] / [[MinHashSignatures]] kernels to their
+  * interpreted-HOF composable twins: output-identical on generated corpora
+  * (including empty/null edge cases), so the oracle SQL written against the
+  * composable semantics keeps holding for the native path.
+  */
+class TextKernelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("the", "spark", "a", "of", "und", "la", "x9", "is")
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 25)
+    ws <- Gen.listOfN(n, wordGen)
+  } yield ws.mkString(" ")
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  test("word_hits == size(filter(array_contains)) on generated texts + edges") {
+    val texts = samples(textGen, 60) ++ Seq("", "   ", "the the the", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = TextStats.tokens(col("text"))
+    val rows = df.select(
+      TextStats.wordHits(toks, TextStats.enStopwords).as("native"),
+      TextStats.wordHitsComposable(toks, TextStats.enStopwords).as("hof"))
+      .collect()
+    assert(rows.length == texts.length)
+    rows.foreach { r => assert(r.get(0) == r.get(1), r.toString) }
+  }
+
+  test("word_hits counts occurrences, not distinct types; null array -> null") {
+    val df = Seq(
+      (1L, Seq("the", "the", "a", "zzz")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    val out = df.select(col("id"),
+      TextStats.wordHits(col("toks"), Seq("the", "a")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out(1L) == 3)
+    assert(out(2L) == 0)
+    assert(out(3L) == null)
+  }
+
+  test("word_hits skips null token elements (array_contains-null parity)") {
+    val df = Seq(1L).toDF("id")
+      .select(array(lit("the"), lit(null).cast("string"), lit("a")).as("toks"))
+    val rows = df.select(
+      TextStats.wordHits(col("toks"), Seq("the", "a")).as("native"),
+      TextStats.wordHitsComposable(col("toks"), Seq("the", "a")).as("hof"))
+      .collect()
+    assert(rows.head.getInt(0) == 2 && rows.head.getInt(1) == 2)
+  }
+
+  test("minhash_sigs == k sequential array_min(transform(md5)) passes") {
+    val texts = samples(textGen, 40).filter(_.trim.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = Dedup.shingleFrame(df, "id", "text", 3)
+    val k = 8
+    val native = Dedup.withSignature(sh, k)
+    val hof = Dedup.withSignatureComposable(sh, k)
+    val cols = col("id") +: (0 until k).map(i => col(s"sig$i"))
+    val a = native.select(cols: _*).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = hof.select(cols: _*).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (id, sigs) => assert(sigs == b(id), s"id=$id") }
+  }
+
+  test("minhash_sigs on empty and null shingle arrays") {
+    val df = Seq(1L, 2L).toDF("id").select(col("id"),
+      when(col("id") === 1L, array().cast("array<string>")).as("shingles"))
+    val rows = df.select(col("id"),
+      call_function("minhash_sigs", col("shingles"), lit(4)).as("sigs"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(rows(1L) == Seq(null, null, null, null)) // array_min(empty) per seed
+    assert(rows(2L) == null)                        // null array -> null
+  }
+
+  test("both registered as SQL functions via GraftExtensions") {
+    val one = spark.sql(
+      "SELECT word_hits(array('a','b','a'), 'a,c') AS h, " +
+        "minhash_sigs(array('s1','s2'), 2) AS m").collect().head
+    assert(one.getInt(0) == 2)
+    assert(one.getSeq[String](1).length == 2)
+  }
+}
