@@ -9,8 +9,10 @@ import graft.sources.Tables
 
 /** Oracle-checked queries for the LLM-training-data tier: text analysis,
   * deduplication, and similarity search (the brief's first-class extension
-  * components). DuckDB twins mirror every Spark expression 1:1; the only
-  * rows-only entry is SimHash (xxhash64 has no DuckDB equivalent).
+  * components). DuckDB twins mirror every Spark expression 1:1 — including
+  * SimHash, whose registered variant uses the md5-hex-digit-parity bit hash
+  * precisely so an exact SQL twin exists (the xxhash64 default variant
+  * stays property-tested).
   */
 object LlmQueries {
 
@@ -150,15 +152,36 @@ object LlmQueries {
        |SELECT id_a, id_b, $dJaccard AS jaccard
        |FROM pairs WHERE $dJaccard >= $JaccThreshold""".stripMargin
 
-  // ---- q14: SimHash (rows-only — no DuckDB xxhash64) -------------------
+  // ---- q14: SimHash ----------------------------------------------------
 
-  /** SimHash sketch per doc + its 4-bit band keys (candidate generation
-    * for small-Hamming-distance pairs). No SQL oracle: xxhash64 is
-    * Spark-native; covered by SimHashSpec property tests instead.
+  private val SimHashBits = 16
+
+  /** SimHash sketch per doc. Uses the [[Dedup.md5Bit]] bit hash so the
+    * sketch is exactly expressible in DuckDB SQL (hex-digit parity of
+    * md5(token)) — the xxhash64 default stays covered by property tests.
     */
   def simhashSketch(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DocumentsFixture.corpusDf(spark, dir)
-    corpus.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+    corpus.select(col("doc_id"),
+      Dedup.simhash(col("text"), SimHashBits, Dedup.md5Bit).as("simhash"))
+  }
+
+  /** DuckDB twin of the md5-bit SimHash: per bit j, +1/-1 sum over tokens
+    * of the parity of md5 hex digit j; pack the sign bits. `coalesce(..,0)`
+    * matches Spark's `aggregate` zero-init on empty token arrays.
+    */
+  private val q14Oracle: String = {
+    val bitSums = (0 until SimHashBits).map { j =>
+      s"coalesce(list_sum(list_transform(toks, t -> CASE WHEN " +
+        s"strpos('13579bdf', substr(md5(t), ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END)), 0) AS s$j"
+    }
+    val pack = (0 until SimHashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |t AS (SELECT doc_id, $dToks AS toks FROM corpus),
+       |b AS (SELECT doc_id, ${bitSums.mkString(", ")} FROM t)
+       |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM b""".stripMargin
   }
 
   // ---- q15/q16/q17: similarity search ----------------------------------
@@ -318,12 +341,12 @@ object LlmQueries {
     "q11_exact_dedup" -> q11Oracle,
     "q12_minhash_pairs" -> q12Oracle,
     "q13_blocked_jaccard" -> q13Oracle,
+    "q14_simhash" -> q14Oracle,
     "q15_ann_topk" -> q15Oracle,
     "q16_ann_ivf" -> q16Oracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,
     "q20_training_prep" -> q20Oracle
-    // q14_simhash: intentionally no oracle (rows-only check)
   )
 }

@@ -284,6 +284,64 @@ object PipelineQueries {
        |  ON vm.channel = km.channel AND vm.event_name = km.event_name AND vm.prop_name = km.prop_name""".stripMargin
   }
 
+  // ---- q07: reference-shaped parity mode (U2/U3 on the oracle path) ----
+
+  /** [[EventsVerificationPipeline.runParity]] — the reference's per-channel
+    * driver loop with per-event union-reduce (U2) and per-channel
+    * union-reduce (U3). Output-identical to q06 by construction, so it
+    * shares q06's oracle — this puts the union-reduce surface under the
+    * DuckDB hash compare instead of scalatest only.
+    */
+  def eventsReportParity(spark: SparkSession, dir: String): DataFrame =
+    EventsVerificationPipeline.runParity(catalogDf(spark, dir), specDf(spark), params)
+
+  // ---- q08: S2 CSV spec ingestion on the oracle path -------------------
+
+  /** Deterministic CSV round-trip location for the spec (inside the repo
+    * tree — `target/` is build output). The oracle SQL reads the same file
+    * via DuckDB `read_csv`.
+    */
+  val specCsvPath = "/root/repo/target/q08_spec_csv/spec.csv"
+
+  /** Writes the spec fixture as a real CSV file (header, unquoted values —
+    * the shape the reference's spec lives in, `event_verify.py:27-30`).
+    */
+  def writeSpecCsv(): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(specCsvPath)
+    Files.createDirectories(p.getParent)
+    val header = "channel,version,event_name,release_date,prop_1,prop_2,prop_3"
+    val rows = EventCatalogFixture.specRows.map { r =>
+      Seq(r.channel, r.version, r.eventName, r.releaseDate,
+        r.p1.getOrElse(""), r.p2.getOrElse(""), r.p3.getOrElse("")).mkString(",")
+    }
+    Files.write(p, (header +: rows).mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** q06 with the spec ingested through S2 (`Tables.csv`: header +
+    * inferSchema, `event_verify.py:27-30`) instead of `createDataFrame`.
+    * Exercises the stringly-version hazard (SURVEY §2.11(8)): inferSchema
+    * types `version` DOUBLE, and the engine's driver-side `toString` must
+    * still match the catalog's JSON version strings. Empty CSV cells
+    * arrive as nulls, matching the None slots of the typed fixture.
+    */
+  def eventsReportCsvSpec(spark: SparkSession, dir: String): DataFrame = {
+    writeSpecCsv()
+    EventsVerificationPipeline.run(
+      catalogDf(spark, dir), Tables.csv(spark, specCsvPath), params)
+  }
+
+  /** q06's oracle with the spec CTE swapped for `read_csv` of the same
+    * file Spark ingested; `version` is cast back to string the same way
+    * the engine stringifies it (DuckDB `CAST(2.1 AS STRING)` = `'2.1'` =
+    * Scala `2.1.toString`).
+    */
+  private val q08Oracle: String = q06Oracle.replace(
+    s"spec(channel, version, event_name, release_date, prop_1, prop_2, prop_3) AS ($specValuesSql)",
+    "spec AS (SELECT channel, CAST(version AS STRING) AS version, event_name, " +
+      s"CAST(release_date AS STRING) AS release_date, prop_1, prop_2, prop_3 " +
+      s"FROM read_csv('$specCsvPath', header = true))")
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,7 +349,9 @@ object PipelineQueries {
     "q03_completeness" -> ((s, dir) => completenessMetrics(s, dir)),
     "q04_all_keys" -> ((s, dir) => allKeysQuery(s, dir)),
     "q05_merged_key_counts" -> ((s, dir) => mergedKeyCounts(s, dir)),
-    "q06_events_report" -> ((s, dir) => eventsReport(s, dir))
+    "q06_events_report" -> ((s, dir) => eventsReport(s, dir)),
+    "q07_events_report_parity" -> ((s, dir) => eventsReportParity(s, dir)),
+    "q08_events_report_csv_spec" -> ((s, dir) => eventsReportCsvSpec(s, dir))
   )
 
   def oracles: Map[String, String] = Map(
@@ -299,6 +359,8 @@ object PipelineQueries {
     "q03_completeness" -> q03Oracle,
     "q04_all_keys" -> q04Oracle,
     "q05_merged_key_counts" -> q05Oracle,
-    "q06_events_report" -> q06Oracle
+    "q06_events_report" -> q06Oracle,
+    "q07_events_report_parity" -> q06Oracle,
+    "q08_events_report_csv_spec" -> q08Oracle
   )
 }

@@ -154,17 +154,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash (Charikar) over token xxhash64s, `bits` wide: per bit, sum +1
-    * for set / -1 for unset across tokens; the sign vector packs into a
-    * long. Cheap near-dup sketch; pairs within small Hamming distance are
-    * candidates. xxhash64 is Spark-native codegen — this operator has no
-    * DuckDB twin, so it is covered by property tests rather than an oracle.
+  /** Per-token bit hash for [[simhash]]: bit `j` of xxhash64(token).
+    * Spark-native codegen, the default — but xxhash64 has no DuckDB
+    * equivalent, so sketches built with it are property-tested only.
     */
-  def simhash(text: Column, bits: Int = 16): Column = {
+  def xxhashBit(t: Column, j: Int): Column =
+    shiftright(xxhash64(t), j).bitwiseAND(1) === 1
+
+  /** Cross-engine bit hash: the parity of hex digit `j` of md5(token)
+    * (a hex digit's low bit is 1 iff it is in [13579bdf]). md5 exists in
+    * DuckDB with identical lowercase-hex output, so sketches built with
+    * this variant have an exact SQL oracle. Supports bits <= 32 (one hex
+    * digit per bit position).
+    */
+  def md5Bit(t: Column, j: Int): Column =
+    substring(md5(t), j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** SimHash (Charikar) over per-token bit hashes, `bits` wide: per bit,
+    * sum +1 for set / -1 for unset across tokens; the sign vector packs
+    * into a long. Cheap near-dup sketch; pairs within small Hamming
+    * distance are candidates. The bit hash is pluggable: [[xxhashBit]]
+    * (default, fastest) or [[md5Bit]] (DuckDB-oracle-expressible).
+    */
+  def simhash(
+      text: Column, bits: Int = 16,
+      bit: (Column, Int) => Column = xxhashBit): Column = {
     val toks = TextStats.tokens(text)
     val bitSums = (0 until bits).map { j =>
       aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        (acc, t) => acc + when(bit(t, j), 1L).otherwise(-1L))
     }
     bitSums.zipWithIndex
       .map { case (s, j) => when(s > 0, lit(1L << j)).otherwise(0L) }
