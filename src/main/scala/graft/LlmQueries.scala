@@ -226,6 +226,37 @@ object LlmQueries {
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 
+  def annIvfNprobe2(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, col("id") % 100 === 0, k = 5, nprobe = 2)
+
+  /** Same as [[q16Oracle]] except queries probe their TWO nearest centroid
+    * buckets (`r <= 2` in `probed`); each candidate still lives in exactly
+    * one bucket so the join yields no duplicate (query, candidate) pairs.
+    */
+  private val q16bOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE id % 100 = 0),
+      |assigned AS (
+      |  SELECT id, emb, nrm, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c) WHERE r = 1),
+      |probed AS (
+      |  SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c WHERE n.id % 50 = 0) WHERE r <= 2),
+      |pairs AS (
+      |  SELECT q.query_id, a.id AS neighbor_id,
+      |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
+      |  FROM assigned a JOIN probed q ON a.bucket = q.bucket AND a.id <> q.query_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
   def embedNearest(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearestInBlock(embeddings(spark, dir), "vec_id", "embedding", col("label"))
 
@@ -330,6 +361,7 @@ object LlmQueries {
     "q14_simhash" -> ((s, d) => simhashSketch(s, d)),
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
@@ -344,6 +376,7 @@ object LlmQueries {
     "q14_simhash" -> q14Oracle,
     "q15_ann_topk" -> q15Oracle,
     "q16_ann_ivf" -> q16Oracle,
+    "q16b_ann_ivf_nprobe2" -> q16bOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,

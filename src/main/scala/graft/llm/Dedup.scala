@@ -68,9 +68,31 @@ object Dedup {
   /** Candidate pairs from the banded frame: self-join on (band_id,
     * band_hash) — a bucketed equi-join, shuffle on the band hash — then
     * distinct. `id_a < id_b` halves the pairs and kills self-matches.
+    *
+    * `maxBucketSize` bounds each band bucket before the self-join: a flood
+    * of near-identical documents (the 100 TB failure mode — boilerplate,
+    * scraped mirrors) lands in one (band_id, band_hash) bucket and the
+    * O(bucket²) self-join explodes. Buckets above the cap are truncated to
+    * their `maxBucketSize` smallest ids — deterministic (retry-safe, oracle-
+    * reproducible) representative sampling; members of a truncated bucket
+    * still pair with the kept representatives, so a mega-cluster yields
+    * O(cap · bucket) pairs instead of O(bucket²), and recall loss is
+    * confined to pairs BOTH outside the cap that share no other band.
+    * The cap must exceed any legitimate bucket at the configured banding
+    * (default 10000 vs. tens at sf0.1) so real data is never truncated —
+    * which keeps the capped plan output-identical to the uncapped oracle.
     */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
+  def candidatePairs(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash").orderBy("id")
+    val kept = bands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize)
+      .drop("__rn")
+    // Cap the LEFT (smaller-id) side: with `id_a < id_b`, a pair is kept iff
+    // its SMALLER id is among the bucket's representatives, so every
+    // truncated member (id above the cap) still pairs with all cap
+    // representatives below it — the bucket stays one connected component.
+    val a = kept.as("a")
     val b = bands.as("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
@@ -97,11 +119,13 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
     val shingled = shingleFrame(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(
-      bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand))
+      bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand),
+      maxBucketSize)
     val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     cands

@@ -81,16 +81,36 @@ object Similarity {
       .select(col("id"), col("emb"), col("c_id").as("bucket"))
   }
 
-  /** IVF top-k: search only the query's own bucket (nprobe=1). Recall < 1
-    * by design; the property test asserts recall against [[bruteForceTopK]].
+  /** The `nprobe` nearest centroid buckets per query vector (same scoring
+    * and tie-break as [[ivfAssign]], so nprobe=1 probes exactly the query's
+    * own bucket). Output: (query_id, q_emb, bucket) — one row per probed
+    * bucket.
+    */
+  def probeBuckets(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val c = centroids.select(col("id").as("c_id"), col("emb").as("c_emb"))
+    val scored = queries.join(broadcast(c))
+      .withColumn("c_score", round(fusedCosine(col("emb"), col("c_emb")), 6))
+    val w = Window.partitionBy("id").orderBy(desc("c_score"), col("c_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"), col("c_id").as("bucket"))
+  }
+
+  /** IVF top-k: search the query's `nprobe` nearest centroid buckets
+    * (default 1 = only its own). Recall < 1 by design and is monotone
+    * non-decreasing in `nprobe` (probing more buckets only adds candidates);
+    * the property test asserts both against [[bruteForceTopK]].
+    *
+    * Each candidate lives in exactly one bucket, so a (query, candidate)
+    * pair can only arise from one probed bucket — no dedup step is needed
+    * after the bucket join.
     */
   def ivfTopK(
       vectorsDf: DataFrame, idCol: String, embCol: String,
-      queryFilter: Column, centroidFilter: Column, k: Int): DataFrame = {
+      queryFilter: Column, centroidFilter: Column, k: Int,
+      nprobe: Int = 1): DataFrame = {
     val n = vectors(vectorsDf, idCol, embCol)
     val assigned = ivfAssign(n, n.filter(centroidFilter))
-    val q = assigned.filter(queryFilter)
-      .select(col("id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val q = probeBuckets(n.filter(queryFilter), n.filter(centroidFilter), nprobe)
     val pairs = assigned.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
@@ -101,21 +121,39 @@ object Similarity {
   /** Embedding-cosine near-dup: top-1 neighbor per vector within a blocking
     * column (e.g. a label or coarse cluster) — a bucketed join, not a global
     * crossJoin.
+    *
+    * Join strategy is picked by a size threshold on the candidate side:
+    *
+    *  - `count <= broadcastThreshold`: broadcast the candidate side. A plain
+    *    shuffle on the block key would hash everything into
+    *    #distinct-blocks partitions (3 labels -> 3 active cores);
+    *    broadcasting keeps the probe side's full parallelism.
+    *  - otherwise: [[graft.operators.Skew.saltedJoin]] — the probe side gets
+    *    a deterministic salt in [0, salts), candidates are replicated once
+    *    per salt, and the shuffle key becomes (block, salt), spreading each
+    *    block over `salts` partitions. Candidates are replicated ×salts
+    *    through the shuffle instead of ×executors through a broadcast, so
+    *    blocks that outgrow executor memory still work.
+    *
+    * Both paths produce identical pairs (every probe row still meets every
+    * candidate in its block), so the output is strategy-independent; a spec
+    * pins this on the embeddings fixture. The threshold count is one extra
+    * cheap job over the already-projected candidate frame.
     */
   def nearestInBlock(
-      vectorsDf: DataFrame, idCol: String, embCol: String, blockCol: Column): DataFrame = {
+      vectorsDf: DataFrame, idCol: String, embCol: String, blockCol: Column,
+      broadcastThreshold: Long = 4000000L, salts: Int = 32): DataFrame = {
     val n = vectorsDf
       .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"), blockCol.as("block"))
     val b = n.select(col("block"), col("id").as("neighbor_id"), col("emb").as("n_emb"))
-    // Broadcast the candidate side: a shuffle on the block key would hash
-    // everything into #distinct-blocks partitions (3 labels -> 3 active
-    // cores); broadcasting keeps the probe side's full parallelism. At
-    // scale, salt the block key instead if candidates outgrow a broadcast.
-    val pairs = n.join(broadcast(b), Seq("block"))
+    val pairs =
+      if (b.count() <= broadcastThreshold) n.join(broadcast(b), Seq("block"))
+      else graft.operators.Skew.saltedJoin(n, b, Seq("block"), col("id"), salts)
+    val scored = pairs
       .filter(col("id") =!= col("neighbor_id"))
       .withColumn("score", round(fusedCosine(col("emb"), col("n_emb")), 6))
     val w = Window.partitionBy("id").orderBy(desc("score"), col("neighbor_id"))
-    pairs.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("id").as("vec_id"), col("neighbor_id"), col("score"))
   }
 }

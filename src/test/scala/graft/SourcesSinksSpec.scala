@@ -33,6 +33,27 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(fromMem.exceptAll(fromCsv).count() == 0)
   }
 
+  test("S4: report CSV bytes match the checked-in golden file") {
+    val golden = new java.io.File("src/test/resources/golden/events_report_sf0.001.csv")
+    val report = PipelineQueries.eventsReport(spark, dir)
+    val sorted = report.orderBy(graft.operators.Report.outputColumns.map(
+      org.apache.spark.sql.functions.col): _*)
+    val tmp = Files.createTempDirectory("graft-golden").toFile
+    val outPath = s"${tmp.getAbsolutePath}/report"
+    Sinks.csvReport(sorted, outPath, files = 1)
+    val part = new java.io.File(outPath).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val produced = Files.readAllBytes(part.toPath)
+    if (sys.env.contains("GRAFT_REGOLD")) {
+      golden.getParentFile.mkdirs()
+      Files.write(golden.toPath, produced)
+      fail("golden regenerated — rerun without GRAFT_REGOLD and check the file in")
+    }
+    assert(golden.exists(), "golden file missing: rerun with GRAFT_REGOLD=1 and check it in")
+    assert(java.util.Arrays.equals(produced, Files.readAllBytes(golden.toPath)),
+      "report CSV bytes drifted from the golden file")
+  }
+
   test("S4: single-file CSV report round-trips the 13-column output") {
     val tmp = Files.createTempDirectory("graft-report").toFile
     val outPath = s"${tmp.getAbsolutePath}/report"

@@ -42,6 +42,28 @@ class DedupSpec extends SparkTestBase {
     assert(exact._3 == 1.0)
   }
 
+  test("candidatePairs: hot-bucket cap bounds a mega-cluster to O(cap * n) pairs") {
+    // 500 identical docs -> every band puts all 500 in one bucket; uncapped
+    // self-join would emit n(n-1)/2 = 124750 pairs.
+    val n = 500
+    val cap = 20
+    val flood = (1 to n).map(i => (i.toLong, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.bandFrame(
+      Dedup.withSignature(Dedup.shingleFrame(flood, "doc_id", "text", 3), 8), 8, 2)
+    val capped = Dedup.candidatePairs(bands, maxBucketSize = cap)
+    val pairs = capped.as[(Long, Long)].collect()
+    // bounded: each pair's smaller id must be a kept representative
+    assert(pairs.forall(_._1 <= cap), "pair with non-representative smaller id escaped the cap")
+    assert(pairs.length.toLong <= cap.toLong * n, s"pair count ${pairs.length} not O(cap*n)")
+    // connectivity preserved: every doc still pairs with representative id 1
+    val partnered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(partnered == (1L to n).toSet, "a truncated member lost all its pairs")
+    // and with a cap above the bucket size, output equals the uncapped join
+    val uncapped = Dedup.candidatePairs(bands).count()
+    assert(uncapped == n.toLong * (n - 1) / 2)
+  }
+
   test("jaccard bounds and symmetry") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j1 = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

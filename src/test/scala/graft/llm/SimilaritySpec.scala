@@ -46,6 +46,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall <= 1.0)
   }
 
+  test("ivfTopK: nprobe=2 recall is >= nprobe=1 recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    def recall(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("id") % 50 === 0, col("id") % 100 === 0, 5, nprobe)
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"probing more buckets lost recall: nprobe=1 $r1 vs nprobe=2 $r2")
+  }
+
+  test("nearestInBlock: salted shuffle path is output-identical to broadcast path") {
+    val emb = Tables.embeddings(spark, dir)
+    val viaBroadcast = Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // threshold 0 forces the Skew.saltedJoin path
+    val viaSalted = Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"),
+      broadcastThreshold = 0L, salts = 7)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(viaSalted.toSeq == viaBroadcast.toSeq)
+  }
+
   test("nearestInBlock: one neighbor per vector, neighbor shares the block") {
     val emb = Tables.embeddings(spark, dir)
     val nn = Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))
