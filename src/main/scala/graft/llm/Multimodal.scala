@@ -12,6 +12,9 @@ case class MediaRecord(id: Long, kind: String, media: Array[Byte], declaredBytes
 /** Features extracted per record by the batched decode path. */
 case class MediaFeatures(id: Long, kind: String, nBytes: Long, meanByte: Double, headHex: String)
 
+/** One sampled frame of a media payload: 1-row-in → N-rows-out shape. */
+case class MediaFrame(id: Long, kind: String, frameIdx: Int, frame: Array[Byte])
+
 /** Multimodal-column plumbing: binary payloads with typed metadata, and a
   * batched per-partition feature-extraction path — the Scala/Tungsten
   * analogue of a `mapInPandas` batch UDF (iterator-of-batches over
@@ -64,6 +67,56 @@ object Multimodal {
         }
       }
     }(Encoders.product[MediaFeatures])
+
+  /** STUB resize — deterministic byte decimation standing in for a real
+    * image rescale: keep every `factor`-th byte, preserving the head. A real
+    * implementation decodes, rescales pixels, re-encodes; the row shape
+    * (1 → 1, payload shrinks, metadata updated) is what Spark sees either
+    * way.
+    */
+  private[llm] def resizeStub(media: Array[Byte], factor: Int): Array[Byte] =
+    media.grouped(factor).map(_.head).toArray
+
+  /** Batched media resize: same mapPartitions batch shape as
+    * [[extractFeatures]] (per-batch decoder/scaler setup amortizes).
+    * `declaredBytes` is updated to the resized length so downstream
+    * metadata stays truthful.
+    */
+  def resize(ds: Dataset[MediaRecord], factor: Int, batchSize: Int = 64): Dataset[MediaRecord] = {
+    require(factor > 0, "factor must be positive")
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch scaler setup would live here
+        batch.iterator.map { r =>
+          val resized = resizeStub(r.media, factor)
+          MediaRecord(r.id, r.kind, resized, resized.length.toLong)
+        }
+      }
+    }(Encoders.product[MediaRecord])
+  }
+
+  /** STUB frame extraction — fixed-size byte windows standing in for video
+    * frame decode: the payload splits into `frameBytes` chunks ("frames"),
+    * of which every `stride`-th is kept. The 1-row-in → N-rows-out flatMap
+    * shape, encoder, and batch amortization are the real contract a codec
+    * implementation would inherit.
+    */
+  def sampleFrames(
+      ds: Dataset[MediaRecord], frameBytes: Int, stride: Int,
+      batchSize: Int = 64): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch demuxer setup would live here
+        batch.iterator.flatMap { r =>
+          r.media.grouped(frameBytes).zipWithIndex
+            .collect { case (frame, i) if i % stride == 0 =>
+              MediaFrame(r.id, r.kind, i, frame)
+            }
+        }
+      }
+    }(Encoders.product[MediaFrame])
+  }
 
   /** Declarative (oracle-able) feature projection over the same binary
     * column: pure built-in expressions, no stub — the path to prefer when

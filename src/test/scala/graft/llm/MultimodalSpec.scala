@@ -25,6 +25,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.forall(f => f.headHex.length == 16))
   }
 
+  test("resize: shrinks payloads by the factor, updates metadata, batch-size independent") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
+    val before = media.collect().map(r => r.id -> r.media.length).toMap
+    val r1 = Multimodal.resize(media, factor = 4, batchSize = 1).collect().sortBy(_.id)
+    val r64 = Multimodal.resize(media, factor = 4, batchSize = 64).collect().sortBy(_.id)
+    assert(r1.map(r => (r.id, r.media.toSeq, r.declaredBytes)).toSeq ==
+      r64.map(r => (r.id, r.media.toSeq, r.declaredBytes)).toSeq)
+    assert(r1.forall(r => r.media.length == (before(r.id) + 3) / 4),
+      "every 4th byte kept (ceil division)")
+    assert(r1.forall(r => r.declaredBytes == r.media.length.toLong),
+      "metadata must track the resized payload")
+  }
+
+  test("sampleFrames: 1-row-in N-rows-out, stride respected, frames reassemble the sampled bytes") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2).collect()
+    val byId = frames.groupBy(_.id)
+    val originals = media.collect().map(r => r.id -> r.media).toMap
+    byId.foreach { case (id, fs) =>
+      val nChunks = (originals(id).length + 15) / 16
+      assert(fs.map(_.frameIdx).sorted.toSeq == (0 until nChunks by 2).toSeq,
+        s"doc $id: kept frame indices must be every 2nd chunk")
+      fs.foreach { f =>
+        val expected = originals(f.id).slice(f.frameIdx * 16, f.frameIdx * 16 + 16)
+        assert(f.frame.toSeq == expected.toSeq, s"frame ${f.frameIdx} of doc $id drifted")
+      }
+    }
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()
