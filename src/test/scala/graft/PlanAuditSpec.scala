@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape audit: pins the properties the 100 TB design depends
+  * on — explicit broadcasts on small join sides, partial (map-side)
+  * aggregation before shuffles, column pruning down to the parquet scan,
+  * and the absence of cartesian/nested-loop joins — so a refactor that
+  * silently degrades a plan fails here, not in a cluster.
+  *
+  * Assertions read the pre-execution physical plan (AQE may re-plan at
+  * runtime, but only to something at least as good: the audited properties
+  * are plan-level invariants, not runtime choices).
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 key presence: totals join is broadcast, counts aggregate partially before the shuffle") {
+    val p = plan(CoreQueries.keyPresence(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"totals side must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"key counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("q10 text stats: parquet scan is pruned to the referenced columns") {
+    val p = plan(LlmQueries.textStats(spark, dir))
+    val scanLine = p.linesIterator.find(l => l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scanLine.isDefined, s"no parquet scan found:\n$p")
+    assert(scanLine.get.contains("doc_id") && scanLine.get.contains("text"),
+      s"scan must read the referenced columns:\n${scanLine.get}")
+    assert(!scanLine.get.contains("n_chars"),
+      s"scan must NOT read unreferenced columns:\n${scanLine.get}")
+  }
+
+  test("no cartesian or nested-loop join in any registered query plan") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin") || name.startsWith("q15") ||
+        name.startsWith("q16"),
+        s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("q17 nearest-in-block: broadcast below the threshold, shuffle join with salt above it") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val viaBroadcast = graft.llm.Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))
+    assert(plan(viaBroadcast).contains("BroadcastHashJoin"),
+      "small candidate side must broadcast")
+    val viaSalted = graft.llm.Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"),
+      broadcastThreshold = 0L, salts = 7)
+    val p = plan(viaSalted)
+    assert(p.contains("__salt"), s"salted path must join on the salt key:\n$p")
+  }
+}
