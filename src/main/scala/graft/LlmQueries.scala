@@ -302,6 +302,20 @@ object LlmQueries {
        |SELECT user_id, min(tus) AS first_us, max(tus) AS last_us, count(*) AS n_events
        |FROM s GROUP BY user_id, sid""".stripMargin
 
+  // ---- q21: tumbling-window counts (batch form of the streaming agg) ---
+
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.WindowedCounts.countsBatch(Tables.events(spark, dir), "1 hour")
+
+  /** Epoch-aligned hour buckets in µs: Spark's `window(ts, "1 hour")` start
+    * is exactly `floor(ts_us / 3600e6) * 3600e6`.
+    */
+  private val q21Oracle: String =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events)
+      |SELECT (tus // 3600000000) * 3600000000 AS bucket_us, event_type,
+      |  count(*) AS n_events
+      |FROM e GROUP BY 1, 2""".stripMargin
+
   // ---- q20: composite training-data prep -------------------------------
 
   /** The realistic data-prep composition: quality-score filter + language
@@ -365,7 +379,8 @@ object LlmQueries {
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
-    "q20_training_prep" -> ((s, d) => trainingPrep(s, d))
+    "q20_training_prep" -> ((s, d) => trainingPrep(s, d)),
+    "q21_windowed_counts" -> ((s, d) => windowedCounts(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -380,6 +395,7 @@ object LlmQueries {
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,
-    "q20_training_prep" -> q20Oracle
+    "q20_training_prep" -> q20Oracle,
+    "q21_windowed_counts" -> q21Oracle
   )
 }

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tumbling-window event counts over the `events` table — the canonical
+  * watermark + windowed-aggregation shape (readStream → window groupBy →
+  * append sink), batch and streaming forms sharing one aggregation.
+  *
+  * `events.ts` is long ns (see [[Sessionize]]); windows are emitted as
+  * µs-since-epoch bucket starts so results are engine-comparable without
+  * timestamp-rendering differences. Spark aligns tumbling windows to the
+  * epoch, so `bucket_us = floor(ts_us / window_us) * window_us` exactly —
+  * which is also the DuckDB oracle's arithmetic.
+  *
+  * Scale: one shuffle on (bucket, event_type) with map-side partial
+  * counts; streaming state is one row per open (bucket, event_type),
+  * evicted once the watermark passes the window end.
+  */
+object WindowedCounts {
+
+  /** Batch form: per (hour-bucket, event_type) event counts. */
+  def countsBatch(events: DataFrame, duration: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts_micro"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"),
+        col("n_events"))
+
+  /** Streaming form: same aggregation behind a watermark. Late rows beyond
+    * the watermark drop; finalized windows emit once in append mode.
+    */
+  def countsStream(
+      events: DataFrame,
+      duration: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_micro", watermark)
+      .groupBy(window(col("ts_micro"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"),
+        col("n_events"))
+}

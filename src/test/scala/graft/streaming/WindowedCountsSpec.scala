@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class WindowedCountsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val T0 = 1700000000000000000L // ns; NOT hour-aligned
+  private val HourNs = 3600L * 1000000000L
+  private val HourUs = 3600L * 1000000L
+
+  private def bucketOf(tsNs: Long): Long = (tsNs / 1000) / HourUs * HourUs
+
+  test("batch: epoch-aligned hour buckets, one row per (bucket, type)") {
+    val events = Seq(
+      (T0, "view"),
+      (T0 + 1000000L, "view"), // same hour, same type
+      (T0, "click"),
+      (T0 + HourNs, "view") // next hour
+    ).toDF("ts", "event_type")
+    val out = WindowedCounts.countsBatch(events, "1 hour")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (bucketOf(T0), "view", 2L),
+      (bucketOf(T0), "click", 1L),
+      (bucketOf(T0 + HourNs), "view", 1L)))
+    assert(bucketOf(T0) % HourUs == 0, "buckets must align to the epoch")
+  }
+
+  test("streaming: window emits once the watermark passes its end; late row drops") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val events = ms.toDS().toDF("ts", "event_type")
+    val query = WindowedCounts.countsStream(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wc_sink").outputMode("append")
+      .start()
+    try {
+      ms.addData((T0, "view"), (T0 + 1000000L, "view"))
+      query.processAllAvailable()
+      // advance the watermark far past T0's window end...
+      ms.addData((T0 + 48 * HourNs, "view"))
+      query.processAllAvailable()
+      // ...then a row landing back in T0's finalized window must drop
+      ms.addData((T0 + 2000000L, "view"))
+      query.processAllAvailable()
+      val emitted = spark.table("wc_sink")
+        .as[(Long, String, Long)].collect().toSet
+      assert(emitted == Set((bucketOf(T0), "view", 2L)),
+        "finalized window must emit once with only the pre-watermark rows")
+    } finally query.stop()
+  }
+
+  test("batch on real events table: bucket counts reassemble the per-type totals") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val windowed = WindowedCounts.countsBatch(events, "1 hour")
+      .groupBy("event_type").agg(sum("n_events").as("n"))
+    val source = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(windowed.join(source, "event_type")
+      .filter(windowed("n") =!= source("n")).count() == 0,
+      "every event lands in exactly one window")
+  }
+}
