@@ -162,6 +162,15 @@ object EventsVerificationPipeline {
     val spark = catalog.sparkSession
     val channels = spec.select("channel").distinct().collect().map(_.get(0).toString).sorted
 
+    // The reference repartitions and caches the catalog ONCE, before its
+    // channel loop (event_verify.py:23-24); every per-channel action below
+    // reads the cache instead of re-deriving the source. extracted_version
+    // is channel-independent, so it rides in the cache too.
+    val base = catalog
+      .withColumn("extracted_version", get_json_object(col("context"), params.versionPath))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idSpellings = (params.orgIdentifiers ++ params.projectIdentifiers).distinct
+
     val perChannel = channels.map { ch =>
       val ranked = spec
         .filter(col("channel") === ch)
@@ -170,16 +179,18 @@ object EventsVerificationPipeline {
       val version = ranked.filter(col("rank") === 1).select("version").first().get(0).toString
       val specCur = ranked.filter(col("rank") === 1).drop("rank", "release_date")
 
-      val cat = catalog
-        .withColumn("extracted_version", get_json_object(col("context"), params.versionPath))
+      val cat = base
         .filter(col("client_name") === ch && col("extracted_version") === version)
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val allK = JsonKeys.allKeys(cat, JsonKeys.catalogKeyExtractors())
-      val orgFlag = KeyPresence.anyKeyPresent(
-        payloadCols, KeyPresence.matchingKeys(allK, params.orgIdentifiers))
-      val projFlag = KeyPresence.anyKeyPresent(
-        payloadCols, KeyPresence.matchingKeys(allK, params.projectIdentifiers))
+      // One bounded collect per channel (the reference runs two, over the
+      // UNRESTRICTED key space — same observable result, since only keys
+      // matching the identifier spellings survive either way).
+      val obsIds = JsonKeys.allKeysBy(cat, JsonKeys.catalogKeyExtractors(),
+          Seq.empty, restrictTo = Some(idSpellings))
+        .collect().map(_.getString(0)).toSeq
+      def matching(ids: Seq[String]): Seq[String] = obsIds.filter(ids.contains).sorted
+      val orgFlag = KeyPresence.anyKeyPresent(payloadCols, matching(params.orgIdentifiers))
+      val projFlag = KeyPresence.anyKeyPresent(payloadCols, matching(params.projectIdentifiers))
       val merged = JsonKeys.mergedKeys(
         orgFlag, projFlag,
         array_distinct(JsonKeys.keysOf(col("properties"))),

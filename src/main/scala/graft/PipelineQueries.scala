@@ -297,11 +297,13 @@ object PipelineQueries {
 
   // ---- q08: S2 CSV spec ingestion on the oracle path -------------------
 
-  /** Deterministic CSV round-trip location for the spec (inside the repo
-    * tree — `target/` is build output). The oracle SQL reads the same file
-    * via DuckDB `read_csv`.
+  /** Deterministic CSV round-trip location for the spec, derived from the
+    * working directory (`target/` is build output) so any checkout location
+    * works. The oracle SQL reads the same file via DuckDB `read_csv` — both
+    * the Spark run and the DuckDB run happen from the same directory.
     */
-  val specCsvPath = "/root/repo/target/q08_spec_csv/spec.csv"
+  val specCsvPath: String = java.nio.file.Paths.get(
+    sys.props("user.dir"), "target", "q08_spec_csv", "spec.csv").toString
 
   /** Writes the spec fixture as a real CSV file (header, unquoted values —
     * the shape the reference's spec lives in, `event_verify.py:27-30`).
@@ -336,11 +338,19 @@ object PipelineQueries {
     * the engine stringifies it (DuckDB `CAST(2.1 AS STRING)` = `'2.1'` =
     * Scala `2.1.toString`).
     */
-  private val q08Oracle: String = q06Oracle.replace(
-    s"spec(channel, version, event_name, release_date, prop_1, prop_2, prop_3) AS ($specValuesSql)",
-    "spec AS (SELECT channel, CAST(version AS STRING) AS version, event_name, " +
-      s"CAST(release_date AS STRING) AS release_date, prop_1, prop_2, prop_3 " +
-      s"FROM read_csv('$specCsvPath', header = true))")
+  private val q08Oracle: String = {
+    val swapped = q06Oracle.replace(
+      s"spec(channel, version, event_name, release_date, prop_1, prop_2, prop_3) AS ($specValuesSql)",
+      "spec AS (SELECT channel, CAST(version AS STRING) AS version, event_name, " +
+        s"CAST(release_date AS STRING) AS release_date, prop_1, prop_2, prop_3 " +
+        s"FROM read_csv('$specCsvPath', header = true))")
+    // Drift guard: if q06Oracle's spec CTE text ever changes shape, the
+    // replace above silently no-ops and q08 would vacuously validate the
+    // VALUES spec instead of the CSV path. Fail loudly instead.
+    require(swapped != q06Oracle,
+      "q08Oracle: spec CTE substring not found in q06Oracle — CSV swap did not apply")
+    swapped
+  }
 
   // ---- registry --------------------------------------------------------
 
