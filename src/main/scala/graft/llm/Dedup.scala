@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact
@@ -81,12 +81,27 @@ object Dedup {
     * The cap must exceed any legitimate bucket at the configured banding
     * (default 10000 vs. tens at sf0.1) so real data is never truncated —
     * which keeps the capped plan output-identical to the uncapped oracle.
+    *
+    * Truncation is NOT silent: pass `capObservation` and, after the first
+    * action on the returned frame, `observation.get` reports
+    * `truncated_buckets` (band buckets the cap bit) and
+    * `dropped_band_rows` (rows removed from the left side) — plan-attached
+    * metrics (`Dataset.observe`), computed in the same pass as the join,
+    * zero extra jobs. At 100 TB this is how an operator sees recall loss
+    * the moment a boilerplate flood actually trips the cap.
     */
-  def candidatePairs(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame = {
+  def candidatePairs(
+      bands: DataFrame, maxBucketSize: Int = 10000,
+      capObservation: Option[Observation] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band_id", "band_hash").orderBy("id")
-    val kept = bands.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucketSize)
+    val rn = bands.withColumn("__rn", row_number().over(w))
+    val observed = capObservation.fold(rn)(o => rn.observe(o,
+      sum(when(col("__rn") === maxBucketSize + 1, 1L).otherwise(0L))
+        .as("truncated_buckets"),
+      sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L))
+        .as("dropped_band_rows")))
+    val kept = observed.filter(col("__rn") <= maxBucketSize)
       .drop("__rn")
     // Cap the LEFT (smaller-id) side: with `id_a < id_b`, a pair is kept iff
     // its SMALLER id is among the bucket's representatives, so every
@@ -120,12 +135,13 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      capObservation: Option[Observation] = None): DataFrame = {
     val shingled = shingleFrame(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(
       bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand),
-      maxBucketSize)
+      maxBucketSize, capObservation)
     val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     cands

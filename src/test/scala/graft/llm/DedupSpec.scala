@@ -64,6 +64,25 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped == n.toLong * (n - 1) / 2)
   }
 
+  test("candidatePairs: truncation is observable via plan-attached metrics") {
+    val n = 500
+    val cap = 20
+    val flood = (1 to n).map(i => (i.toLong, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.bandFrame(
+      Dedup.withSignature(Dedup.shingleFrame(flood, "doc_id", "text", 3), 8), 8, 2)
+    // cap bites: 4 bands x 1 mega-bucket each, (n - cap) rows dropped per band
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.candidatePairs(bands, maxBucketSize = cap, Some(obs)).count()
+    assert(obs.get("truncated_buckets") == 4L)
+    assert(obs.get("dropped_band_rows") == 4L * (n - cap))
+    // cap doesn't bite: both metrics zero, so a clean run is provably clean
+    val quiet = org.apache.spark.sql.Observation()
+    Dedup.candidatePairs(bands, maxBucketSize = n, Some(quiet)).count()
+    assert(quiet.get("truncated_buckets") == 0L)
+    assert(quiet.get("dropped_band_rows") == 0L)
+  }
+
   test("jaccard bounds and symmetry") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j1 = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
