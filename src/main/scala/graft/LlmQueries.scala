@@ -257,6 +257,40 @@ object LlmQueries {
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 
+  private val LshPlanes = 4
+  private val LshDims = 64
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5, nPlanes = LshPlanes, dims = LshDims)
+
+  /** DuckDB twin of the hyperplane-LSH ANN: the ±1 plane literals come from
+    * the SAME [[Similarity.hyperplanes]] constant the Spark plan uses, so
+    * bucket assignment (sign of the 6-decimal-rounded dot product) is
+    * engine-independent by construction; multi-probe = query's bucket plus
+    * each single-bit `xor` flip.
+    */
+  private val q16cOracle: String = {
+    val planes = Similarity.hyperplanes(LshPlanes, LshDims)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"CASE WHEN round(list_dot_product(emb, $arr), 6) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val probes = "bucket" +: (0 until LshPlanes).map(i => s"xor(bucket, ${1L << i})")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |assigned AS (SELECT id, emb, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM n),
+       |q AS (SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm,
+       |        unnest([${probes.mkString(", ")}]) AS bucket
+       |      FROM assigned WHERE id % 50 = 0),
+       |pairs AS (
+       |  SELECT q.query_id, a.id AS neighbor_id,
+       |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
+       |  FROM assigned a JOIN q ON a.bucket = q.bucket AND a.id <> q.query_id),
+       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+  }
+
   def embedNearest(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearestInBlock(embeddings(spark, dir), "vec_id", "embedding", col("label"))
 
@@ -376,6 +410,7 @@ object LlmQueries {
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
+    "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
@@ -392,6 +427,7 @@ object LlmQueries {
     "q15_ann_topk" -> q15Oracle,
     "q16_ann_ivf" -> q16Oracle,
     "q16b_ann_ivf_nprobe2" -> q16bOracle,
+    "q16c_ann_lsh" -> q16cOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,

@@ -129,6 +129,69 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  // ---- random-hyperplane LSH ANN ---------------------------------------
+
+  /** Deterministic ±1 random hyperplanes (Charikar sign-random-projection,
+    * public LSH literature): `nPlanes` vectors of `dims` components, fixed
+    * `seed` so the SAME literal planes can be embedded in an external SQL
+    * oracle and in every retry of a 100 TB job (bucket assignment must be
+    * reproducible across task attempts).
+    */
+  def hyperplanes(nPlanes: Int, dims: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** LSH bucket id: bit `i` is set iff `emb · plane_i > 0` (dot rounded to
+    * 6 decimals first — the repo-wide determinism rule, so the sign never
+    * hinges on sub-ulp fold-order differences between engines).
+    */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(round(dot(emb, array(p.map(lit): _*)), 6) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The buckets a query probes: its own, plus (multi-probe) each
+    * Hamming-distance-1 flip — the standard multi-probe LSH recall lever,
+    * `nPlanes + 1` buckets instead of exponentially more hash tables.
+    */
+  def lshProbes(bucket: Column, nPlanes: Int, multiProbe: Boolean): Column =
+    if (!multiProbe) array(bucket)
+    else array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1L << i))): _*)
+
+  /** LSH-bucketed ANN top-k: the second scale path next to [[ivfTopK]].
+    *
+    * Unlike IVF — whose assignment step joins every row against a broadcast
+    * centroid set — the LSH signature is computed ROW-LOCALLY (a narrow
+    * projection of `nPlanes` dot products against literal planes, fully
+    * inside whole-stage codegen), so at 100 TB candidate generation costs
+    * exactly one shuffle: the bucket-key join. Recall is tuned by `nPlanes`
+    * (fewer planes → bigger buckets → higher recall, more compute) and
+    * `multiProbe` (probe all Hamming-1 buckets).
+    *
+    * Each candidate lives in exactly one bucket and a query's probe set is
+    * distinct bucket ids, so no (query, candidate) pair can arise twice —
+    * no post-join dedup, same as [[ivfTopK]].
+    */
+  def lshTopK(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      queryFilter: Column, k: Int,
+      nPlanes: Int = 4, dims: Int = 64, multiProbe: Boolean = true,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dims, seed)
+    val assigned = vectors(vectorsDf, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val q = assigned.filter(queryFilter)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"),
+        explode(lshProbes(col("bucket"), nPlanes, multiProbe)).as("bucket"))
+    val pairs = assigned.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    rankTopK(pairs, k)
+  }
+
   /** Embedding-cosine near-dup: top-1 neighbor per vector within a blocking
     * column (e.g. a label or coarse cluster) — a bucketed join, not a global
     * crossJoin.

@@ -61,6 +61,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(r2 >= r1, s"probing more buckets lost recall: nprobe=1 $r1 vs nprobe=2 $r2")
   }
 
+  test("lshTopK: multi-probe recall >= single-probe recall, both nonzero") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    def recall(multiProbe: Boolean): Double = {
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+        col("id") % 50 === 0, 5, nPlanes = 4, dims = 64, multiProbe = multiProbe)
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+      (brute & lsh).size.toDouble / brute.size
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(single > 0.0, "single-probe LSH found nothing")
+    assert(multi >= single, s"multi-probe lost recall: $single vs $multi")
+  }
+
+  test("lshTopK: no self-pairs, no duplicate (query, neighbor) pairs") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.lshTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(t => t._1 != t._2))
+    val pairs = out.map(t => (t._1, t._2))
+    assert(pairs.distinct.length == pairs.length,
+      "a candidate reached one query through two probe buckets")
+  }
+
   test("nearestInBlock: salted shuffle path is output-identical to broadcast path") {
     val emb = Tables.embeddings(spark, dir)
     val viaBroadcast = Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))
