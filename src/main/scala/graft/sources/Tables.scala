@@ -67,3 +67,35 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 }
+
+/** Bucketed datasource tables — the S5 repartition strategy made DURABLE.
+  *
+  * `repartition(keys)` co-locates rows for the lifetime of one plan; a
+  * bucketed table persists that clustering in the table layout, so EVERY
+  * later join or aggregation on the bucket keys skips its exchange. At
+  * 100 TB this converts the fact-table shuffle (the single most expensive
+  * stage of a big join) into a metadata property: two tables bucketed the
+  * same way sort-merge-join with zero Exchange nodes, and a `groupBy` on
+  * the bucket keys aggregates in place. `sortBy` additionally pre-sorts
+  * within buckets so the merge phase needs no per-task sort.
+  *
+  * Uses Spark datasource bucketing (no Hive dependency); tables register in
+  * the session catalog with data at `path` (or the warehouse dir).
+  */
+object Bucketing {
+
+  def writeBucketed(
+      df: DataFrame, tableName: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Seq.empty,
+      path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    path.fold(ws)(p => ws.option("path", p)).saveAsTable(tableName)
+  }
+
+  def readBucketed(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+}
