@@ -87,6 +87,39 @@ object LlmQueries {
        |FROM h""".stripMargin
   }
 
+  // ---- q10b: winnowing fingerprints ------------------------------------
+
+  private val WinnowK = 3
+  private val WinnowW = 4
+
+  /** One (doc_id, fingerprint) row per kept window-min hash — the exploded
+    * form of [[TextStats.winnowFingerprints]] so the sketch itself is
+    * oracle-checked row by row.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(TextStats.winnowFingerprints(col("text"), WinnowK, WinnowW))
+          .as("fingerprint"))
+
+  private val q10bOracle: String = {
+    val k = WinnowK
+    val w = WinnowW
+    val grams = s"(CASE WHEN len(toks) = 0 THEN [] " +
+      s"WHEN len(toks) < $k THEN [array_to_string(toks, ' ')] " +
+      s"ELSE list_transform(range(1, len(toks) - ${k - 2}), " +
+      s"i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' ')) END)"
+    val fps = s"(CASE WHEN len(hashes) = 0 THEN [] " +
+      s"WHEN len(hashes) < $w THEN [list_min(hashes)] " +
+      s"ELSE list_distinct(list_transform(range(1, len(hashes) - ${w - 2}), " +
+      s"j -> list_min(list_slice(hashes, j, j + ${w - 1})))) END)"
+    s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |g AS (SELECT doc_id, $grams AS grams FROM t),
+       |h AS (SELECT doc_id, list_transform(grams, g -> md5(g)) AS hashes FROM g)
+       |SELECT doc_id, unnest($fps) AS fingerprint FROM h""".stripMargin
+  }
+
   // ---- q11: exact dedup ------------------------------------------------
 
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -403,6 +436,7 @@ object LlmQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_text_stats" -> ((s, d) => textStats(s, d)),
+    "q10b_winnow" -> ((s, d) => winnowFingerprints(s, d)),
     "q11_exact_dedup" -> ((s, d) => exactDedup(s, d)),
     "q12_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "q13_blocked_jaccard" -> ((s, d) => blockedJaccard(s, d)),
@@ -420,6 +454,7 @@ object LlmQueries {
 
   def oracles: Map[String, String] = Map(
     "q10_text_stats" -> q10Oracle,
+    "q10b_winnow" -> q10bOracle,
     "q11_exact_dedup" -> q11Oracle,
     "q12_minhash_pairs" -> q12Oracle,
     "q13_blocked_jaccard" -> q13Oracle,

@@ -123,4 +123,33 @@ object TextStats {
     */
   def minShingleHash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Winnowing fingerprints (the Schleimer–Wilkerson–Aiken / MOSS local
+    * document-fingerprinting algorithm, public): hash every POSITIONAL
+    * k-gram (order preserved, duplicates kept — unlike [[shingles]]), then
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-grams, dedup'd. Guarantee: two documents sharing any token run of
+    * length >= w + k - 1 share at least one fingerprint, while the
+    * fingerprint set is ~|grams|/w — a bounded sketch that catches local
+    * overlap exact-dedup and whole-doc MinHash both miss.
+    *
+    * Edges: no tokens → empty set; fewer than k tokens → the whole token
+    * string is the one gram; fewer than w grams → one fingerprint, the
+    * global min. One narrow projection per row — no shuffle, no UDF.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val grams =
+      when(size(toks) === 0, emptyStringArray)
+        .when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+    val hashes = transform(grams, g => md5(g))
+    when(size(hashes) === 0, emptyStringArray)
+      .when(size(hashes) < w, array(array_min(hashes)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hashes) - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w))))))
+  }
 }

@@ -76,4 +76,43 @@ class TextStatsPropertySpec extends SparkTestBase {
       .as[(String, Seq[String])].collect()
     rows.foreach { case (mh, all) => assert(all.min == mh) }
   }
+
+  test("winnowing: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
+    val k = 3
+    val w = 4
+    // pairs of texts built around a common (w + k - 1)-token run with
+    // generated distinct prefixes/suffixes
+    val run = "alpha beta gamma delta epsilon zeta"  // w + k - 1 = 6 tokens
+    val pads = samples(textGen, 20)
+    val df = pads.zipWithIndex.map { case (p, i) =>
+      (i.toLong * 2, s"$p $run", i.toLong * 2 + 1, s"$run ${pads(pads.length - 1 - i)}")
+    }.toDF("id_a", "text_a", "id_b", "text_b")
+    val rows = df.select(
+      TextStats.winnowFingerprints(col("text_a"), k, w).as("fa"),
+      TextStats.winnowFingerprints(col("text_b"), k, w).as("fb"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (fa, fb) =>
+      assert(fa.toSet.intersect(fb.toSet).nonEmpty,
+        "winnowing guarantee violated: shared 6-token run, disjoint fingerprints")
+    }
+  }
+
+  test("winnowing edges: empty -> no fingerprints; short docs -> one global min") {
+    val df = Seq(
+      (1L, ""), (2L, "   "),
+      (3L, "one two"),               // < k tokens: one gram, one fingerprint
+      (4L, "one two three four")     // 2 grams < w: one fingerprint (global min)
+    ).toDF("id", "text")
+    val rows = df.select(col("id"),
+      TextStats.winnowFingerprints(col("text"), 3, 4).as("f"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty)
+    assert(rows(3L).length == 1 && rows(4L).length == 1)
+    // sketch is bounded: ~|grams|/w distinct mins, never more than |grams|
+    val long = Seq((1L, Seq.fill(50)("tok").zipWithIndex.map(t => t._1 + t._2).mkString(" ")))
+      .toDF("id", "text")
+    val n = long.select(size(TextStats.winnowFingerprints(col("text"), 3, 4)))
+      .as[Int].head()
+    assert(n > 0 && n <= 48, s"fingerprint count $n exceeds gram count")
+  }
 }
