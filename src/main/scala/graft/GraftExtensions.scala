@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, WordHits}
+import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -96,6 +96,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "minhash_sigs numHashes must be an integer literal")
         }
         MinHashSignatures(children(0), n)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(
+        classOf[WinnowFingerprints].getName,
+        null,
+        "winnow_fps",
+        "winnow_fps(tokens, k, w) - winnowing document fingerprints: " +
+          "distinct sliding-window-of-w minima over positional k-gram md5s",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "winnow_fps takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(i: Int, IntegerType) => i
+          case _ =>
+            throw new IllegalArgumentException(
+              s"winnow_fps $what must be an integer literal")
+        }
+        WinnowFingerprints(children(0),
+          intLit(children(1), "k"), intLit(children(2), "w"))
       }))
   }
 }

@@ -290,6 +290,37 @@ object LlmQueries {
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 
+  def annQuantized(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTopK(embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5)
+
+  /** DuckDB twin of quantize → dequantize → brute-force top-k. The
+    * quantization arithmetic mirrors [[Similarity.quantizeInt8]] exactly:
+    * 6-decimal lo/scale, clamp to [0,255], round-then-cast (both engines
+    * round positive halves away from zero; cast after `round(x, 0)` is
+    * exact in both).
+    */
+  private val q15bOracle: String = {
+    val lo = "round(list_min(emb), 6)"
+    val scale = "round((list_max(emb) - list_min(emb)) / 255.0, 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |qz AS (SELECT vec_id, $lo AS lo,
+       |         CASE WHEN $scale = 0 THEN 1.0 ELSE $scale END AS sscale,
+       |         $scale AS scale, emb FROM e),
+       |dq AS (SELECT vec_id,
+       |         list_transform(emb, x -> lo + least(255, greatest(0,
+       |           CAST(round((x - lo) / sscale, 0) AS INT))) * scale) AS emb
+       |       FROM qz),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM dq),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS score
+       |  FROM n c, q WHERE c.vec_id <> q.query_id),
+       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+  }
+
   private val LshPlanes = 4
   private val LshDims = 64
 
@@ -442,6 +473,7 @@ object LlmQueries {
     "q13_blocked_jaccard" -> ((s, d) => blockedJaccard(s, d)),
     "q14_simhash" -> ((s, d) => simhashSketch(s, d)),
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
+    "q15b_ann_quantized" -> ((s, d) => annQuantized(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
     "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -460,6 +492,7 @@ object LlmQueries {
     "q13_blocked_jaccard" -> q13Oracle,
     "q14_simhash" -> q14Oracle,
     "q15_ann_topk" -> q15Oracle,
+    "q15b_ann_quantized" -> q15bOracle,
     "q16_ann_ivf" -> q16Oracle,
     "q16b_ann_ivf_nprobe2" -> q16bOracle,
     "q16c_ann_lsh" -> q16cOracle,

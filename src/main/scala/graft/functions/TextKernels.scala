@@ -127,6 +127,136 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sigs"
 }
 
+/** `winnow_fps(tokens, k, w)`: winnowing document fingerprints
+  * (Schleimer–Wilkerson–Aiken) over an `array<string>` of tokens — the
+  * md5s of all positional k-grams, then the distinct sliding-window-of-w
+  * minima in first-occurrence order. Bit-identical to the composable form
+  * in [[graft.llm.TextStats.winnowFingerprints]] (which chains
+  * `transform`/`sequence`/`slice`/`array_min`/`md5`/`array_distinct`),
+  * including the edges: null array → null, empty → empty, fewer than k
+  * tokens → one whole-string gram, fewer than w grams → one global min.
+  *
+  * The composable chain evaluates its interpreted lambdas O(grams · w)
+  * times per row AND re-computes the gram-hash subtree wherever it is
+  * referenced; this kernel is one compiled pass — O(grams) md5 calls and an
+  * O(grams) monotonic-deque sliding minimum.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 && w > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure("winnow_fps requires k > 0 and w > 0")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val kernel = new WinnowKernel(k, w)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.fingerprints(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowKernel", kernel,
+      classOf[WinnowKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.fingerprints($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fps"
+}
+
+class WinnowKernel(k: Int, w: Int) extends Serializable {
+
+  @transient private lazy val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray.map(_.toByte)
+
+  // md5 hex of the space-joined non-null tokens in [start, start+len) —
+  // concat_ws semantics: null elements are skipped, separators only between
+  // kept elements.
+  private def gramHash(
+      md: MessageDigest, tokens: ArrayData, start: Int, len: Int): Array[Byte] = {
+    md.reset()
+    var first = true
+    var i = start
+    val end = start + len
+    while (i < end) {
+      if (!tokens.isNullAt(i)) {
+        if (!first) md.update(' '.toByte)
+        md.update(tokens.getUTF8String(i).getBytes)
+        first = false
+      }
+      i += 1
+    }
+    val raw = md.digest()
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = hexChars((raw(j) >> 4) & 0xf)
+      hex(2 * j + 1) = hexChars(raw(j) & 0xf)
+      j += 1
+    }
+    hex
+  }
+
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    false
+  }
+
+  def fingerprints(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = digests.get()
+    val numGrams = if (n < k) 1 else n - k + 1
+    val hashes = new Array[Array[Byte]](numGrams)
+    if (n < k) hashes(0) = gramHash(md, tokens, 0, n)
+    else {
+      var i = 0
+      while (i < numGrams) { hashes(i) = gramHash(md, tokens, i, k); i += 1 }
+    }
+    if (numGrams < w) {
+      var min = hashes(0)
+      var i = 1
+      while (i < numGrams) { if (less(hashes(i), min)) min = hashes(i); i += 1 }
+      return new GenericArrayData(Array[Any](UTF8String.fromBytes(min)))
+    }
+    // monotonic deque of candidate-min indices; emit once per full window,
+    // dedup'd in first-occurrence order (array_distinct semantics)
+    val out = new java.util.LinkedHashSet[UTF8String]
+    val deque = new Array[Int](numGrams)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < numGrams) {
+      while (tail > head && !less(hashes(deque(tail - 1)), hashes(i))) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) < i - w + 1) head += 1
+      if (i >= w - 1) out.add(UTF8String.fromBytes(hashes(deque(head))))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 class MinHashKernel(numHashes: Int) extends Serializable {
 
   // "<seed>:" prefixes, precomputed once.

@@ -129,6 +129,50 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  // ---- int8 scalar quantization ----------------------------------------
+
+  /** Per-vector int8 scalar quantization: codes in [0, 255] against the
+    * vector's own (min, max) range — the standard 4× storage/scan-bandwidth
+    * reduction for embedding columns at rest (public vector-search
+    * practice). `lo`/`scale` are rounded to 6 decimals (repo determinism
+    * rule) so codes are engine-reproducible; a constant vector (range 0)
+    * quantizes to all-zero codes and dequantizes back to `lo` exactly.
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val lo = round(array_min(emb), 6)
+    val scale = round((array_max(emb) - array_min(emb)) / 255.0, 6)
+    val safeScale = when(scale === 0, lit(1.0)).otherwise(scale)
+    struct(lo.as("lo"), scale.as("scale"),
+      transform(emb, x => least(lit(255), greatest(lit(0),
+        round((x - lo) / safeScale, 0).cast("int")))).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]] up to quantization error: one double per
+    * code, `lo + code · scale`.
+    */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      v => q.getField("lo") + v.cast("double") * q.getField("scale"))
+
+  /** Brute-force cosine top-k over QUANTIZED vectors: candidates and
+    * queries both go through quantize → dequantize before scoring, so this
+    * measures exactly what an int8-at-rest index serves. Recall vs
+    * [[bruteForceTopK]] is the quantization-error trade, pinned by spec.
+    */
+  def quantizedTopK(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      queryFilter: Column, k: Int): DataFrame = {
+    val n = vectorsDf
+      .select(col(idCol).as("id"),
+        dequantizeInt8(quantizeInt8(asDouble(col(embCol)))).as("emb"))
+    val q = n.filter(queryFilter)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val pairs = n.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    rankTopK(pairs, k)
+  }
+
   // ---- random-hyperplane LSH ANN ---------------------------------------
 
   /** Deterministic ±1 random hyperplanes (Charikar sign-random-projection,

@@ -90,4 +90,35 @@ class TextKernelsSpec extends SparkTestBase {
     assert(one.getInt(0) == 2)
     assert(one.getSeq[String](1).length == 2)
   }
+
+  test("winnow_fps == composable transform/slice/array_min chain on generated and edge texts") {
+    import graft.llm.TextStats
+    val texts = Seq(
+      "", "   ", "one", "one two", "one two three",
+      "one two three four five six seven eight nine ten",
+      "a a a a a a a a a",   // constant grams: every window min identical
+      "the quick brown fox jumps over the lazy dog the quick brown fox"
+    ) ++ (0 until 20).map(i => (0 to (i * 7) % 23).map(j => s"w${(i + j) % 11}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"),
+      TextStats.winnowFingerprints(col("text"), 3, 4).as("native"),
+      TextStats.winnowFingerprintsComposable(col("text"), 3, 4).as("composable"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"kernel diverged from composable form for id=${r.getLong(0)}")
+    }
+    // null text: both null
+    val nulls = Seq((1L, null: String)).toDF("id", "text").select(
+      TextStats.winnowFingerprints(col("text"), 3, 4).as("n"),
+      TextStats.winnowFingerprintsComposable(col("text"), 3, 4).as("c")).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("winnow_fps registered as SQL function") {
+    val r = spark.sql(
+      "SELECT winnow_fps(array('a','b','c','d','e','f','g','h'), 3, 4) AS f")
+      .collect().head
+    assert(r.getSeq[String](0).nonEmpty)
+  }
 }

@@ -61,6 +61,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(r2 >= r1, s"probing more buckets lost recall: nprobe=1 $r1 vs nprobe=2 $r2")
   }
 
+  test("quantizeInt8: codes bounded, round-trip error <= scale/2 + rounding slack, constant vector exact") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Similarity.quantizeInt8(Similarity.asDouble(col("embedding")))
+    val rows = emb.select(
+      col("embedding").cast("array<double>").as("orig"),
+      q.getField("scale").as("scale"),
+      q.getField("codes").as("codes"),
+      Similarity.dequantizeInt8(q).as("deq"))
+      .as[(Seq[Double], Double, Seq[Int], Seq[Double])].collect()
+    rows.foreach { case (orig, scale, codes, deq) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      // lo/scale are 6-decimal-rounded, so allow that slack on top of the
+      // half-step quantization bound
+      val bound = scale / 2 + 1e-4
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= bound, s"roundtrip error ${math.abs(o - d)} > $bound")
+      }
+    }
+    import spark.implicits._
+    val const = Seq((1L, Seq(0.25, 0.25, 0.25))).toDF("id", "v")
+    val cq = Similarity.quantizeInt8(col("v"))
+    val out = const.select(Similarity.dequantizeInt8(cq)).as[Seq[Double]].head()
+    assert(out == Seq(0.25, 0.25, 0.25), "constant vector must round-trip exactly")
+  }
+
+  test("quantizedTopK: top-k over int8-dequantized vectors keeps high recall vs exact") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.7, s"int8 quantization destroyed top-k recall: $recall")
+  }
+
   test("lshTopK: multi-probe recall >= single-probe recall, both nonzero") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
