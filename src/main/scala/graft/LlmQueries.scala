@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.DocumentsFixture
-import graft.llm.{Dedup, Similarity, TextStats}
+import graft.llm.{Contamination, Dedup, Similarity, TextStats}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the LLM-training-data tier: text analysis,
@@ -414,6 +414,102 @@ object LlmQueries {
       |  count(*) AS n_events
       |FROM e GROUP BY 1, 2""".stripMargin
 
+  // ---- q22: PII redaction ----------------------------------------------
+
+  /** PII scrub over documents with deterministic synthetic PII appended
+    * (the static corpus has none, so the fixture injects an email, an IPv4,
+    * and a phone per row — built from `doc_id`, identically in both
+    * engines). Counts are taken stage-by-stage on the progressively
+    * redacted text so an IP is never double-counted as a phone.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val injected = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 or call +1415555"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    docs
+      .withColumn("t0", injected)
+      .withColumn("t1", regexp_replace(col("t0"), TextStats.emailRe, "<EMAIL>"))
+      .withColumn("t2", regexp_replace(col("t1"), TextStats.ipv4Re, "<IP>"))
+      .select(
+        col("doc_id"),
+        TextStats.redactPii(col("t0")).as("clean_text"),
+        TextStats.piiCount(col("t0"), TextStats.emailRe).as("n_emails"),
+        TextStats.piiCount(col("t1"), TextStats.ipv4Re).as("n_ips"),
+        TextStats.piiCount(col("t2"), TextStats.phoneRe).as("n_phones"))
+  }
+
+  private val q22Oracle: String = {
+    val em = TextStats.emailRe
+    val ip = TextStats.ipv4Re
+    val ph = TextStats.phoneRe
+    s"""WITH d AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |  '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |  '.7 or call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$em', '<EMAIL>', 'g') AS t1 FROM d),
+       |s2 AS (SELECT *, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1)
+       |SELECT doc_id,
+       |  regexp_replace(t2, '$ph', '<PHONE>', 'g') AS clean_text,
+       |  len(regexp_extract_all(t0, '$em')) AS n_emails,
+       |  len(regexp_extract_all(t1, '$ip')) AS n_ips,
+       |  len(regexp_extract_all(t2, '$ph')) AS n_phones
+       |FROM s2""".stripMargin
+  }
+
+  // ---- q23: repetition / boilerplate stats -----------------------------
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        TextStats.dupTokenRatio(col("text")).as("dup_token_ratio"),
+        TextStats.dupLineRatio(col("text")).as("dup_line_ratio"),
+        TextStats.dupShingleRatio(col("text")).as("dup_shingle_ratio"))
+
+  private val q23Oracle: String =
+    s"""WITH t AS (SELECT doc_id, text, $dToks AS toks,
+       |    string_split(text, chr(10)) AS lines FROM documents),
+       |g AS (SELECT doc_id, toks, lines,
+       |    CASE WHEN len(toks) = 0 THEN 0 WHEN len(toks) < 3 THEN 1
+       |         ELSE len(toks) - 2 END AS grams,
+       |    ${dShingles("toks", 3)} AS sh FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |       ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dup_token_ratio,
+       |  CASE WHEN len(lines) = 0 THEN 0.0
+       |       ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END AS dup_line_ratio,
+       |  CASE WHEN grams = 0 THEN 0.0
+       |       ELSE CAST(grams - len(sh) AS DOUBLE) / grams END AS dup_shingle_ratio
+       |FROM g""".stripMargin
+
+  // ---- q24: benchmark decontamination ----------------------------------
+
+  /** Decontamination over the duplicate-injected corpus: docs with
+    * `doc_id % 97 = 0` stand in for the benchmark set; every non-benchmark
+    * doc sharing a 3-gram shingle with it is flagged with its overlap
+    * count. The corpus's injected exact/near dups guarantee real overlap.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Contamination.overlap(DocumentsFixture.corpusDf(spark, dir),
+      "doc_id", "text", col("doc_id") % 97 === 0, shingleSize = ShingleSize)
+
+  private val q24Oracle: String =
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |t AS (SELECT doc_id, ${dShingles(dToks, ShingleSize)} AS shingles FROM corpus),
+       |long AS (SELECT doc_id, unnest(shingles) AS s FROM t),
+       |bench AS (SELECT DISTINCT s FROM long WHERE doc_id % 97 = 0)
+       |SELECT l.doc_id, count(DISTINCT l.s) AS n_contaminated_shingles
+       |FROM long l JOIN bench b USING (s)
+       |WHERE l.doc_id % 97 <> 0
+       |GROUP BY l.doc_id""".stripMargin
+
   // ---- q20: composite training-data prep -------------------------------
 
   /** The realistic data-prep composition: quality-score filter + language
@@ -481,7 +577,10 @@ object LlmQueries {
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
     "q20_training_prep" -> ((s, d) => trainingPrep(s, d)),
-    "q21_windowed_counts" -> ((s, d) => windowedCounts(s, d))
+    "q21_windowed_counts" -> ((s, d) => windowedCounts(s, d)),
+    "q22_pii_redact" -> ((s, d) => piiRedact(s, d)),
+    "q23_repetition" -> ((s, d) => repetitionStats(s, d)),
+    "q24_decontaminate" -> ((s, d) => decontaminate(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -500,6 +599,9 @@ object LlmQueries {
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,
     "q20_training_prep" -> q20Oracle,
-    "q21_windowed_counts" -> q21Oracle
+    "q21_windowed_counts" -> q21Oracle,
+    "q22_pii_redact" -> q22Oracle,
+    "q23_repetition" -> q23Oracle,
+    "q24_decontaminate" -> q24Oracle
   )
 }

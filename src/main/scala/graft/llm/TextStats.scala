@@ -108,6 +108,65 @@ object TextStats {
   /** Exact-content fingerprint: md5 of lowercased, trimmed text. */
   def contentFingerprint(c: Column): Column = md5(trim(lower(c)))
 
+  // ---- PII redaction ----------------------------------------------------
+
+  /** Redaction patterns, written in the Java∩RE2 regex dialect so the same
+    * pattern string runs in Spark (java.util.regex) and any RE2 engine.
+    * Applied in [[redactPii]] order: email, then IPv4, then phone —
+    * earlier replacements remove digits that a later pattern could
+    * otherwise swallow.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d().\\s-]{7,}\\d"
+
+  /** Training-data PII scrub: replace emails, IPv4s, and phone-shaped
+    * number runs with typed placeholders. Pure codegen `regexp_replace`
+    * chain — one narrow projection, no UDF, linear scan per row.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Occurrences of one redaction pattern (for audit columns). */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  // ---- repetition / boilerplate stats -----------------------------------
+
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+
+  /** Duplicate-token ratio in [0, 1): 1 − |distinct tokens| / |tokens|.
+    * The Gopher/RefinedWeb-style repetition signal (public filtering
+    * heuristics) — boilerplate and spam score high.
+    */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    safeRatio(size(toks) - size(array_distinct(toks)), size(toks))
+  }
+
+  /** Duplicate-line ratio: 1 − |distinct lines| / |lines|. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    safeRatio(size(lines) - size(array_distinct(lines)), size(lines))
+  }
+
+  /** Duplicate positional-3-gram ratio: 1 − |distinct shingles| / |grams|
+    * — catches phrase-level loops single-token stats miss. Documents
+    * shorter than the shingle size have one gram and ratio 0.
+    */
+  def dupShingleRatio(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) === 0, lit(0))
+      .when(size(toks) < n, lit(1))
+      .otherwise(size(toks) - (n - 1))
+    safeRatio(grams - size(shingles(toks, n)), grams)
+  }
+
   /** Distinct n-gram (word) shingles; a doc shorter than n tokens
     * contributes its whole token string as one shingle.
     */

@@ -47,6 +47,21 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q10b winnowing: narrow projection — no aggregation shuffle anywhere in the plan") {
+    val p = plan(LlmQueries.winnowFingerprints(spark, dir))
+    assert(!p.contains("hashpartitioning"),
+      s"winnowing is per-row; a hash shuffle means an accidental aggregation/join:\n$p")
+    assert(p.contains("winnow_fps"), s"must go through the native kernel:\n$p")
+  }
+
+  test("q16c LSH ANN: probe side broadcasts into a hash join on the bucket key") {
+    val p = plan(LlmQueries.annLsh(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket join must broadcast the exploded probe side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate generation must not sort-merge at this scale:\n$p")
+  }
+
   test("q17 nearest-in-block: broadcast below the threshold, shuffle join with salt above it") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val viaBroadcast = graft.llm.Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Data-cleaning operators: PII redaction, repetition stats, benchmark
+  * decontamination.
+  */
+class CleaningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("redactPii: emails, IPv4s, and phone runs become typed placeholders; clean text unchanged") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk today"),
+      (2L, "server 192.168.001.42 rebooted"),
+      (3L, "call +1 (415) 555-0199 now"),
+      (4L, "mixed: a@b.io at 10.0.0.1 or 020-7946-0958."),
+      (5L, "no pii here, just words and 42")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.redactPii(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "reach me at <EMAIL> today")
+    assert(out(2L) == "server <IP> rebooted")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "mixed: <EMAIL> at <IP> or <PHONE>.")
+    assert(out(5L) == "no pii here, just words and 42")
+  }
+
+  test("redaction order: an IPv4 is consumed by <IP>, never double-matched as a phone") {
+    val df = Seq((1L, "ip 10.1.2.3 and phone 5551234567")).toDF("id", "text")
+    val out = df.select(TextStats.redactPii(col("text"))).as[String].head()
+    assert(out == "ip <IP> and phone <PHONE>")
+  }
+
+  test("repetition ratios: zero on all-distinct text, high on boilerplate loops, bounded") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "line\nline\nline\nother"),
+      (4L, ""),
+      (5L, "a b a b a b a b a b")   // phrase loop: tokens repeat, 3-grams collapse
+    ).toDF("id", "text")
+    val rows = df.select(col("id"),
+      TextStats.dupTokenRatio(col("text")).as("t"),
+      TextStats.dupLineRatio(col("text")).as("l"),
+      TextStats.dupShingleRatio(col("text")).as("s"))
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L)._1 == 0.0 && rows(1L)._3 == 0.0)
+    assert(rows(2L)._1 == 5.0 / 6.0)
+    assert(rows(2L)._3 > 0.5, "constant text must have high shingle dup")
+    assert(rows(3L)._2 == 0.5, "2 duplicate lines of 4")
+    assert(rows(4L) == ((0.0, 0.0, 0.0)))
+    assert(rows(5L)._3 == 6.0 / 8.0, "a-b loop has only 2 distinct 3-grams of 8")
+    rows.values.foreach { case (t, l, s) =>
+      assert(t >= 0 && t < 1 && l >= 0 && l < 1 && s >= 0 && s < 1)
+    }
+  }
+
+  test("contamination overlap: flags exactly the docs sharing shingles with the bench set") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),  // bench (id % 2 == 0 filter below)
+      (1L, "the quick brown fox went elsewhere entirely"),  // shares 'the quick brown' + 'quick brown fox'
+      (3L, "completely different content with no overlap"),
+      (5L, "jumps over the lazy dog said nobody")           // shares trailing shingles
+    ).toDF("doc_id", "text")
+    val out = Contamination.overlap(df, "doc_id", "text", col("doc_id") % 2 === 0)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 5L), s"wrong contaminated set: $out")
+    assert(out(1L) == 2L)
+    assert(out(5L) == 3L, "jumps-over-the / over-the-lazy / the-lazy-dog")
+    assert(!out.contains(0L), "bench docs themselves are never flagged")
+  }
+}
