@@ -52,8 +52,52 @@ object CoreQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_key_presence" -> ((s, dir) => keyPresence(s, dir))
+    "q01_key_presence" -> ((s, dir) => keyPresence(s, dir)),
+    "q25_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
+    "q26_market_volume" -> ((s, dir) => marketVolume(s, dir))
   )
+
+  /** Money-column cast: all monetary sums go through DECIMAL(18,2) so the
+    * aggregation is EXACT and therefore order-independent — a double sum's
+    * value depends on partial-aggregation order, which no oracle can match
+    * at shuffle parallelism. Cast back to double only after aggregating.
+    */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** q25 — TPC-H Q1-shaped pricing summary over `lineitem`: the canonical
+    * multi-aggregate scan→partial-agg→final-agg shape. One shuffle on the
+    * 2-value group key, everything else map-side.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** q26 — TPC-H Q5-shaped local-supplier volume: the 6-table star join.
+    * `nation`/`region` are broadcast (tiny dims stay tiny at any SF);
+    * `lineitem⋈orders⋈customer⋈supplier` shuffle on their keys — the shape
+    * AQE + (optionally) orderkey bucketing optimizes at 100 TB.
+    */
+  def marketVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
 
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->
@@ -66,6 +110,26 @@ object CoreQueries {
         |  SELECT event_type, count(*) AS total_records FROM events GROUP BY 1
         |)
         |SELECT counts.event_type, prop_key, key_count, total_records
-        |FROM counts JOIN totals USING (event_type)""".stripMargin
+        |FROM counts JOIN totals USING (event_type)""".stripMargin,
+    "q25_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q26_market_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin
   )
 }

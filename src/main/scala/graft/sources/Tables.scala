@@ -66,6 +66,15 @@ object Sinks {
 
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet — the output layout the reference
+    * CONSUMES (`process_date=`/`event_date=` paths, `event_verify.py:21`)
+    * but never produces. At 100 TB this is how results land: one directory
+    * per partition value, so downstream readers get plan-time partition
+    * pruning (see [[Tables.partitionedRoot]]) instead of full scans.
+    */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }
 
 /** Bucketed datasource tables — the S5 repartition strategy made DURABLE.

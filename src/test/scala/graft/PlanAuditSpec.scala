@@ -62,6 +62,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"candidate generation must not sort-merge at this scale:\n$p")
   }
 
+  test("q26 star join: dimension sides broadcast, fact joins partial-aggregate before the final shuffle") {
+    val p = plan(CoreQueries.marketVolume(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"nation/region dims must broadcast:\n$p")
+    assert(p.contains("partial") || p.contains("HashAggregate"),
+      s"revenue must partial-aggregate before the group-by shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"star join must stay equi-keyed:\n$p")
+  }
+
   test("q17 nearest-in-block: broadcast below the threshold, shuffle join with salt above it") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val viaBroadcast = graft.llm.Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))

@@ -54,6 +54,30 @@ class SourcesSinksSpec extends SparkTestBase {
       "report CSV bytes drifted from the golden file")
   }
 
+  test("partitioned parquet sink: hive layout on disk, plan-time pruning on read-back") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-part").toFile
+    val outPath = s"${tmp.getAbsolutePath}/events_out"
+    val events = Tables.events(spark, dir)
+    Sinks.partitionedParquet(events, outPath, Seq("event_type"))
+
+    val subdirs = new java.io.File(outPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("event_type=")),
+      s"expected hive-style partition dirs, got $subdirs")
+
+    val back = Tables.partitionedRoot(spark, outPath)
+    val oneType = subdirs.head.stripPrefix("event_type=")
+    val pruned = back.filter(col("event_type") === oneType)
+    val scan = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("event_type"),
+      s"partition filter must reach the scan:\n${pruned.queryExecution.executedPlan}")
+    assert(pruned.count() ==
+      events.filter(col("event_type") === oneType).count())
+    assert(back.count() == events.count(), "no rows lost across the partitioned write")
+  }
+
   test("S4: single-file CSV report round-trips the 13-column output") {
     val tmp = Files.createTempDirectory("graft-report").toFile
     val outPath = s"${tmp.getAbsolutePath}/report"
