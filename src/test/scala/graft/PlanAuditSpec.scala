@@ -62,6 +62,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"candidate generation must not sort-merge at this scale:\n$p")
   }
 
+  test("rank-top-k plans get Spark's WindowGroupLimit (bounded per-group state, no full sort-all)") {
+    // rank().over(w) <= k is rewritten by InferWindowGroupLimit into a
+    // per-partition group-limit BEFORE the window sort — the built-in
+    // bounded-heap top-k. This is why the engine does NOT carry a custom
+    // top-k operator: the declarative form already lowers to the plan a
+    // custom SparkPlan would implement. This test pins that assumption.
+    val p = plan(LlmQueries.annBruteForce(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must lower to WindowGroupLimit; if this fails the Spark " +
+        s"version dropped the rewrite and top-k needs revisiting:\n$p")
+  }
+
   test("q26 star join: dimension sides broadcast, fact joins partial-aggregate before the final shuffle") {
     val p = plan(CoreQueries.marketVolume(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region dims must broadcast:\n$p")
