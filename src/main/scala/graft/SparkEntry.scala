@@ -54,8 +54,21 @@ object CoreQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_key_presence" -> ((s, dir) => keyPresence(s, dir)),
     "q25_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
-    "q26_market_volume" -> ((s, dir) => marketVolume(s, dir))
+    "q26_market_volume" -> ((s, dir) => marketVolume(s, dir)),
+    "q27_profile" -> ((s, dir) => profileLineitem(s, dir))
   )
+
+  private val lineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+
+  /** q27 — generic per-column profile over `lineitem` (totals, nulls,
+    * distincts): the reference's completeness metrics generalized to any
+    * table. `l_shipdate` is excluded: the nanos-as-long read makes its
+    * STRING form engine-specific, and profiling compares value strings.
+    */
+  def profileLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.lineitem(spark, dir), lineitemCols)
 
   /** Money-column cast: all monetary sums go through DECIMAL(18,2) so the
     * aggregation is EXACT and therefore order-independent — a double sum's
@@ -130,6 +143,15 @@ object CoreQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q27_profile" -> {
+      val arms = lineitemCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM lineitem")
+      s"""SELECT col_name, count(*) AS total, count(value) AS non_null,
+         |  count(DISTINCT value) AS n_distinct,
+         |  (count(*) - count(value)) * 100.0 / count(*) AS null_pct
+         |FROM (${arms.mkString(" UNION ALL ")})
+         |GROUP BY 1""".stripMargin
+    }
   )
 }

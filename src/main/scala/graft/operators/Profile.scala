@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic table profiling — the reference's per-property completeness idea
+  * (`event_verify.py:186-208`) generalized to ANY table: per column, the
+  * row total, non-null count, null percentage, and distinct-value count.
+  *
+  * Shape: one dynamic `stack` unpivot (V1, the same machinery as
+  * [[Completeness.unpivot]]) to (col_name, value) rows, then ONE shuffle
+  * keyed on col_name with partial aggregation. Values are compared as
+  * strings only INSIDE count/count-distinct — the cast is injective per
+  * column, so engine-specific number formatting can never reach the
+  * output. At 100 TB: the unpivot multiplies rows ×|cols| but stays
+  * map-side; the shuffle carries |cols| × |distinct values| after partial
+  * aggregation, and a skewed column (few distinct values) partial-counts
+  * before it moves.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    val arms = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $arms) AS (col_name, value)")
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("total"),
+        count(col("value")).as("non_null"),
+        count_distinct(col("value")).as("n_distinct"))
+      .withColumn("null_pct",
+        (col("total") - col("non_null")) * 100.0 / col("total"))
+  }
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile: totals, null counts, distincts, and null_pct per column") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, None, Some(1.5)),
+      (3L, Some("a"), None),
+      (4L, Some("b"), Some(2.5))
+    ).toDF("id", "s", "d")
+    val out = Profile.profile(df, Seq("id", "s", "d"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("id") == ((4L, 4L, 4L, 0.0)))
+    assert(out("s") == ((4L, 3L, 2L, 25.0)))
+    assert(out("d") == ((4L, 3L, 2L, 25.0)))
+  }
+
+  test("profile plan: one shuffle, partial aggregation before it") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val p = Profile.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
+    // count-distinct plans two aggregate phases over one exchange pair;
+    // what must NOT appear is a per-column scan (one stack generator only)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+}
