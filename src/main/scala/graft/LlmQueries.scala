@@ -510,6 +510,104 @@ object LlmQueries {
        |WHERE l.doc_id % 97 <> 0
        |GROUP BY l.doc_id""".stripMargin
 
+  // ---- q28: deterministic mixing sample --------------------------------
+
+  /** Data-mixing primitives end-to-end: a deterministic 50% hash sample
+    * followed by a per-language quota of 30, both keyed on md5(doc_id) so
+    * any engine reproduces the exact subset.
+    */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.operators.Sampling.stratifiedQuota(
+      graft.operators.Sampling.sampleByHash(docs, col("doc_id"), 0.5),
+      col("lang"), col("doc_id"), 30)
+      .select("doc_id", "lang")
+  }
+
+  private val q28Oracle: String = {
+    val th = graft.operators.Sampling.rateThresholdHex(0.5)
+    s"""WITH s AS (SELECT doc_id, lang FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$th'),
+       |r AS (SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM s)
+       |SELECT doc_id, lang FROM r WHERE rn <= 30""".stripMargin
+  }
+
+  // ---- q29: end-to-end curation ----------------------------------------
+
+  /** The full curation pipeline a training-data user runs, as ONE
+    * declarative plan: quality scoring → low-quality + benchmark-doc drop →
+    * exact-dedup keep (min id per content hash) → decontamination anti-join
+    * → per-language mixing quota. Three shuffles total (dedup group-by,
+    * contamination count, quota window) — everything else is narrow.
+    */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val scored = corpus.select(
+      col("doc_id"),
+      TextStats.contentFingerprint(col("text")).as("content_hash"),
+      TextStats.qualityScore(col("text")).as("quality"),
+      TextStats.langId(col("text")).as("pred_lang"))
+    val deduped = scored
+      .filter(col("quality") >= 0.5 && col("doc_id") % 97 =!= 0)
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"),
+        // identical content => identical pred_lang; min() is just the
+        // deterministic way to carry it through the aggregate
+        min(col("pred_lang")).as("pred_lang"),
+        count(lit(1)).as("n_dups"))
+    val contaminatedIds = Contamination
+      .overlap(corpus, "doc_id", "text", col("doc_id") % 97 === 0, ShingleSize)
+      .select("doc_id")
+    val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    graft.operators.Sampling.stratifiedQuota(
+      clean, col("pred_lang"), col("doc_id"), 40)
+      .select("doc_id", "pred_lang", "content_hash", "n_dups")
+  }
+
+  private val q29Oracle: String = {
+    val markers = TextStats.defaultLangMarkers
+    val langs = markers.map(_._1)
+    val hits = markers.map { case (l, ws) => s"${dWordHits("toks", ws)} AS h_$l" }
+    val allZero = markers.map { case (l, _) => s"h_$l = 0" }.mkString(" AND ")
+    val chain = langs.dropRight(1).zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), acc) =>
+        val later = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"CASE WHEN $later THEN '$l' ELSE $acc END"
+    }
+    val stop = dWordHits("toks", TextStats.enStopwords)
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |t AS (SELECT doc_id, text, $dToks AS toks FROM corpus),
+       |h AS (SELECT *, ${hits.mkString(", ")},
+       |  (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS punct_cnt,
+       |  $stop AS stop_cnt FROM t),
+       |scored AS (
+       |  SELECT doc_id, md5(trim(lower(text))) AS content_hash,
+       |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+       |      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(len(text) AS DOUBLE))
+       |      + 0.3 * least(1.0, CAST(stop_cnt AS DOUBLE) * 5.0 / CAST(len(toks) AS DOUBLE)) AS quality,
+       |    CASE WHEN $allZero THEN 'und' ELSE $chain END AS pred_lang
+       |  FROM h),
+       |dedup AS (
+       |  SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang,
+       |    content_hash, count(*) AS n_dups
+       |  FROM scored WHERE quality >= 0.5 AND doc_id % 97 <> 0
+       |  GROUP BY content_hash),
+       |sh AS (SELECT doc_id, ${dShingles(dToks, ShingleSize)} AS shingles FROM corpus),
+       |long AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM long WHERE doc_id % 97 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT l.doc_id FROM long l JOIN bench b USING (s)
+       |  WHERE l.doc_id % 97 <> 0),
+       |clean AS (SELECT * FROM dedup
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY pred_lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM clean)
+       |SELECT doc_id, pred_lang, content_hash, n_dups FROM ranked WHERE rn <= 40""".stripMargin
+  }
+
   // ---- q20: composite training-data prep -------------------------------
 
   /** The realistic data-prep composition: quality-score filter + language
@@ -580,7 +678,9 @@ object LlmQueries {
     "q21_windowed_counts" -> ((s, d) => windowedCounts(s, d)),
     "q22_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q23_repetition" -> ((s, d) => repetitionStats(s, d)),
-    "q24_decontaminate" -> ((s, d) => decontaminate(s, d))
+    "q24_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q28_mix_sample" -> ((s, d) => mixSample(s, d)),
+    "q29_curation" -> ((s, d) => curation(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -602,6 +702,8 @@ object LlmQueries {
     "q21_windowed_counts" -> q21Oracle,
     "q22_pii_redact" -> q22Oracle,
     "q23_repetition" -> q23Oracle,
-    "q24_decontaminate" -> q24Oracle
+    "q24_decontaminate" -> q24Oracle,
+    "q28_mix_sample" -> q28Oracle,
+    "q29_curation" -> q29Oracle
   )
 }

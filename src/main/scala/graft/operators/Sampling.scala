@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation — the operators behind
+  * repeatable subset selection and per-source mixing ratios.
+  *
+  * `rand()`-based sampling is nondeterministic across retries and engines;
+  * everything here keys on the md5 of a stable id instead: uniform, stable
+  * under task retry (a 100 TB requirement — a recomputed partition must
+  * re-select the SAME rows), and reproducible by any engine with md5.
+  *
+  * Both operators are narrow until the stated shuffle: [[sampleByHash]] is
+  * a pure filter (no shuffle at all); [[stratifiedQuota]] shuffles once on
+  * the stratum key for its rank window, which Spark lowers to a
+  * WindowGroupLimit (bounded per-group state, no full sort of the corpus —
+  * pinned by `PlanAuditSpec`).
+  */
+object Sampling {
+
+  /** First-8-hex-digits threshold for a sampling `rate` in [0, 1]: md5 is
+    * uniform over hex strings, so `md5 prefix < hex(rate · 16^8)` selects
+    * ~rate of rows via pure ASCII string comparison — identical in every
+    * engine, no float arithmetic anywhere.
+    */
+  def rateThresholdHex(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val bound = math.floor(rate * 4294967296.0).toLong.min(4294967295L)
+    f"$bound%08x"
+  }
+
+  /** Deterministic Bernoulli-style sample: keep rows whose md5(key) prefix
+    * falls under the rate threshold. A pure filter — pushes down, never
+    * shuffles, retry-stable.
+    */
+  def sampleByHash(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
+    df.filter(
+      substring(md5(keyCol.cast("string")), 1, 8) < lit(rateThresholdHex(rate)))
+
+  /** Per-stratum quota (data mixing): keep at most `quota` rows per value
+    * of `stratumCol`, chosen in md5(key) order (ties on the key itself) —
+    * i.e. a deterministic uniform draw of fixed size per stratum, the
+    * mixing-ratio primitive for curation pipelines.
+    */
+  def stratifiedQuota(
+      df: DataFrame, stratumCol: Column, keyCol: Column, quota: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}
