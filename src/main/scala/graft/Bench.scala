@@ -39,7 +39,9 @@ object Bench {
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q05,q07 times just the
     // queries whose names contain one of the given substrings. The driver
     // never sets it, so recorded signals always cover the full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // set-but-empty (e.g. unset shell interpolation) = full registry
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }

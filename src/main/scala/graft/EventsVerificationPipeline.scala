@@ -184,10 +184,14 @@ object EventsVerificationPipeline {
 
       // One bounded collect per channel (the reference runs two, over the
       // UNRESTRICTED key space — same observable result, since only keys
-      // matching the identifier spellings survive either way).
-      val obsIds = JsonKeys.allKeysBy(cat, JsonKeys.catalogKeyExtractors(),
-          Seq.empty, restrictTo = Some(idSpellings))
-        .collect().map(_.getString(0)).toSeq
+      // matching the identifier spellings survive either way). No spellings
+      // configured -> no collect and both flags are constant-false, exactly
+      // what the unrestricted path yields for empty identifier lists.
+      val obsIds =
+        if (idSpellings.isEmpty) Seq.empty[String]
+        else JsonKeys.allKeysBy(cat, JsonKeys.catalogKeyExtractors(),
+            Seq.empty, restrictTo = Some(idSpellings))
+          .collect().map(_.getString(0)).toSeq
       def matching(ids: Seq[String]): Seq[String] = obsIds.filter(ids.contains).sorted
       val orgFlag = KeyPresence.anyKeyPresent(payloadCols, matching(params.orgIdentifiers))
       val projFlag = KeyPresence.anyKeyPresent(payloadCols, matching(params.projectIdentifiers))

@@ -38,6 +38,46 @@ object LlmQueries {
   private val dJaccard =
     "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
 
+  /** Shared CTE block `t, h, scored`: per-doc content hash, quality score,
+    * and predicted language over relation `src(doc_id, text)` — the ONE SQL
+    * mirror of [[TextStats.contentFingerprint]]/[[TextStats.qualityScore]]/
+    * [[TextStats.langId]], reused by every oracle that scores documents
+    * (q20, q29) so the mirror can't drift per query.
+    */
+  private def dScoredCtes(src: String): String = {
+    val markers = TextStats.defaultLangMarkers
+    val langs = markers.map(_._1)
+    val hits = markers.map { case (l, ws) => s"${dWordHits("toks", ws)} AS h_$l" }
+    val allZero = markers.map { case (l, _) => s"h_$l = 0" }.mkString(" AND ")
+    val chain = langs.dropRight(1).zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), acc) =>
+        val later = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"CASE WHEN $later THEN '$l' ELSE $acc END"
+    }
+    val stop = dWordHits("toks", TextStats.enStopwords)
+    s"""t AS (SELECT doc_id, text, $dToks AS toks FROM $src),
+       |h AS (SELECT *, ${hits.mkString(", ")},
+       |  (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS punct_cnt,
+       |  $stop AS stop_cnt FROM t),
+       |scored AS (
+       |  SELECT doc_id, md5(trim(lower(text))) AS content_hash,
+       |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+       |      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(len(text) AS DOUBLE))
+       |      + 0.3 * least(1.0, CAST(stop_cnt AS DOUBLE) * 5.0 / CAST(len(toks) AS DOUBLE)) AS quality,
+       |    CASE WHEN $allZero THEN 'und' ELSE $chain END AS pred_lang
+       |  FROM h)""".stripMargin
+  }
+
+  /** Shared CTE block `sh, long, bench`: exploded per-doc shingles plus the
+    * distinct shingle set of the benchmark subset (`doc_id % benchMod = 0`)
+    * over relation `src(doc_id, text)` — reused by the contamination
+    * oracles (q24, q29).
+    */
+  private def dShingleCtes(src: String, benchMod: Int): String =
+    s"""sh AS (SELECT doc_id, ${dShingles(dToks, ShingleSize)} AS shingles FROM $src),
+       |long AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM long WHERE doc_id % $benchMod = 0)""".stripMargin
+
   // ---- q10: text stats -------------------------------------------------
 
   /** Token counting (whitespace + BPE-ish), punctuation/stopword counts,
@@ -502,9 +542,7 @@ object LlmQueries {
 
   private val q24Oracle: String =
     s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
-       |t AS (SELECT doc_id, ${dShingles(dToks, ShingleSize)} AS shingles FROM corpus),
-       |long AS (SELECT doc_id, unnest(shingles) AS s FROM t),
-       |bench AS (SELECT DISTINCT s FROM long WHERE doc_id % 97 = 0)
+       |${dShingleCtes("corpus", 97)}
        |SELECT l.doc_id, count(DISTINCT l.s) AS n_contaminated_shingles
        |FROM long l JOIN bench b USING (s)
        |WHERE l.doc_id % 97 <> 0
@@ -566,37 +604,15 @@ object LlmQueries {
       .select("doc_id", "pred_lang", "content_hash", "n_dups")
   }
 
-  private val q29Oracle: String = {
-    val markers = TextStats.defaultLangMarkers
-    val langs = markers.map(_._1)
-    val hits = markers.map { case (l, ws) => s"${dWordHits("toks", ws)} AS h_$l" }
-    val allZero = markers.map { case (l, _) => s"h_$l = 0" }.mkString(" AND ")
-    val chain = langs.dropRight(1).zipWithIndex.foldRight(s"'${langs.last}'") {
-      case ((l, i), acc) =>
-        val later = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
-        s"CASE WHEN $later THEN '$l' ELSE $acc END"
-    }
-    val stop = dWordHits("toks", TextStats.enStopwords)
+  private val q29Oracle: String =
     s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
-       |t AS (SELECT doc_id, text, $dToks AS toks FROM corpus),
-       |h AS (SELECT *, ${hits.mkString(", ")},
-       |  (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS punct_cnt,
-       |  $stop AS stop_cnt FROM t),
-       |scored AS (
-       |  SELECT doc_id, md5(trim(lower(text))) AS content_hash,
-       |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-       |      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(len(text) AS DOUBLE))
-       |      + 0.3 * least(1.0, CAST(stop_cnt AS DOUBLE) * 5.0 / CAST(len(toks) AS DOUBLE)) AS quality,
-       |    CASE WHEN $allZero THEN 'und' ELSE $chain END AS pred_lang
-       |  FROM h),
+       |${dScoredCtes("corpus")},
        |dedup AS (
        |  SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang,
        |    content_hash, count(*) AS n_dups
        |  FROM scored WHERE quality >= 0.5 AND doc_id % 97 <> 0
        |  GROUP BY content_hash),
-       |sh AS (SELECT doc_id, ${dShingles(dToks, ShingleSize)} AS shingles FROM corpus),
-       |long AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |bench AS (SELECT DISTINCT s FROM long WHERE doc_id % 97 = 0),
+       |${dShingleCtes("corpus", 97)},
        |contaminated AS (
        |  SELECT DISTINCT l.doc_id FROM long l JOIN bench b USING (s)
        |  WHERE l.doc_id % 97 <> 0),
@@ -606,7 +622,6 @@ object LlmQueries {
        |    PARTITION BY pred_lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
        |  FROM clean)
        |SELECT doc_id, pred_lang, content_hash, n_dups FROM ranked WHERE rn <= 40""".stripMargin
-  }
 
   // ---- q20: composite training-data prep -------------------------------
 
@@ -629,33 +644,12 @@ object LlmQueries {
       .select("doc_id", "content_hash", "n_dups")
   }
 
-  private val q20Oracle: String = {
-    val markers = TextStats.defaultLangMarkers
-    val langs = markers.map(_._1)
-    val hits = markers.map { case (l, ws) => s"${dWordHits("toks", ws)} AS h_$l" }
-    val allZero = markers.map { case (l, _) => s"h_$l = 0" }.mkString(" AND ")
-    val chain = langs.dropRight(1).zipWithIndex.foldRight(s"'${langs.last}'") {
-      case ((l, i), acc) =>
-        val later = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
-        s"CASE WHEN $later THEN '$l' ELSE $acc END"
-    }
-    val stop = dWordHits("toks", TextStats.enStopwords)
+  private val q20Oracle: String =
     s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
-       |t AS (SELECT doc_id, text, $dToks AS toks FROM corpus),
-       |h AS (SELECT *, ${hits.mkString(", ")},
-       |  (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS punct_cnt,
-       |  $stop AS stop_cnt FROM t),
-       |scored AS (
-       |  SELECT doc_id, md5(trim(lower(text))) AS content_hash,
-       |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-       |      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(len(text) AS DOUBLE))
-       |      + 0.3 * least(1.0, CAST(stop_cnt AS DOUBLE) * 5.0 / CAST(len(toks) AS DOUBLE)) AS quality,
-       |    CASE WHEN $allZero THEN 'und' ELSE $chain END AS pred_lang
-       |  FROM h)
+       |${dScoredCtes("corpus")}
        |SELECT min(doc_id) AS doc_id, content_hash, count(*) AS n_dups
        |FROM scored WHERE quality >= 0.5 AND pred_lang = 'en'
        |GROUP BY content_hash""".stripMargin
-  }
 
   // ---- registry --------------------------------------------------------
 

@@ -137,6 +137,11 @@ object Similarity {
     * practice). `lo`/`scale` are rounded to 6 decimals (repo determinism
     * rule) so codes are engine-reproducible; a constant vector (range 0)
     * quantizes to all-zero codes and dequantizes back to `lo` exactly.
+    *
+    * Composable form: inlined into a single projection, the min/max
+    * subtrees re-evaluate per element inside the lambda (O(d²) per row) —
+    * hot paths should materialize lo/scale first, as
+    * [[quantizedTopK]] does via its dequantized projection.
     */
   def quantizeInt8(emb: Column): Column = {
     val lo = round(array_min(emb), 6)
@@ -154,6 +159,29 @@ object Similarity {
     transform(q.getField("codes"),
       v => q.getField("lo") + v.cast("double") * q.getField("scale"))
 
+  /** Quantize→dequantize round trip with `lo`/`scale` materialized as
+    * their own projection FIRST: inside the transform lambda they are then
+    * plain bound references. Inlining [[quantizeInt8]]'s struct into one
+    * projection would re-evaluate the array_min/array_max subtrees once PER
+    * ELEMENT inside the interpreted lambda — O(d²) per row, the same
+    * nested-HOF re-evaluation trap BASELINE.md documents for q10b.
+    * (CollapseProject keeps the split: multi-referenced non-cheap aliases
+    * are not inlined.) Output is bit-identical to
+    * `dequantizeInt8(quantizeInt8(...))`.
+    */
+  private def dequantizedColumn(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val safeScale = when(col("scale") === 0, lit(1.0)).otherwise(col("scale"))
+    df.select(col(idCol).as("id"), asDouble(col(embCol)).as("raw"))
+      .select(col("id"), col("raw"),
+        round(array_min(col("raw")), 6).as("lo"),
+        round((array_max(col("raw")) - array_min(col("raw"))) / 255.0, 6).as("scale"))
+      .select(col("id"),
+        transform(col("raw"), x =>
+          col("lo") + least(lit(255), greatest(lit(0),
+            round((x - col("lo")) / safeScale, 0).cast("int")))
+            .cast("double") * col("scale")).as("emb"))
+  }
+
   /** Brute-force cosine top-k over QUANTIZED vectors: candidates and
     * queries both go through quantize → dequantize before scoring, so this
     * measures exactly what an int8-at-rest index serves. Recall vs
@@ -162,9 +190,7 @@ object Similarity {
   def quantizedTopK(
       vectorsDf: DataFrame, idCol: String, embCol: String,
       queryFilter: Column, k: Int): DataFrame = {
-    val n = vectorsDf
-      .select(col(idCol).as("id"),
-        dequantizeInt8(quantizeInt8(asDouble(col(embCol)))).as("emb"))
+    val n = dequantizedColumn(vectorsDf, idCol, embCol)
     val q = n.filter(queryFilter)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
     val pairs = n.join(broadcast(q), col("id") =!= col("query_id"))

@@ -118,7 +118,9 @@ object TextStats {
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val phoneRe = "\\+?\\d[\\d().\\s-]{7,}\\d"
+  // whitespace spelled explicitly: Java's \s includes \x0B, RE2's does not —
+  // the one place the dialects disagree inside a character class
+  val phoneRe = "\\+?\\d[\\d(). \\t\\n\\f\\r-]{7,}\\d"
 
   /** Training-data PII scrub: replace emails, IPv4s, and phone-shaped
     * number runs with typed placeholders. Pure codegen `regexp_replace`

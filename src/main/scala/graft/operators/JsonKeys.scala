@@ -67,7 +67,12 @@ object JsonKeys {
         .filter(lit(false))
     val arrays = extractors.map(e => coalesce(e, emptyStringArray))
     val all = array_distinct(concat(arrays: _*))
-    val keys = restrictTo.fold(all)(ids => array_intersect(all, array(ids.map(lit): _*)))
+    // an empty restriction list must mean "no keys", not a zero-arg array()
+    // literal (ArrayType(NullType)) that fails array_intersect's type check
+    val keys = restrictTo.fold(all) {
+      case Nil => emptyStringArray
+      case ids => array_intersect(all, array(ids.map(lit): _*))
+    }
     df.select(group :+ explode(keys).as("key"): _*).distinct()
   }
 

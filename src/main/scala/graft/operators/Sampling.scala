@@ -33,10 +33,13 @@ object Sampling {
 
   /** Deterministic Bernoulli-style sample: keep rows whose md5(key) prefix
     * falls under the rate threshold. A pure filter — pushes down, never
-    * shuffles, retry-stable.
+    * shuffles, retry-stable. rate = 1.0 is an exact no-op (the threshold
+    * comparison is strict, so it must not be used at full rate: a prefix of
+    * exactly "ffffffff" — 1 row in 2^32, real at 100 TB — would drop).
     */
   def sampleByHash(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
-    df.filter(
+    if (rate >= 1.0) df
+    else df.filter(
       substring(md5(keyCol.cast("string")), 1, 8) < lit(rateThresholdHex(rate)))
 
   /** Per-stratum quota (data mixing): keep at most `quota` rows per value

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** Batch twin: the first-arrival row per key — min event time, ties on
-    * the min of the remaining columns via struct ordering.
+  /** Batch twin of the dedup DECISION: one row per key with its min event
+    * time. Output is keyCols + the ts column only — callers needing the
+    * full first-arrival payload row should join this back on the keys.
     */
   def dedupBatch(df: DataFrame, tsColNs: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
