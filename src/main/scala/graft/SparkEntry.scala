@@ -55,7 +55,9 @@ object CoreQueries {
     "q01_key_presence" -> ((s, dir) => keyPresence(s, dir)),
     "q25_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
     "q26_market_volume" -> ((s, dir) => marketVolume(s, dir)),
-    "q27_profile" -> ((s, dir) => profileLineitem(s, dir))
+    "q27_profile" -> ((s, dir) => profileLineitem(s, dir)),
+    "q30_windowed_key_presence" -> ((s, dir) =>
+      graft.streaming.WindowedCounts.keyCountsBatch(Tables.events(s, dir), "1 hour"))
   )
 
   private val lineitemCols = Seq(
@@ -152,6 +154,12 @@ object CoreQueries {
          |  (count(*) - count(value)) * 100.0 / count(*) AS null_pct
          |FROM (${arms.mkString(" UNION ALL ")})
          |GROUP BY 1""".stripMargin
-    }
+    },
+    "q30_windowed_key_presence" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, props FROM events),
+        |k AS (SELECT tus, unnest(json_keys(props)) AS prop_key FROM e)
+        |SELECT (tus // 3600000000) * 3600000000 AS bucket_us, prop_key,
+        |  count(*) AS n_events
+        |FROM k GROUP BY 1, 2""".stripMargin
   )
 }

@@ -46,4 +46,41 @@ object WindowedCounts {
         unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"),
         col("n_events"))
+
+  /** The reference's key-presence metric (q01) as a CONTINUOUS monitor:
+    * per tumbling window, how many events carried each JSON payload key.
+    * `array_distinct` pins the duplicate-key JSON semantics to the q01
+    * convention; explode happens before the windowed aggregation so state
+    * per open window is one row per (window, key).
+    */
+  def keyCountsBatch(events: DataFrame, duration: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+      .select(col("ts_micro"),
+        explode(array_distinct(graft.operators.JsonKeys.keysOf(col("props"))))
+          .as("prop_key"))
+      .groupBy(window(col("ts_micro"), duration), col("prop_key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("prop_key"),
+        col("n_events"))
+
+  /** Watermarked streaming form of [[keyCountsBatch]]. */
+  def keyCountsStream(
+      events: DataFrame,
+      duration: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_micro", watermark)
+      .select(col("ts_micro"),
+        explode(array_distinct(graft.operators.JsonKeys.keysOf(col("props"))))
+          .as("prop_key"))
+      .groupBy(window(col("ts_micro"), duration), col("prop_key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("prop_key"),
+        col("n_events"))
 }

@@ -53,6 +53,29 @@ class WindowedCountsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming key presence: finalized windows carry per-key counts; late rows drop") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val events = ms.toDS().toDF("ts", "props")
+    val query = WindowedCounts.keyCountsStream(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("kc_sink").outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        (T0, """{"a": 1, "b": 2}"""),
+        (T0 + 1000000L, """{"a": 3}"""))
+      query.processAllAvailable()
+      ms.addData((T0 + 48 * HourNs, """{"z": 0}"""))
+      query.processAllAvailable()
+      val emitted = spark.table("kc_sink")
+        .as[(Long, String, Long)].collect().toSet
+      assert(emitted == Set(
+        (bucketOf(T0), "a", 2L),
+        (bucketOf(T0), "b", 1L)),
+        s"finalized window must count keys across its events: $emitted")
+    } finally query.stop()
+  }
+
   test("batch on real events table: bucket counts reassemble the per-type totals") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val windowed = WindowedCounts.countsBatch(events, "1 hour")
