@@ -57,7 +57,9 @@ object CoreQueries {
     "q26_market_volume" -> ((s, dir) => marketVolume(s, dir)),
     "q27_profile" -> ((s, dir) => profileLineitem(s, dir)),
     "q30_windowed_key_presence" -> ((s, dir) =>
-      graft.streaming.WindowedCounts.keyCountsBatch(Tables.events(s, dir), "1 hour"))
+      graft.streaming.WindowedCounts.keyCountsBatch(Tables.events(s, dir), "1 hour")),
+    "q31_attribution" -> ((s, dir) =>
+      graft.streaming.Attribution.attributionBatch(Tables.events(s, dir), "1 hour"))
   )
 
   private val lineitemCols = Seq(
@@ -160,6 +162,12 @@ object CoreQueries {
         |k AS (SELECT tus, unnest(json_keys(props)) AS prop_key FROM e)
         |SELECT (tus // 3600000000) * 3600000000 AS bucket_us, prop_key,
         |  count(*) AS n_events
-        |FROM k GROUP BY 1, 2""".stripMargin
+        |FROM k GROUP BY 1, 2""".stripMargin,
+    "q31_attribution" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS view_us FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_us, click_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        | AND click_us > view_us AND click_us <= view_us + 3600000000""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-interval (range) join: attribute each click to the views the same
+  * user made in the preceding `window` — the equi+range join shape Spark
+  * has no dedicated operator for, expressed the Spark-first way:
+  *
+  *  - **Batch**: an equi-join on `user_id` with the range predicate as a
+  *    join condition. The equi key carries the shuffle (hash join /
+  *    sort-merge on user_id — never a cartesian); the range predicate
+  *    evaluates inside the matched group. At 100 TB this scales with the
+  *    per-user event count, not the corpus.
+  *  - **Streaming**: the canonical watermarked stream-stream inner join —
+  *    both sides buffered in state, the event-time bound
+  *    (`view_time <= click_time <= view_time + window`) lets Spark evict
+  *    a buffered view once the click-side watermark passes
+  *    `view_time + window`, so state is bounded by the join window.
+  *
+  * `ts` is long ns (repo convention); output times are µs.
+  */
+object Attribution {
+
+  private def side(events: DataFrame, eventType: String, outPrefix: String): DataFrame =
+    events
+      .filter(col("event_type") === eventType)
+      .select(
+        col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as(s"${outPrefix}_time"))
+
+  /** Batch form: one row per (view, click) pair of the same user with
+    * `view_time < click_time <= view_time + window`. Strict lower bound:
+    * a click simultaneous with a view is not attributed to it.
+    */
+  def attributionBatch(events: DataFrame, window: String = "1 hour"): DataFrame = {
+    val views = side(events, "view", "view")
+    val clicks = side(events, "click", "click")
+    views.join(clicks,
+        views("user_id") === clicks("user_id") &&
+          col("click_time") > col("view_time") &&
+          col("click_time") <= col("view_time") + expr(s"INTERVAL $window"))
+      .select(views("user_id"),
+        unix_micros(col("view_time")).as("view_us"),
+        unix_micros(col("click_time")).as("click_us"))
+  }
+
+  /** Streaming form: same pairs from two watermarked streams (typically two
+    * filters over one source stream). State for a view evicts once the
+    * click watermark passes `view_time + window`.
+    */
+  def attributionStream(
+      views: DataFrame, clicks: DataFrame,
+      window: String = "1 hour", watermark: String = "30 minutes"): DataFrame = {
+    val v = side(views, "view", "view").withWatermark("view_time", watermark)
+    val c = side(clicks, "click", "click").withWatermark("click_time", watermark)
+    v.join(c,
+        v("user_id") === c("user_id") &&
+          col("click_time") > col("view_time") &&
+          col("click_time") <= col("view_time") + expr(s"INTERVAL $window"))
+      .select(v("user_id"),
+        unix_micros(col("view_time")).as("view_us"),
+        unix_micros(col("click_time")).as("click_us"))
+  }
+}
