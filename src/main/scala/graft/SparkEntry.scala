@@ -59,7 +59,9 @@ object CoreQueries {
     "q30_windowed_key_presence" -> ((s, dir) =>
       graft.streaming.WindowedCounts.keyCountsBatch(Tables.events(s, dir), "1 hour")),
     "q31_attribution" -> ((s, dir) =>
-      graft.streaming.Attribution.attributionBatch(Tables.events(s, dir), "1 hour"))
+      graft.streaming.Attribution.attributionBatch(Tables.events(s, dir), "1 hour")),
+    "q31b_asof" -> ((s, dir) =>
+      graft.streaming.Attribution.asOfBatch(Tables.events(s, dir), "1 hour"))
   )
 
   private val lineitemCols = Seq(
@@ -168,6 +170,16 @@ object CoreQueries {
         |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us FROM events WHERE event_type = 'click')
         |SELECT v.user_id, view_us, click_us
         |FROM v JOIN c ON v.user_id = c.user_id
-        | AND click_us > view_us AND click_us <= view_us + 3600000000""".stripMargin
+        | AND click_us > view_us AND click_us <= view_us + 3600000000""".stripMargin,
+    "q31b_asof" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS view_us FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_us FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT v.user_id, view_us, click_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |   AND click_us > view_us AND click_us <= view_us + 3600000000),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, click_us ORDER BY view_us DESC) AS rn FROM pairs)
+        |SELECT user_id, click_us, view_us FROM ranked WHERE rn = 1""".stripMargin
   )
 }

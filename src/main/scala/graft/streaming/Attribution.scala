@@ -45,6 +45,22 @@ object Attribution {
         unix_micros(col("click_time")).as("click_us"))
   }
 
+  /** As-of join: each click matched to the LATEST preceding view within
+    * the window (ties on view time cannot occur — the pair join is strict
+    * and a user's view times are distinct per µs; `view_us DESC, view_us`
+    * ordering still makes the choice total). Built as the interval join +
+    * a rank-1 window per click, which Spark lowers to a WindowGroupLimit —
+    * the bounded per-group form, not a full sort of all pairs.
+    */
+  def asOfBatch(events: DataFrame, window: String = "1 hour"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "click_us").orderBy(desc("view_us"))
+    attributionBatch(events, window)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("user_id", "click_us", "view_us")
+  }
+
   /** Streaming form: same pairs from two watermarked streams (typically two
     * filters over one source stream). State for a view evicts once the
     * click watermark passes `view_time + window`.

@@ -26,6 +26,19 @@ class AttributionSpec extends SparkTestBase {
     assert(out == Set(("u1", us(T0), us(T0 + 10 * MinNs))))
   }
 
+  test("asOf: each click takes only its LATEST preceding in-window view") {
+    val events = Seq(
+      (T0, "u1", "view"),
+      (T0 + 5 * MinNs, "u1", "view"),    // later view: the as-of winner
+      (T0 + 10 * MinNs, "u1", "click"),  // both views in window: latest wins
+      (T0 + 70 * MinNs, "u1", "click")   // 65min after the last view: NO match
+    ).toDF("ts", "user_id", "event_type")
+    val out = Attribution.asOfBatch(events, "1 hour")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("u1", us(T0 + 10 * MinNs), us(T0 + 5 * MinNs))))
+  }
+
   test("stream-stream: watermarked interval join emits the in-window pair") {
     implicit val ctx = spark.sqlContext
     val vs = MemoryStream[(Long, String, String)]
