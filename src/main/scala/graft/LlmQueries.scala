@@ -68,6 +68,12 @@ object LlmQueries {
        |  FROM h)""".stripMargin
   }
 
+  /** The one benchmark-subset modulus: `doc_id % BenchMod = 0` marks the
+    * stand-in benchmark docs everywhere (Spark filters AND oracle SQL), so
+    * the subset and its complement can never disagree.
+    */
+  private val BenchMod = 97
+
   /** Shared CTE block `sh, long, bench`: exploded per-doc shingles plus the
     * distinct shingle set of the benchmark subset (`doc_id % benchMod = 0`)
     * over relation `src(doc_id, text)` — reused by the contamination
@@ -532,20 +538,20 @@ object LlmQueries {
   // ---- q24: benchmark decontamination ----------------------------------
 
   /** Decontamination over the duplicate-injected corpus: docs with
-    * `doc_id % 97 = 0` stand in for the benchmark set; every non-benchmark
+    * `doc_id % BenchMod = 0` stand in for the benchmark set; every non-benchmark
     * doc sharing a 3-gram shingle with it is flagged with its overlap
     * count. The corpus's injected exact/near dups guarantee real overlap.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     Contamination.overlap(DocumentsFixture.corpusDf(spark, dir),
-      "doc_id", "text", col("doc_id") % 97 === 0, shingleSize = ShingleSize)
+      "doc_id", "text", col("doc_id") % BenchMod === 0, shingleSize = ShingleSize)
 
   private val q24Oracle: String =
     s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
-       |${dShingleCtes("corpus", 97)}
+       |${dShingleCtes("corpus", BenchMod)}
        |SELECT l.doc_id, count(DISTINCT l.s) AS n_contaminated_shingles
        |FROM long l JOIN bench b USING (s)
-       |WHERE l.doc_id % 97 <> 0
+       |WHERE l.doc_id % $BenchMod <> 0
        |GROUP BY l.doc_id""".stripMargin
 
   // ---- q28: deterministic mixing sample --------------------------------
@@ -588,7 +594,7 @@ object LlmQueries {
       TextStats.qualityScore(col("text")).as("quality"),
       TextStats.langId(col("text")).as("pred_lang"))
     val deduped = scored
-      .filter(col("quality") >= 0.5 && col("doc_id") % 97 =!= 0)
+      .filter(col("quality") >= 0.5 && col("doc_id") % BenchMod =!= 0)
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("doc_id"),
         // identical content => identical pred_lang; min() is just the
@@ -596,7 +602,7 @@ object LlmQueries {
         min(col("pred_lang")).as("pred_lang"),
         count(lit(1)).as("n_dups"))
     val contaminatedIds = Contamination
-      .overlap(corpus, "doc_id", "text", col("doc_id") % 97 === 0, ShingleSize)
+      .overlap(corpus, "doc_id", "text", col("doc_id") % BenchMod === 0, ShingleSize)
       .select("doc_id")
     val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
     graft.operators.Sampling.stratifiedQuota(
@@ -610,12 +616,12 @@ object LlmQueries {
        |dedup AS (
        |  SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang,
        |    content_hash, count(*) AS n_dups
-       |  FROM scored WHERE quality >= 0.5 AND doc_id % 97 <> 0
+       |  FROM scored WHERE quality >= 0.5 AND doc_id % $BenchMod <> 0
        |  GROUP BY content_hash),
-       |${dShingleCtes("corpus", 97)},
+       |${dShingleCtes("corpus", BenchMod)},
        |contaminated AS (
        |  SELECT DISTINCT l.doc_id FROM long l JOIN bench b USING (s)
-       |  WHERE l.doc_id % 97 <> 0),
+       |  WHERE l.doc_id % $BenchMod <> 0),
        |clean AS (SELECT * FROM dedup
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
        |ranked AS (SELECT *, row_number() OVER (

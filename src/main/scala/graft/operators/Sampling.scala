@@ -37,10 +37,12 @@ object Sampling {
     * comparison is strict, so it must not be used at full rate: a prefix of
     * exactly "ffffffff" — 1 row in 2^32, real at 100 TB — would drop).
     */
-  def sampleByHash(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
-    if (rate >= 1.0) df
+  def sampleByHash(df: DataFrame, keyCol: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    if (rate == 1.0) df
     else df.filter(
       substring(md5(keyCol.cast("string")), 1, 8) < lit(rateThresholdHex(rate)))
+  }
 
   /** Per-stratum quota (data mixing): keep at most `quota` rows per value
     * of `stratumCol`, chosen in md5(key) order (ties on the key itself) —

@@ -29,13 +29,11 @@ object Attribution {
         col("user_id"),
         timestamp_micros(expr("ts DIV 1000")).as(s"${outPrefix}_time"))
 
-  /** Batch form: one row per (view, click) pair of the same user with
-    * `view_time < click_time <= view_time + window`. Strict lower bound:
-    * a click simultaneous with a view is not attributed to it.
+  /** ONE join body for both forms: the equi+range condition (strict lower,
+    * inclusive upper bound) and the output projection live here only, so
+    * the oracle-matched batch form and the streaming form cannot drift.
     */
-  def attributionBatch(events: DataFrame, window: String = "1 hour"): DataFrame = {
-    val views = side(events, "view", "view")
-    val clicks = side(events, "click", "click")
+  private def joinPairs(views: DataFrame, clicks: DataFrame, window: String): DataFrame =
     views.join(clicks,
         views("user_id") === clicks("user_id") &&
           col("click_time") > col("view_time") &&
@@ -43,13 +41,21 @@ object Attribution {
       .select(views("user_id"),
         unix_micros(col("view_time")).as("view_us"),
         unix_micros(col("click_time")).as("click_us"))
-  }
+
+  /** Batch form: one row per (view, click) pair of the same user with
+    * `view_time < click_time <= view_time + window`. Strict lower bound:
+    * a click simultaneous with a view is not attributed to it.
+    */
+  def attributionBatch(events: DataFrame, window: String = "1 hour"): DataFrame =
+    joinPairs(side(events, "view", "view"), side(events, "click", "click"), window)
 
   /** As-of join: each click matched to the LATEST preceding view within
-    * the window (ties on view time cannot occur — the pair join is strict
-    * and a user's view times are distinct per µs; `view_us DESC, view_us`
-    * ordering still makes the choice total). Built as the interval join +
-    * a rank-1 window per click, which Spark lowers to a WindowGroupLimit —
+    * the window. The rank orders by `view_us DESC` only: two views of one
+    * user in the same microsecond produce IDENTICAL output tuples here, so
+    * either rank-1 pick yields the same row — but a caller extending the
+    * output with a per-view column must add that column as a tiebreak or
+    * the pick becomes nondeterministic. Built as the interval join + a
+    * rank-1 window per click, which Spark lowers to a WindowGroupLimit —
     * the bounded per-group form, not a full sort of all pairs.
     */
   def asOfBatch(events: DataFrame, window: String = "1 hour"): DataFrame = {
@@ -67,15 +73,9 @@ object Attribution {
     */
   def attributionStream(
       views: DataFrame, clicks: DataFrame,
-      window: String = "1 hour", watermark: String = "30 minutes"): DataFrame = {
-    val v = side(views, "view", "view").withWatermark("view_time", watermark)
-    val c = side(clicks, "click", "click").withWatermark("click_time", watermark)
-    v.join(c,
-        v("user_id") === c("user_id") &&
-          col("click_time") > col("view_time") &&
-          col("click_time") <= col("view_time") + expr(s"INTERVAL $window"))
-      .select(v("user_id"),
-        unix_micros(col("view_time")).as("view_us"),
-        unix_micros(col("click_time")).as("click_us"))
-  }
+      window: String = "1 hour", watermark: String = "30 minutes"): DataFrame =
+    joinPairs(
+      side(views, "view", "view").withWatermark("view_time", watermark),
+      side(clicks, "click", "click").withWatermark("click_time", watermark),
+      window)
 }

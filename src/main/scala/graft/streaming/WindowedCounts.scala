@@ -47,6 +47,26 @@ object WindowedCounts {
         col("event_type"),
         col("n_events"))
 
+  /** ONE aggregation body for both key-presence forms: the optional
+    * watermark is the only difference between batch and stream, so the
+    * projection and duplicate-key convention can never diverge between the
+    * oracle-matched batch form and the streaming monitor.
+    */
+  private def keyCountsCore(
+      events: DataFrame, duration: String, watermark: Option[String]): DataFrame = {
+    val stamped = events.withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
+    watermark.fold(stamped)(stamped.withWatermark("ts_micro", _))
+      .select(col("ts_micro"),
+        explode(array_distinct(graft.operators.JsonKeys.keysOf(col("props"))))
+          .as("prop_key"))
+      .groupBy(window(col("ts_micro"), duration), col("prop_key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("prop_key"),
+        col("n_events"))
+  }
+
   /** The reference's key-presence metric (q01) as a CONTINUOUS monitor:
     * per tumbling window, how many events carried each JSON payload key.
     * `array_distinct` pins the duplicate-key JSON semantics to the q01
@@ -54,33 +74,12 @@ object WindowedCounts {
     * per open window is one row per (window, key).
     */
   def keyCountsBatch(events: DataFrame, duration: String = "1 hour"): DataFrame =
-    events
-      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
-      .select(col("ts_micro"),
-        explode(array_distinct(graft.operators.JsonKeys.keysOf(col("props"))))
-          .as("prop_key"))
-      .groupBy(window(col("ts_micro"), duration), col("prop_key"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(
-        unix_micros(col("window.start")).as("bucket_us"),
-        col("prop_key"),
-        col("n_events"))
+    keyCountsCore(events, duration, None)
 
   /** Watermarked streaming form of [[keyCountsBatch]]. */
   def keyCountsStream(
       events: DataFrame,
       duration: String = "1 hour",
       watermark: String = "30 minutes"): DataFrame =
-    events
-      .withColumn("ts_micro", timestamp_micros(expr("ts DIV 1000")))
-      .withWatermark("ts_micro", watermark)
-      .select(col("ts_micro"),
-        explode(array_distinct(graft.operators.JsonKeys.keysOf(col("props"))))
-          .as("prop_key"))
-      .groupBy(window(col("ts_micro"), duration), col("prop_key"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(
-        unix_micros(col("window.start")).as("bucket_us"),
-        col("prop_key"),
-        col("n_events"))
+    keyCountsCore(events, duration, Some(watermark))
 }
