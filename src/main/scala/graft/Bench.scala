@@ -83,10 +83,17 @@ object Bench {
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line =
+    // stdout gets the compact medians-only line: the driver captures only a
+    // bounded tail of sbt output, and the full per-query sample arrays made
+    // the line exceed that buffer (BENCH_r04/r05 "parsed": null). The full
+    // line with all samples still goes to BENCH_RESULT.json so variance
+    // stays auditable.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    println(line)
-    Files.writeString(Paths.get("BENCH_RESULT.json"), line + "\n")
+    println(compact)
+    Files.writeString(Paths.get("BENCH_RESULT.json"), full + "\n")
     spark.stop()
   }
 }

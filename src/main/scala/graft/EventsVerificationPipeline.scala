@@ -157,8 +157,25 @@ object EventsVerificationPipeline {
     * union-reduced (U2), per-channel results union-reduced (U3), window
     * rank + `first()` version pick. Output is identical to [[run]]; kept as
     * the parity surface and exercised against it in tests.
+    *
+    * Cache ownership: the shredded base catalog is persisted for the channel
+    * loop AND for the returned (lazy) union plan, so it cannot be released
+    * here. This overload leaves the blocks cached until the session clears
+    * them (`spark.catalog.clearCache()` — what Bench does between timed
+    * iterations); callers invoking repeatedly in one session should use
+    * [[runParityReleasable]] and call the release thunk after their final
+    * action on the result.
     */
-  def runParity(catalog: DataFrame, spec: DataFrame, params: VerificationParams): DataFrame = {
+  def runParity(catalog: DataFrame, spec: DataFrame, params: VerificationParams): DataFrame =
+    runParityReleasable(catalog, spec, params)._1
+
+  /** [[runParity]] plus an explicit cache-release thunk: call it after the
+    * LAST action on the returned frame (earlier calls are safe but forfeit
+    * the cache and re-derive the shredded base per channel).
+    */
+  def runParityReleasable(
+      catalog: DataFrame, spec: DataFrame,
+      params: VerificationParams): (DataFrame, () => Unit) = {
     val spark = catalog.sparkSession
     val channels = spec.select("channel").distinct().collect().map(_.get(0).toString).sorted
 
@@ -226,7 +243,7 @@ object EventsVerificationPipeline {
       Report.assemble(valueM, keyM, Seq("event_name"),
         lit(ch), lit(version), params.processDate, params.eventDate)
     }
-    Report.unionAll(perChannel) // U3
+    (Report.unionAll(perChannel), () => { base.unpersist(false); () }) // U3
   }
 
   private def str(r: org.apache.spark.sql.Row, field: String): String =

@@ -21,8 +21,17 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
-    val arms = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    df.selectExpr(s"stack(${cols.size}, $arms) AS (col_name, value)")
+    // Column-based unpivot (explode of an array of (col_name, value)
+    // structs, same generator altitude as stack): column names are passed
+    // as values, never interpolated into SQL text, so a name containing a
+    // backtick or quote profiles fine instead of producing malformed SQL.
+    val kvs = array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("`" + c.replace("`", "``") + "`").cast("string").as("value"))
+    }: _*)
+    df.select(explode(kvs).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
       .groupBy("col_name")
       .agg(
         count(lit(1)).as("total"),

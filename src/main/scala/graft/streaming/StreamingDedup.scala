@@ -20,14 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** Batch twin of the dedup DECISION: one row per key with its min event
-    * time. Output is keyCols + the ts column only — callers needing the
-    * full first-arrival payload row should join this back on the keys.
+  /** One row per key with its min event time — the dedup DECISION only,
+    * deliberately NOT schema-compatible with [[dedupStream]] (named so it
+    * can't read as a drop-in twin; [[dedupBatch]] is the full-row twin).
     */
-  def dedupBatch(df: DataFrame, tsColNs: String, keyCols: Seq[String]): DataFrame =
+  def firstArrivalTimes(df: DataFrame, tsColNs: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(tsColNs)).as(tsColNs))
       .select(keyCols.map(col) :+ col(tsColNs): _*)
+
+  /** Batch twin of [[dedupStream]] with the SAME row payload: the full
+    * first-arrival row per key (all input columns, first by event time).
+    * Ties on the min timestamp are broken by `tieBreak` columns; with an
+    * empty tieBreak and genuinely tied duplicates the kept row is
+    * arbitrary-but-single, matching the streaming operator's
+    * whichever-arrived-first semantics.
+    */
+  def dedupBatch(
+      df: DataFrame, tsColNs: String, keyCols: Seq[String],
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsColNs +: tieBreak).map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** Streaming form: first occurrence per `keyCols` within the watermark
     * horizon; duplicates inside the horizon drop, state evicts as the

@@ -20,6 +20,16 @@ class ProfileSpec extends SparkTestBase {
     assert(out("d") == ((4L, 3L, 2L, 25.0)))
   }
 
+  test("profile: hostile column names (backtick, quote) profile instead of breaking") {
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("a`b", "it's")
+    val out = Profile.profile(df, Seq("a`b", "it's"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a`b") == ((2L, 2L, 2L, 0.0)))
+    assert(out("it's") == ((2L, 2L, 2L, 0.0)))
+  }
+
   test("profile plan: one shuffle, partial aggregation before it") {
     val df = Seq((1L, "a")).toDF("id", "s")
     val p = Profile.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString

@@ -52,13 +52,23 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
-  test("batch twin: one row per key with the min event time") {
+  test("batch twin: full first-arrival rows, same schema as the input") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val out = StreamingDedup.dedupBatch(events, "ts", Seq("user_id", "event_type"))
+    // drop-in twin contract: every input column survives
+    assert(out.columns.toSeq == events.columns.toSeq)
     assert(out.count() ==
       events.select("user_id", "event_type").distinct().count())
     val mins = events.groupBy("user_id", "event_type").agg(min("ts").as("m"))
     assert(out.join(mins, Seq("user_id", "event_type"))
       .filter(col("ts") =!= col("m")).count() == 0)
+  }
+
+  test("firstArrivalTimes: keys + min ts only (the decision form)") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val times = StreamingDedup.firstArrivalTimes(events, "ts", Seq("user_id", "event_type"))
+    assert(times.columns.toSeq == Seq("user_id", "event_type", "ts"))
+    val full = StreamingDedup.dedupBatch(events, "ts", Seq("user_id", "event_type"))
+    assert(times.except(full.select("user_id", "event_type", "ts")).count() == 0)
   }
 }
