@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.DocumentsFixture
-import graft.llm.{Contamination, Dedup, Similarity, TextStats}
+import graft.llm.{Chunking, Contamination, Dedup, Similarity, TextStats}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the LLM-training-data tier: text analysis,
@@ -188,14 +188,19 @@ object LlmQueries {
     Dedup.minhashPairs(DocumentsFixture.corpusDf(spark, dir), "doc_id", "text",
       ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
 
-  private val q12Oracle: String = {
+  /** CTE chain `corpus … pairs(id_a, id_b, jaccard)` — the whole MinHash-LSH
+    * near-dup pipeline as a reusable oracle building block, shared by q12
+    * (the pairs themselves) and q32 (their transitive closure) so the SQL
+    * mirror cannot drift between the two.
+    */
+  private val dMinhashPairCtes: String = {
     val sigs = (0 until NumHashes).map(i => s"${dMinHash("shingles", i)} AS sig$i")
     val bandArms = (0 until NumHashes / RowsPerBand).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => s"sig${b * RowsPerBand + r}").mkString(" || ")
       s"SELECT id, $b AS band_id, md5($parts) AS band_hash FROM sig"
     }
-    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+    s"""corpus AS (${DocumentsFixture.corpusSql()}),
        |t AS (SELECT doc_id AS id, $dToks AS toks FROM corpus),
        |sh AS (SELECT id, ${dShingles("toks", ShingleSize)} AS shingles FROM t),
        |sig AS (SELECT id, shingles, ${sigs.mkString(", ")} FROM sh),
@@ -206,10 +211,14 @@ object LlmQueries {
        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
        |verified AS (
        |  SELECT c.id_a, c.id_b, sa.shingles AS sh_a, sb.shingles AS sh_b
-       |  FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id)
-       |SELECT id_a, id_b, $dJaccard AS jaccard
-       |FROM verified WHERE $dJaccard >= $JaccThreshold""".stripMargin
+       |  FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id),
+       |pairs AS (
+       |  SELECT id_a, id_b, $dJaccard AS jaccard
+       |  FROM verified WHERE $dJaccard >= $JaccThreshold)""".stripMargin
   }
+
+  private val q12Oracle: String =
+    s"WITH $dMinhashPairCtes SELECT id_a, id_b, jaccard FROM pairs"
 
   // ---- q13: blocked n-gram Jaccard -------------------------------------
 
@@ -657,6 +666,106 @@ object LlmQueries {
        |FROM scored WHERE quality >= 0.5 AND pred_lang = 'en'
        |GROUP BY content_hash""".stripMargin
 
+  // ---- q32: near-dup clusters (connected components) -------------------
+
+  /** The dedup end-game over q12's verified pairs: transitive closure into
+    * clusters, one deterministic canonical keep per cluster (the min
+    * doc_id). Every corpus doc appears once — docs in no pair are their own
+    * singleton cluster. `keep` is 1 for the canonical member, as INT so the
+    * cross-engine compare never sees a boolean.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    corpus.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        (coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("keep"))
+  }
+
+  /** DuckDB twin: recursive-CTE transitive closure over the same pair list
+    * (`reach` = every ordered pair connected by >=1 edges; cluster = min id
+    * reachable, least'ed with the vertex itself).
+    */
+  private val q32Oracle: String =
+    s"""WITH RECURSIVE $dMinhashPairCtes,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |  FROM reach GROUP BY u)
+       |SELECT c.doc_id, coalesce(p.cluster, c.doc_id) AS cluster,
+       |  CAST(coalesce(p.cluster, c.doc_id) = c.doc_id AS INT) AS keep
+       |FROM corpus c LEFT JOIN comp p USING (doc_id)""".stripMargin
+
+  // ---- q33: document chunking ------------------------------------------
+
+  private val ChunkWindow = 64
+  private val ChunkStride = 48
+
+  /** Overlapping token-window chunks over the documents table — the
+    * long-document half of training-sequence shaping ([[Chunking.chunk]]).
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    Chunking.chunk(docs, "doc_id", "text", ChunkWindow, ChunkStride)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q33Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |    unnest(range(0, len(toks), $ChunkStride)) AS chunk_start
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, chunk_start // $ChunkStride AS chunk_id, chunk_start,
+       |  len(list_slice(toks, chunk_start + 1, chunk_start + $ChunkWindow))
+       |    AS n_chunk_tokens,
+       |  array_to_string(
+       |    list_slice(toks, chunk_start + 1, chunk_start + $ChunkWindow), ' ')
+       |    AS chunk_text
+       |FROM s""".stripMargin
+
+  // ---- q34: sequence packing -------------------------------------------
+
+  private val PackBudget = 2048
+
+  /** Contiguous greedy packing of the documents table into
+    * [[PackBudget]]-token training sequences, grouped per language (the
+    * pack group is the parallelism unit — see [[Chunking.pack]]).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("text"))
+    Chunking.pack(docs, "lang", "doc_id",
+        size(TextStats.tokens(col("text"))), PackBudget)
+      .select("doc_id", "lang", "n_tokens", "offset", "bin")
+  }
+
+  /** DuckDB twin: window cumsum per lang in doc_id order, ROWS frame pinned;
+    * the sum is cast back to BIGINT because DuckDB widens integer window
+    * sums to HUGEINT.
+    */
+  private val q34Oracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, len($dToks) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - n_tokens AS offset
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, c.offset, c.offset // $PackBudget AS bin
+       |FROM c""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -680,7 +789,10 @@ object LlmQueries {
     "q23_repetition" -> ((s, d) => repetitionStats(s, d)),
     "q24_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q28_mix_sample" -> ((s, d) => mixSample(s, d)),
-    "q29_curation" -> ((s, d) => curation(s, d))
+    "q29_curation" -> ((s, d) => curation(s, d)),
+    "q32_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q33_doc_chunks" -> ((s, d) => docChunks(s, d)),
+    "q34_seq_packing" -> ((s, d) => packSequences(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -704,6 +816,9 @@ object LlmQueries {
     "q23_repetition" -> q23Oracle,
     "q24_decontaminate" -> q24Oracle,
     "q28_mix_sample" -> q28Oracle,
-    "q29_curation" -> q29Oracle
+    "q29_curation" -> q29Oracle,
+    "q32_dedup_clusters" -> q32Oracle,
+    "q33_doc_chunks" -> q33Oracle,
+    "q34_seq_packing" -> q34Oracle
   )
 }

@@ -151,6 +151,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list: the dedup END-GAME.
+    * [[minhashPairs]]/[[blockedJaccardPairs]] emit edges; near-duplicate
+    * GROUPS are the transitive closure of those edges (a~b, b~c ⇒ {a,b,c}
+    * even when a,c share no band), and the kept canonical document is one
+    * representative per component. Output: (id, cluster) for every id that
+    * appears in `pairs`, with `cluster` = the minimum id reachable from it
+    * — deterministic, so retries and the SQL oracle agree.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round does (1) an edge pass — every vertex takes the min of its
+    * own label and its neighbors' labels (one shuffle keyed on vertex) —
+    * and (2) a label-to-label join — label(v) ← label(label(v)) — which
+    * halves chain depth, giving O(log diameter) rounds (the classic
+    * Shiloach-Vishkin / Hash-to-Min shape). Labels are eagerly
+    * `localCheckpoint`ed every round: iterative self-joins otherwise grow
+    * the lineage/plan exponentially, which is the standard Spark iterative-
+    * algorithm failure mode at any scale. Each round is 2 bounded shuffles
+    * on the vertex id; state is one (id, label) row per vertex — at 100 TB
+    * that is |near-dup docs|, orders of magnitude below corpus size.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    // symmetric closure PLUS a self-loop per vertex: with (v,v) present,
+    // the neighbor-min in the edge pass automatically includes v's own
+    // label, so each round is a single join+groupBy — never a union of a
+    // frame with its own derivation (which trips Union constraint
+    // rewriting in Spark 4.1).
+    val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val edges = sym
+      .union(sym.select(col("u"), col("u").as("v")).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // (1) edge pass: every vertex v takes min over {label(u) : u ~ v},
+      // which includes label(v) via the self-loop
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "u"), "u")
+        .groupBy(col("v").as("id")).agg(min("label").as("label"))
+      // (2) pointer jump: label(v) <- label(label(v)). Every label value is
+      // itself a vertex id (a min over vertex ids), so the inner join keeps
+      // all rows.
+      val jumped = propagated.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), least(col("x.label"), col("y.label")).as("label"))
+      val next = jumped.localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(false)
+    require(converged, s"connectedComponents did not converge in $maxIterations iterations")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Blocked n-gram Jaccard via shingle co-occurrence: explode shingles,
     * self-join on (block, shingle) — a bucketed equi-join — and count
     * common shingles per pair; Jaccard follows from

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunk: window/stride offsets, short tail, empty doc yields nothing") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   ") // whitespace-only -> zero tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunk(docs, "doc_id", "text", windowTokens = 4, strideTokens = 3)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // doc 1: starts 0,3,6,9 -> windows of 4,4,4 and a 1-token tail
+    assert(out((1L, 0)) == ((0, 4, "t1 t2 t3 t4")))
+    assert(out((1L, 1)) == ((3, 4, "t4 t5 t6 t7")))
+    assert(out((1L, 2)) == ((6, 4, "t7 t8 t9 t10")))
+    assert(out((1L, 3)) == ((9, 1, "t10")))
+    // doc 2: single short chunk
+    assert(out((2L, 0)) == ((0, 3, "only three tokens")))
+    assert(!out.keySet.exists(_._1 == 3L))
+    assert(out.size == 5)
+  }
+
+  test("chunk: consecutive chunks overlap by window - stride tokens") {
+    val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Chunking.chunk(docs, "doc_id", "text", 8, 5)
+      .orderBy("chunk_id")
+      .select("chunk_text").as[String].collect()
+      .map(_.split(" ").toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.takeRight(3) == b.take(3), s"overlap broken: $a | $b")
+      case _ => ()
+    }
+  }
+
+  test("chunk: every chunk is a no-shuffle generator plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Chunking.chunk(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("pack: per-group running offsets and bin assignment") {
+    val docs = Seq(
+      (1L, "en", 100), (2L, "en", 150), (3L, "en", 80), (4L, "en", 200),
+      (10L, "fr", 300)
+    ).toDF("doc_id", "lang", "n")
+    val out = Chunking.pack(docs, "lang", "doc_id", col("n"), budgetTokens = 256)
+      .select("doc_id", "offset", "bin").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // en stream: offsets 0,100,250,330 -> bins 0,0,0,1
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((100L, 0L)))
+    assert(out(3L) == ((250L, 0L)))
+    assert(out(4L) == ((330L, 1L)))
+    // fr group starts its own stream
+    assert(out(10L) == ((0L, 0L)))
+  }
+
+  test("pack: group partitioning means no single global sort partition") {
+    val docs = Seq((1L, "en", 10), (2L, "fr", 10)).toDF("doc_id", "lang", "n")
+    val plan = Chunking.pack(docs, "lang", "doc_id", col("n"), 100)
+      .queryExecution.executedPlan.toString
+    // hashpartitioning on the group key, never SinglePartition
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+}

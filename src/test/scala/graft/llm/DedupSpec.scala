@@ -90,6 +90,30 @@ class DedupSpec extends SparkTestBase {
     assert(j1 == 0.5 && j2 == j1)
   }
 
+  test("connectedComponents: transitive closure, min-id cluster labels") {
+    // two components: a path 1-2-3 (1,3 never share an edge) and pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: long chain converges (pointer jumping), reversed edges too") {
+    val n = 64
+    // worst-case diameter: a single chain, edges listed high-to-low so the
+    // min label must travel the whole chain length
+    val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong)).reverse
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIterations = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == n && cc.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents: empty pair list -> empty labels, no divergence") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).isEmpty)
+  }
+
   test("simhash: identical text -> identical sketch; near dup -> small hamming; 16-bit range") {
     val out = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
       .as[(Long, Long)].collect().toMap
