@@ -766,6 +766,27 @@ object LlmQueries {
        |SELECT doc_id, lang, n_tokens, c.offset, c.offset // $PackBudget AS bin
        |FROM c""".stripMargin
 
+  // ---- q35: corpus vocabulary ------------------------------------------
+
+  private val VocabTopK = 200
+
+  /** Top-[[VocabTopK]] terms by document frequency with occurrence totals
+    * ([[TextStats.vocabulary]]) — all-integer outputs, deterministic
+    * df-then-term tie-break.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextStats.vocabulary(docs, "doc_id", "text", VocabTopK)
+  }
+
+  private val q35Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |long AS (SELECT doc_id, unnest(toks) AS term FROM t)
+       |SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS df
+       |FROM long GROUP BY term
+       |ORDER BY df DESC, term LIMIT $VocabTopK""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -792,7 +813,8 @@ object LlmQueries {
     "q29_curation" -> ((s, d) => curation(s, d)),
     "q32_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q33_doc_chunks" -> ((s, d) => docChunks(s, d)),
-    "q34_seq_packing" -> ((s, d) => packSequences(s, d))
+    "q34_seq_packing" -> ((s, d) => packSequences(s, d)),
+    "q35_vocab" -> ((s, d) => vocab(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -819,6 +841,7 @@ object LlmQueries {
     "q29_curation" -> q29Oracle,
     "q32_dedup_clusters" -> q32Oracle,
     "q33_doc_chunks" -> q33Oracle,
-    "q34_seq_packing" -> q34Oracle
+    "q34_seq_packing" -> q34Oracle,
+    "q35_vocab" -> q35Oracle
   )
 }

@@ -61,7 +61,8 @@ object CoreQueries {
     "q31_attribution" -> ((s, dir) =>
       graft.streaming.Attribution.attributionBatch(Tables.events(s, dir), "1 hour")),
     "q31b_asof" -> ((s, dir) =>
-      graft.streaming.Attribution.asOfBatch(Tables.events(s, dir), "1 hour"))
+      graft.streaming.Attribution.asOfBatch(Tables.events(s, dir), "1 hour")),
+    "q36_quantiles" -> ((s, dir) => quantiles(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -117,6 +118,27 @@ object CoreQueries {
       .groupBy(col("n_name"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .cast("double").as("revenue"))
+
+  /** q36 — per-group EXACT interpolated quantiles over `lineitem` (the
+    * numeric half of profiling, next to q27's counts). Spark `percentile`
+    * and DuckDB `quantile_cont` share the definition (index p·(n−1), linear
+    * interpolation) and are empirically bit-identical on this data, so the
+    * doubles are oracle-safe — unlike double SUMS, interpolation between
+    * two sorted elements has no aggregation-order dependence. Scale note:
+    * exact percentile buffers each group's value multiset (Spark keeps a
+    * value→count map per group, so memory is O(distinct values per group)
+    * — bounded here); when values are unbounded at 100 TB the switch is
+    * `approx_percentile` with an error budget, same plan shape.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("price_p25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("price_p50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("price_p75"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("price_p99"),
+        percentile(col("l_quantity"), lit(0.5)).as("qty_p50"))
 
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->
@@ -180,6 +202,14 @@ object CoreQueries {
         |   AND click_us > view_us AND click_us <= view_us + 3600000000),
         |ranked AS (SELECT *, row_number() OVER (
         |    PARTITION BY user_id, click_us ORDER BY view_us DESC) AS rn FROM pairs)
-        |SELECT user_id, click_us, view_us FROM ranked WHERE rn = 1""".stripMargin
+        |SELECT user_id, click_us, view_us FROM ranked WHERE rn = 1""".stripMargin,
+    "q36_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS price_p75,
+        |  quantile_cont(l_extendedprice, 0.99) AS price_p99,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -107,6 +107,27 @@ object TextStats {
 
   /** Exact-content fingerprint: md5 of lowercased, trimmed text. */
   def contentFingerprint(c: Column): Column = md5(trim(lower(c)))
+
+  /** Corpus vocabulary statistics: per term, total occurrences and document
+    * frequency, the top `topK` terms by df (ties broken by term, so the cut
+    * is a deterministic total order). The inputs to tokenizer-training /
+    * stopword-mining / idf-weighting steps.
+    *
+    * Scale shape: one explode, one groupBy on the term with partial
+    * aggregation (count + count-distinct doc expands to a two-phase agg),
+    * then a global top-k — Spark lowers orderBy+limit to
+    * TakeOrderedAndProject, which keeps per-partition heaps of k rows and
+    * never materializes a global sort. At 100 TB the shuffle carries one
+    * (term, doc) row per distinct pair post-partial-agg; no driver
+    * collection anywhere.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(topK)
 
   // ---- PII redaction ----------------------------------------------------
 
