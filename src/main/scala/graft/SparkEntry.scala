@@ -62,7 +62,9 @@ object CoreQueries {
       graft.streaming.Attribution.attributionBatch(Tables.events(s, dir), "1 hour")),
     "q31b_asof" -> ((s, dir) =>
       graft.streaming.Attribution.asOfBatch(Tables.events(s, dir), "1 hour")),
-    "q36_quantiles" -> ((s, dir) => quantiles(s, dir))
+    "q36_quantiles" -> ((s, dir) => quantiles(s, dir)),
+    "q37_rollup" -> ((s, dir) => pricingRollup(s, dir)),
+    "q38_pivot" -> ((s, dir) => pricingPivot(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -118,6 +120,36 @@ object CoreQueries {
       .groupBy(col("n_name"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .cast("double").as("revenue"))
+
+  /** q37 — ROLLUP of the q25 pricing summary: subtotal rows per
+    * `l_returnflag` and a grand total alongside the leaf groups, tagged by
+    * `grouping_id` (bitmask, leftmost rollup column = MSB — the standard
+    * `GROUPING(a, b)` encoding DuckDB shares). Spark lowers rollup to one
+    * Expand + the same partial-agg/shuffle as a flat groupBy — ×3 map-side
+    * rows here, still one shuffle, so the 100 TB shape is q25's.
+    */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        grouping_id().as("gid"))
+
+  /** q38 — pivot, the inverse of the V1 `stack` unpivot: per return flag,
+    * one quantity-sum column per line status. Values are EXPLICIT
+    * (`Seq("F", "O")`): without them Spark first runs a distinct scan to
+    * discover pivot columns AND the output schema becomes data-dependent —
+    * both wrong at 100 TB. With pinned values this is a flat groupBy with
+    * conditional aggregates, one shuffle.
+    */
+  def pricingPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec("l_quantity")).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
 
   /** q36 — per-group EXACT interpolated quantiles over `lineitem` (the
     * numeric half of profiling, next to q27's counts). Spark `percentile`
@@ -210,6 +242,19 @@ object CoreQueries {
         |  quantile_cont(l_extendedprice, 0.75) AS price_p75,
         |  quantile_cont(l_extendedprice, 0.99) AS price_p99,
         |  quantile_cont(l_quantity, 0.5) AS qty_p50
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q37_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS count_order,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q38_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -40,6 +40,17 @@ object Tables {
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** JSON-lines reader with an EXPLICIT schema — the standard raw-corpus
+    * interchange format of LLM data pipelines. The schema is required, not
+    * inferred: inference costs a full extra pass over the data and makes
+    * the output schema data-dependent, both wrong at 100 TB. Rows that
+    * don't parse surface in `_corrupt_record` when the schema includes it
+    * (PERMISSIVE default) instead of failing the job.
+    */
+  def jsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
@@ -66,6 +77,12 @@ object Sinks {
 
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** JSON-lines sink (one JSON object per line, splittable back through
+    * [[Tables.jsonl]]).
+    */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 
   /** Hive-style partitioned parquet — the output layout the reference
     * CONSUMES (`process_date=`/`event_date=` paths, `event_verify.py:21`)
