@@ -766,6 +766,34 @@ object LlmQueries {
        |SELECT doc_id, lang, n_tokens, c.offset, c.offset // $PackBudget AS bin
        |FROM c""".stripMargin
 
+  // ---- q34b: packed sequences ------------------------------------------
+
+  /** q34's bin assignment materialized into the actual training sequences
+    * ([[Chunking.packedSequences]]): per (lang, bin), member count, token
+    * total, and the in-order concatenated text.
+    */
+  def packedText(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val packed = Chunking.pack(docs, "lang", "doc_id",
+      size(TextStats.tokens(col("text"))), PackBudget)
+    Chunking.packedSequences(packed, "lang", "doc_id", "text")
+  }
+
+  private val q34bOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, len($dToks) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, lang, text, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - n_tokens AS offset
+       |  FROM t),
+       |b AS (SELECT *, c.offset // $PackBudget AS bin FROM c)
+       |SELECT lang, bin, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+       |FROM b GROUP BY 1, 2""".stripMargin
+
   // ---- q35: corpus vocabulary ------------------------------------------
 
   private val VocabTopK = 200
@@ -814,6 +842,7 @@ object LlmQueries {
     "q32_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q33_doc_chunks" -> ((s, d) => docChunks(s, d)),
     "q34_seq_packing" -> ((s, d) => packSequences(s, d)),
+    "q34b_packed_text" -> ((s, d) => packedText(s, d)),
     "q35_vocab" -> ((s, d) => vocab(s, d))
   )
 
@@ -842,6 +871,7 @@ object LlmQueries {
     "q32_dedup_clusters" -> q32Oracle,
     "q33_doc_chunks" -> q33Oracle,
     "q34_seq_packing" -> q34Oracle,
+    "q34b_packed_text" -> q34bOracle,
     "q35_vocab" -> q35Oracle
   )
 }

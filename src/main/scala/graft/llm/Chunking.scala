@@ -75,4 +75,30 @@ object Chunking {
       .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("offset") / budgetTokens))
   }
+
+  /** Materialize [[pack]]'s bin assignment into actual training sequences:
+    * one row per (group, bin) with the member texts concatenated in
+    * `orderCol` order. `seq_tokens` can exceed the budget when a document
+    * straddles a bin boundary (pack assigns by FIRST token; chunk long docs
+    * first when strict budgets matter).
+    *
+    * The in-order concat is collect_list → array_sort on a (order, text)
+    * struct → join: sort_array of structs orders by the leading field, so
+    * the result is deterministic regardless of arrival order. One shuffle
+    * on (group, bin); a bin holds ~budget tokens of text by construction,
+    * so collect_list state per group is bounded by the budget, not by data
+    * size — the property that makes this safe at 100 TB.
+    */
+  def packedSequences(
+      packed: DataFrame, groupCol: String, orderCol: String,
+      textCol: String): DataFrame =
+    packed.groupBy(col(groupCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            x => x.getField(textCol)),
+          " ").as("seq_text"))
 }

@@ -63,6 +63,23 @@ class ChunkingSpec extends SparkTestBase {
     assert(out(10L) == ((0L, 0L)))
   }
 
+  test("packedSequences: in-order concat per bin, counts and token totals") {
+    val docs = Seq(
+      (2L, "en", "second doc"),
+      (1L, "en", "first doc"),   // out of order on purpose
+      (3L, "en", "third doc"),
+      (10L, "fr", "seul doc")
+    ).toDF("doc_id", "lang", "text")
+    val packed = Chunking.pack(docs, "lang", "doc_id", lit(2), budgetTokens = 4)
+    val out = Chunking.packedSequences(packed, "lang", "doc_id", "text")
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // en: docs 1,2 fill bin 0 (offsets 0,2); doc 3 starts bin 1 (offset 4)
+    assert(out(("en", 0L)) == ((2L, 4L, "first doc second doc")))
+    assert(out(("en", 1L)) == ((1L, 2L, "third doc")))
+    assert(out(("fr", 0L)) == ((1L, 2L, "seul doc")))
+  }
+
   test("pack: group partitioning means no single global sort partition") {
     val docs = Seq((1L, "en", 10), (2L, "fr", 10)).toDF("doc_id", "lang", "n")
     val plan = Chunking.pack(docs, "lang", "doc_id", col("n"), 100)
