@@ -82,6 +82,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"star join must stay equi-keyed:\n$p")
   }
 
+  test("q33 chunking: parquet scan pruned to (doc_id, text), zero exchanges") {
+    val p = plan(LlmQueries.docChunks(spark, dir))
+    val scanLine = p.linesIterator.find(l => l.contains("Scan parquet"))
+    assert(scanLine.isDefined, s"no parquet scan found:\n$p")
+    assert(!scanLine.get.contains("n_chars") && !scanLine.get.contains("source"),
+      s"scan must prune unreferenced columns:\n${scanLine.get}")
+    // one round-robin repartition from the fixture is the ONLY exchange:
+    // chunk generation itself must stay narrow
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"chunking must not shuffle beyond the input spread:\n$p")
+  }
+
+  test("q37 rollup: Expand feeds ONE partial-aggregated shuffle, like the flat groupBy") {
+    val p = plan(CoreQueries.pricingRollup(spark, dir))
+    assert(p.contains("Expand"), s"rollup lowers to Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) == 1,
+      s"rollup must stay a single-shuffle aggregation:\n$p")
+    assert(p.contains("partial"), s"subtotals must partial-aggregate map-side:\n$p")
+  }
+
+  test("q38 pivot: one scan, both exchanges fed by partial aggregates (no discovery scan)") {
+    // Spark lowers pivot to two aggregation phases: groupBy(keys+pivot col)
+    // then pivotfirst on the group key. The second exchange carries only
+    // |groups| x |pivot values| PRE-aggregated rows, so the lowering is
+    // scale-fine; what would NOT be fine — and what pinned values prevent —
+    // is a third scan to discover the pivot domain.
+    val p = plan(CoreQueries.pricingPivot(spark, dir))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"no distinct-discovery scan allowed:\n$p")
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) == 2 &&
+      p.contains("partial_pivotfirst") && p.contains("partial_sum"),
+      s"both pivot phases must partial-aggregate before their shuffles:\n$p")
+  }
+
   test("q17 nearest-in-block: broadcast below the threshold, shuffle join with salt above it") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val viaBroadcast = graft.llm.Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))
