@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The approximate-aggregation switches the scaladocs point at for
+  * unbounded cardinality at 100 TB (q27's count-distinct, q36's exact
+  * percentile): prove the sketches actually land within their error
+  * budgets on real data, so the "switch to approx" advice is tested, not
+  * folklore. Both are single-pass, mergeable sketches (HLL++ and
+  * KLL-style quantiles) — constant memory per group where the exact forms
+  * grow with distinct values.
+  */
+class SketchSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct: within the configured rsd of exact on every lineitem column") {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val exact = li.select(cols.map(c => count_distinct(col(c)).as(c)): _*).first()
+    val approx = li.select(
+      cols.map(c => approx_count_distinct(col(c), rsd = 0.02).as(c)): _*).first()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val e = exact.getLong(i).toDouble
+      val a = approx.getLong(i).toDouble
+      // 0.02 rsd is a standard deviation, not a hard bound — 4 sigma is a
+      // deterministic-enough ceiling for a fixed dataset and seed
+      assert(math.abs(a - e) / e <= 0.08,
+        s"$c: approx $a vs exact $e drifted beyond 4x rsd")
+    }
+  }
+
+  test("approx_percentile: within accuracy bound of the exact interpolated percentile") {
+    val li = Tables.lineitem(spark, dir)
+    val row = li.select(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"),
+      count(lit(1)).as("n")).first()
+    val (exact, approx, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    // percentile_approx(accuracy=A) guarantees rank error <= n/A; convert
+    // the rank window into a value window via the empirical distribution
+    // (+2 ranks absorbs 0/1-index and even-n median conventions)
+    val rankErr = ((n.toDouble / 10000).ceil.toLong max 1L) + 2L
+    val sorted = li.select(col("l_extendedprice").cast("double")).orderBy("l_extendedprice")
+    val mid = n / 2
+    val window = sorted.limit((mid + rankErr + 1).toInt).collect()
+      .drop((mid - rankErr).toInt).map(_.getDouble(0))
+    assert(approx >= window.min && approx <= window.max,
+      s"approx median $approx outside the rank-error window " +
+        s"[${window.min}, ${window.max}] around exact $exact")
+  }
+}
