@@ -80,6 +80,32 @@ class ChunkingSpec extends SparkTestBase {
     assert(out(("fr", 0L)) == ((1L, 2L, "seul doc")))
   }
 
+  test("pack: a document longer than the budget starts its bin and pushes the next doc past it") {
+    val docs = Seq((1L, "en", 500), (2L, "en", 100)).toDF("doc_id", "lang", "n")
+    val out = Chunking.pack(docs, "lang", "doc_id", col("n"), budgetTokens = 256)
+      .select("doc_id", "offset", "bin").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 0L)))   // oversized doc assigned by its FIRST token
+    assert(out(2L) == ((500L, 1L))) // next doc lands past the straddled bin
+  }
+
+  test("chunk then pack: when chunks bound doc length, every sequence stays under budget + window") {
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 90).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.chunk(docs, "doc_id", "text", windowTokens = 32, strideTokens = 32)
+      .withColumn("lang", lit("en"))
+      // a synthetic per-chunk order key that preserves (doc, chunk) order
+      .withColumn("ck", col("id") * 1000 + col("chunk_id"))
+    val packed = Chunking.pack(chunks, "lang", "ck", col("n_chunk_tokens"), budgetTokens = 64)
+    val seqTokens = Chunking.packedSequences(packed, "lang", "ck", "chunk_text")
+      .select("seq_tokens").as[Long].collect()
+    // every member is <= window(32), so no sequence exceeds budget + window - 1
+    assert(seqTokens.forall(_ <= 64 + 32 - 1), seqTokens.toSeq)
+    assert(seqTokens.sum == 150 + 90, "chunking at stride == window partitions every token exactly once")
+  }
+
   test("pack: group partitioning means no single global sort partition") {
     val docs = Seq((1L, "en", 10), (2L, "fr", 10)).toDF("doc_id", "lang", "n")
     val plan = Chunking.pack(docs, "lang", "doc_id", col("n"), 100)
