@@ -51,6 +51,19 @@ object Tables {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Streaming twin of [[jsonl]]: watch a directory for new JSON-lines
+    * files (the land-then-process ingest pattern). Streaming sources
+    * REQUIRE the explicit schema — inference is impossible on unbounded
+    * input — and `maxFilesPerTrigger` bounds each micro-batch so one bulk
+    * drop of history cannot produce an unbounded batch.
+    */
+  def jsonlStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
   def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -123,6 +123,27 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(back.filter(back("doc_id").isNotNull).count() == 2)
   }
 
+  test("JSONL streaming: files landing in the directory flow through as micro-batches") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-jsonl-stream").toFile
+    val in = new java.io.File(tmp, "in"); in.mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val query = Tables.jsonlStream(spark, in.getAbsolutePath, schema)
+      .writeStream.format("memory").queryName("jsonl_stream_sink")
+      .outputMode("append").start()
+    try {
+      Files.writeString(new java.io.File(in, "a.jsonl").toPath,
+        "{\"doc_id\": 1, \"text\": \"one\"}\n")
+      query.processAllAvailable()
+      Files.writeString(new java.io.File(in, "b.jsonl").toPath,
+        "{\"doc_id\": 2, \"text\": \"two\"}\n{\"doc_id\": 3, \"text\": \"three\"}\n")
+      query.processAllAvailable()
+      val got = spark.table("jsonl_stream_sink").count()
+      assert(got == 3, s"expected all landed rows to stream through, got $got")
+    } finally query.stop()
+  }
+
   test("parquet schema evolution: mergeSchema unions fields across file generations") {
     val tmp = Files.createTempDirectory("graft-evolve").toFile
     val root = tmp.getAbsolutePath
