@@ -64,7 +64,9 @@ object CoreQueries {
       graft.streaming.Attribution.asOfBatch(Tables.events(s, dir), "1 hour")),
     "q36_quantiles" -> ((s, dir) => quantiles(s, dir)),
     "q37_rollup" -> ((s, dir) => pricingRollup(s, dir)),
-    "q38_pivot" -> ((s, dir) => pricingPivot(s, dir))
+    "q38_pivot" -> ((s, dir) => pricingPivot(s, dir)),
+    "q39_gapfill" -> ((s, dir) =>
+      graft.streaming.WindowedCounts.gapFilledCounts(Tables.events(s, dir), "1 hour"))
   )
 
   private val lineitemCols = Seq(
@@ -255,6 +257,17 @@ object CoreQueries {
         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q39_gapfill" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |c AS (SELECT event_type, (tus // 3600000000) * 3600000000 AS bucket_us,
+        |  count(*) AS n_events FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+        |  FROM c GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |  FROM s)
+        |SELECT g.event_type, g.bucket_us, coalesce(c.n_events, 0) AS n_events
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type
+        |  AND g.bucket_us = c.bucket_us""".stripMargin
   )
 }

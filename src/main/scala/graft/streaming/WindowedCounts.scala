@@ -47,6 +47,33 @@ object WindowedCounts {
         col("event_type"),
         col("n_events"))
 
+  /** Gap filling: densify [[countsBatch]]'s sparse series — hours with no
+    * events get an explicit zero row between each event_type's first and
+    * last active bucket (downstream rate/anomaly math needs the zeros; a
+    * sparse series silently reads as "no data" instead of "no events").
+    *
+    * Plan shape: the dense grid comes from `sequence`+`explode` over each
+    * type's (min, max) span — grid size is |types| × horizon/window,
+    * bounded by TIME, not data volume — then one left join back on
+    * (type, bucket). The counts aggregate partially before their shuffle;
+    * the grid side is tiny at any data scale.
+    */
+  def gapFilledCounts(events: DataFrame, duration: String = "1 hour"): DataFrame = {
+    val windowUs = duration match {
+      case "1 hour" => 3600000000L
+      case other => throw new IllegalArgumentException(
+        s"gapFilledCounts supports '1 hour' buckets, got '$other'")
+    }
+    val counts = countsBatch(events, duration)
+    val grid = counts
+      .groupBy("event_type")
+      .agg(min("bucket_us").as("lo"), max("bucket_us").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(windowUs))).as("bucket_us"))
+    grid.join(counts, Seq("event_type", "bucket_us"), "left")
+      .na.fill(0L, Seq("n_events"))
+  }
+
   /** ONE aggregation body for both key-presence forms: the optional
     * watermark is the only difference between batch and stream, so the
     * projection and duplicate-key convention can never diverge between the

@@ -85,4 +85,18 @@ class WindowedCountsSpec extends SparkTestBase {
       .filter(windowed("n") =!= source("n")).count() == 0,
       "every event lands in exactly one window")
   }
+
+  test("gapFilledCounts: every hour in each type's span appears exactly once, zeros fill the gaps") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val sparse = WindowedCounts.countsBatch(events)
+    val dense = WindowedCounts.gapFilledCounts(events)
+    // dense keeps the sparse rows verbatim (nonzero rows == sparse rows)
+    assert(dense.filter(col("n_events") > 0).count() == sparse.count())
+    // full hourly coverage, no holes, no duplicates
+    val spanCheck = dense.groupBy("event_type")
+      .agg(((max("bucket_us") - min("bucket_us")) / 3600000000L + 1).as("expected"),
+        count(lit(1)).cast("double").as("got"))
+      .filter(col("expected") =!= col("got"))
+    assert(spanCheck.isEmpty, "every hourly bucket in the span must appear exactly once")
+  }
 }
