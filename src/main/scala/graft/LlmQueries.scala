@@ -815,6 +815,42 @@ object LlmQueries {
        |FROM long GROUP BY term
        |ORDER BY df DESC, term LIMIT $VocabTopK""".stripMargin
 
+  // ---- q40: incremental dedup ------------------------------------------
+
+  /** The one split modulus for the incremental-dedup demonstration:
+    * `doc_id % IndexMod != 0` docs form the already-ingested index,
+    * `doc_id % IndexMod = 0` docs arrive as the new batch — same
+    * shared-modulus convention as [[BenchMod]] so Spark and oracle can
+    * never disagree about the split.
+    */
+  private val IndexMod = 3
+
+  /** Incremental exact dedup over the duplicate-injected corpus: the
+    * "index" is the fingerprint set of previously-ingested docs, the
+    * "batch" is the rest; only genuinely new content survives the
+    * anti-join ([[Dedup.incrementalExact]]).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val index = Dedup.exact(
+      corpus.filter(col("doc_id") % IndexMod =!= 0), "doc_id", "text")
+    val batch = corpus.filter(col("doc_id") % IndexMod === 0)
+    Dedup.incrementalExact(index, batch, "doc_id", "text")
+  }
+
+  private val q40Oracle: String =
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |index_hashes AS (
+       |  SELECT DISTINCT md5(trim(lower(text))) AS content_hash
+       |  FROM corpus WHERE doc_id % $IndexMod <> 0),
+       |batch_dedup AS (
+       |  SELECT md5(trim(lower(text))) AS content_hash,
+       |    min(doc_id) AS keep_id, count(*) AS n_copies
+       |  FROM corpus WHERE doc_id % $IndexMod = 0 GROUP BY 1)
+       |SELECT b.content_hash, b.keep_id, b.n_copies
+       |FROM batch_dedup b
+       |WHERE b.content_hash NOT IN (SELECT content_hash FROM index_hashes)""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -843,7 +879,8 @@ object LlmQueries {
     "q33_doc_chunks" -> ((s, d) => docChunks(s, d)),
     "q34_seq_packing" -> ((s, d) => packSequences(s, d)),
     "q34b_packed_text" -> ((s, d) => packedText(s, d)),
-    "q35_vocab" -> ((s, d) => vocab(s, d))
+    "q35_vocab" -> ((s, d) => vocab(s, d)),
+    "q40_incremental_dedup" -> ((s, d) => incrementalDedup(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -872,6 +909,7 @@ object LlmQueries {
     "q33_doc_chunks" -> q33Oracle,
     "q34_seq_packing" -> q34Oracle,
     "q34b_packed_text" -> q34bOracle,
-    "q35_vocab" -> q35Oracle
+    "q35_vocab" -> q35Oracle,
+    "q40_incremental_dedup" -> q40Oracle
   )
 }

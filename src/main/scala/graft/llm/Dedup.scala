@@ -23,6 +23,24 @@ object Dedup {
     df.groupBy(TextStats.contentFingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the growing-corpus form: given the
+    * fingerprint INDEX of everything already ingested and a new batch,
+    * keep only batch docs whose content is unseen (anti-join on the
+    * fingerprint), deduped within the batch itself (min id per hash).
+    * Output: (content_hash, keep_id, n_copies) for the NEW content only —
+    * union it into the index to ingest the next batch.
+    *
+    * Scale shape: one shuffle for the batch group-by, one anti-join keyed
+    * on the hash. The index side of the anti-join stays a hash join
+    * (broadcast when small, shuffle when not) and never materializes
+    * matched rows — the standard "have we seen this before" layout at any
+    * corpus size.
+    */
+  def incrementalExact(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    exact(batch, idCol, textCol)
+      .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
   /** (id, shingles) frame used by both signature and verification steps. */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),

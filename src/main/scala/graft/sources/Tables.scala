@@ -107,6 +107,56 @@ object Sinks {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }
 
+/** Small-file compaction — the table-maintenance half of the partitioned
+  * sink story. Streaming micro-batches, per-trigger JSONL drops, and
+  * over-parallel writes all accumulate files far below the scan-efficient
+  * size; at 100 TB the resulting task explosion and name-node pressure is
+  * an operational outage, not a nuisance. Compaction rewrites a directory
+  * into approximately `targetFileBytes`-sized files, sized from the ACTUAL
+  * input bytes (one filesystem listing — no data pass, no guessing).
+  */
+object Compaction {
+
+  /** Total on-disk bytes of data files under `path` (dot/underscore
+    * metadata files excluded — same convention Spark's own file index
+    * uses).
+    */
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) total += f.getLen
+    }
+    total
+  }
+
+  /** Rewrite `inPath`'s parquet into ~`targetFileBytes` files at `outPath`;
+    * returns the file count written. Round-robin repartition gives uniform
+    * file sizes; pass `sortCols` to additionally range-lay the data so
+    * min/max row-group pruning works on the sort key afterwards.
+    */
+  def compactParquet(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Seq.empty): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val files = math.max(1L,
+      (dataBytes(spark, inPath) + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(files, sortCols.map(df.col): _*)
+          .sortWithinPartitions(sortCols.map(df.col): _*)
+      else df.repartition(files)
+    laid.write.mode("overwrite").parquet(outPath)
+    files
+  }
+}
+
 /** Bucketed datasource tables — the S5 repartition strategy made DURABLE.
   *
   * `repartition(keys)` co-locates rows for the lifetime of one plan; a

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.fixtures.EventCatalogFixture
 import graft.sources.{Sinks, Tables}
 
@@ -142,6 +144,52 @@ class SourcesSinksSpec extends SparkTestBase {
       val got = spark.table("jsonl_stream_sink").count()
       assert(got == 3, s"expected all landed rows to stream through, got $got")
     } finally query.stop()
+  }
+
+  test("compaction: many small files rewrite into the byte-sized target count, rows intact") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact").toFile
+    val in = s"${tmp.getAbsolutePath}/in"
+    val out = s"${tmp.getAbsolutePath}/out"
+    spark.range(10000).select(col("id"), md5(col("id").cast("string")).as("h"))
+      .repartition(40).write.parquet(in)
+    val smallFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 40)
+    val bytes = graft.sources.Compaction.dataBytes(spark, in)
+    // target half the input: expect exactly 2 files
+    val written = graft.sources.Compaction.compactParquet(
+      spark, in, out, targetFileBytes = (bytes + 1) / 2)
+    assert(written == 2)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    val a = spark.read.parquet(in).as[(Long, String)].collect().toSet
+    val b = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("compaction with sortCols: range layout makes files disjoint on the sort key") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-sort").toFile
+    val in = s"${tmp.getAbsolutePath}/in"
+    val out = s"${tmp.getAbsolutePath}/out"
+    spark.range(10000).select(col("id")).repartition(20).write.parquet(in)
+    val bytes = graft.sources.Compaction.dataBytes(spark, in)
+    graft.sources.Compaction.compactParquet(
+      spark, in, out, targetFileBytes = (bytes + 3) / 4, sortCols = Seq("id"))
+    // per-file (min, max) id ranges must not overlap: that's what lets
+    // parquet row-group stats prune scans on the sort key
+    val ranges = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("id"), max("id")).as[(Long, Long)].first()
+        r
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA < loB,
+        s"file ranges overlap: $hiA >= $loB")
+      case _ => ()
+    }
   }
 
   test("parquet schema evolution: mergeSchema unions fields across file generations") {

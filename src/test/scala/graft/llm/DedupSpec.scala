@@ -90,6 +90,20 @@ class DedupSpec extends SparkTestBase {
     assert(j1 == 0.5 && j2 == j1)
   }
 
+  test("incrementalExact: only unseen content survives the anti-join, batch-deduped") {
+    val index = Dedup.exact(
+      Seq((1L, "seen before")).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // known content: dropped
+      (11L, "brand new"),
+      (12L, "brand new"),     // in-batch dup: one row, min id
+      (13L, "also new")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(index, batch, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("connectedComponents: transitive closure, min-id cluster labels") {
     // two components: a path 1-2-3 (1,3 never share an edge) and pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
