@@ -32,15 +32,22 @@ object Attribution {
   /** ONE join body for both forms: the equi+range condition (strict lower,
     * inclusive upper bound) and the output projection live here only, so
     * the oracle-matched batch form and the streaming form cannot drift.
+    *
+    * Both sides usually derive from the SAME events frame, so the join is a
+    * self-join: alias each side and join on qualified columns. Without the
+    * aliases, `views("user_id") === clicks("user_id")` resolves both
+    * attributes against the common lineage and Spark logs a "trivially true
+    * equals predicate" warning per construction, leaning on dataset-id
+    * disambiguation instead of expressing the two sides explicitly.
     */
   private def joinPairs(views: DataFrame, clicks: DataFrame, window: String): DataFrame =
-    views.join(clicks,
-        views("user_id") === clicks("user_id") &&
-          col("click_time") > col("view_time") &&
-          col("click_time") <= col("view_time") + expr(s"INTERVAL $window"))
-      .select(views("user_id"),
-        unix_micros(col("view_time")).as("view_us"),
-        unix_micros(col("click_time")).as("click_us"))
+    views.as("v").join(clicks.as("c"),
+        col("v.user_id") === col("c.user_id") &&
+          col("c.click_time") > col("v.view_time") &&
+          col("c.click_time") <= col("v.view_time") + expr(s"INTERVAL $window"))
+      .select(col("v.user_id"),
+        unix_micros(col("v.view_time")).as("view_us"),
+        unix_micros(col("c.click_time")).as("click_us"))
 
   /** Batch form: one row per (view, click) pair of the same user with
     * `view_time < click_time <= view_time + window`. Strict lower bound:
