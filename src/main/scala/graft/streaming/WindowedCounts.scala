@@ -59,11 +59,7 @@ object WindowedCounts {
     * the grid side is tiny at any data scale.
     */
   def gapFilledCounts(events: DataFrame, duration: String = "1 hour"): DataFrame = {
-    val windowUs = duration match {
-      case "1 hour" => 3600000000L
-      case other => throw new IllegalArgumentException(
-        s"gapFilledCounts supports '1 hour' buckets, got '$other'")
-    }
+    val windowUs = durationMicros(duration)
     val counts = countsBatch(events, duration)
     val grid = counts
       .groupBy("event_type")
@@ -72,6 +68,22 @@ object WindowedCounts {
         explode(sequence(col("lo"), col("hi"), lit(windowUs))).as("bucket_us"))
     grid.join(counts, Seq("event_type", "bucket_us"), "left")
       .na.fill(0L, Seq("n_events"))
+  }
+
+  /** The µs width of a tumbling-window duration, parsed with the same
+    * interval grammar `window()` uses so the dense grid's `sequence` step
+    * and the aggregation's buckets can never disagree. Calendar units
+    * (months/years) have no fixed µs width — `window()` rejects them for
+    * tumbling windows and so do we.
+    */
+  private[streaming] def durationMicros(duration: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(duration))
+    require(iv.months == 0,
+      s"gapFilledCounts needs a fixed-length duration (no months/years), got '$duration'")
+    val us = iv.days * 86400000000L + iv.microseconds
+    require(us > 0, s"gapFilledCounts duration must be positive, got '$duration'")
+    us
   }
 
   /** ONE aggregation body for both key-presence forms: the optional

@@ -99,4 +99,29 @@ class WindowedCountsSpec extends SparkTestBase {
       .filter(col("expected") =!= col("got"))
     assert(spanCheck.isEmpty, "every hourly bucket in the span must appear exactly once")
   }
+
+  test("gapFilledCounts: generalized durations — 15-minute and 1-day grids stay dense") {
+    for ((duration, widthUs) <- Seq("15 minutes" -> 900000000L, "1 day" -> 86400000000L)) {
+      assert(WindowedCounts.durationMicros(duration) == widthUs)
+      val events = Seq(
+        (T0, "view"),
+        (T0 + 5 * widthUs * 1000L, "view"), // 4 empty buckets between
+        (T0, "click")
+      ).toDF("ts", "event_type")
+      val dense = WindowedCounts.gapFilledCounts(events, duration)
+        .as[(String, Long, Long)].collect()
+      val views = dense.filter(_._1 == "view").sortBy(_._2)
+      assert(views.length == 6, s"$duration: view span must cover 6 buckets, got ${views.toSeq}")
+      assert(views.map(_._2).toSeq == views.head._2.to(views.last._2, widthUs).toSeq,
+        s"$duration: bucket grid must step by the window width")
+      assert(views.map(_._3).toSeq == Seq(1L, 0L, 0L, 0L, 0L, 1L),
+        s"$duration: zeros must fill the empty buckets")
+      assert(dense.count(_._1 == "click") == 1, s"$duration: single-bucket type stays single-row")
+    }
+  }
+
+  test("durationMicros rejects calendar units and non-positive widths") {
+    intercept[IllegalArgumentException](WindowedCounts.durationMicros("1 month"))
+    intercept[IllegalArgumentException](WindowedCounts.durationMicros("0 seconds"))
+  }
 }
