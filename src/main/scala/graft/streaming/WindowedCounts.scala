@@ -47,7 +47,7 @@ object WindowedCounts {
         col("event_type"),
         col("n_events"))
 
-  /** Gap filling: densify [[countsBatch]]'s sparse series — hours with no
+  /** Gap filling: densify [[countsBatch]]'s sparse series — buckets with no
     * events get an explicit zero row between each event_type's first and
     * last active bucket (downstream rate/anomaly math needs the zeros; a
     * sparse series silently reads as "no data" instead of "no events").
@@ -77,11 +77,10 @@ object WindowedCounts {
     * tumbling windows and so do we.
     */
   private[streaming] def durationMicros(duration: String): Long = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(duration))
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.fromIntervalString(duration)
     require(iv.months == 0,
       s"gapFilledCounts needs a fixed-length duration (no months/years), got '$duration'")
-    val us = iv.days * 86400000000L + iv.microseconds
+    val us = Math.addExact(Math.multiplyExact(iv.days.toLong, 86400000000L), iv.microseconds)
     require(us > 0, s"gapFilledCounts duration must be positive, got '$duration'")
     us
   }

@@ -124,4 +124,9 @@ class WindowedCountsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WindowedCounts.durationMicros("1 month"))
     intercept[IllegalArgumentException](WindowedCounts.durationMicros("0 seconds"))
   }
+
+  test("durationMicros accepts every form window() accepts, including ANSI intervals") {
+    assert(WindowedCounts.durationMicros("INTERVAL '15' MINUTE") == 900000000L)
+    assert(WindowedCounts.durationMicros("interval 1 hour") == 3600000000L)
+  }
 }
