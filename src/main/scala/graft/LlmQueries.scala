@@ -851,6 +851,38 @@ object LlmQueries {
        |FROM batch_dedup b
        |WHERE b.content_hash NOT IN (SELECT content_hash FROM index_hashes)""".stripMargin
 
+  // ---- q41: incremental near-dup ---------------------------------------
+
+  /** Incremental MinHash near-dup over the same [[IndexMod]] split as q40:
+    * the `doc_id % IndexMod != 0` docs are the ingested corpus — their band
+    * index and shingle sets stand in for the parquet artifacts a real
+    * pipeline persists at ingest — and the `% IndexMod = 0` docs arrive as
+    * the new batch. Output: every verified near-dup pair touching the
+    * batch ([[Dedup.incrementalMinhashPairs]]); index-internal pairs were
+    * already found when the index was built and are not recomputed.
+    */
+  def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val indexDocs = corpus.filter(col("doc_id") % IndexMod =!= 0)
+    val batch = corpus.filter(col("doc_id") % IndexMod === 0)
+    val indexShingles = Dedup.shingleFrame(indexDocs, "doc_id", "text", ShingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexBands = Dedup.bandFrame(
+      Dedup.withSignature(indexShingles, NumHashes), NumHashes, RowsPerBand)
+    Dedup.incrementalMinhashPairs(indexBands, indexShingles, batch,
+      "doc_id", "text", ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
+  }
+
+  /** Twin: per-doc signatures are deterministic, so the incremental run
+    * equals the full-corpus pair list restricted to pairs with >=1 batch
+    * member — [[dMinhashPairCtes]] plus one predicate, no separate SQL
+    * mirror of the split pipeline that could drift.
+    */
+  private val q41Oracle: String =
+    s"""WITH $dMinhashPairCtes
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE id_a % $IndexMod = 0 OR id_b % $IndexMod = 0""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -880,7 +912,8 @@ object LlmQueries {
     "q34_seq_packing" -> ((s, d) => packSequences(s, d)),
     "q34b_packed_text" -> ((s, d) => packedText(s, d)),
     "q35_vocab" -> ((s, d) => vocab(s, d)),
-    "q40_incremental_dedup" -> ((s, d) => incrementalDedup(s, d))
+    "q40_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
+    "q41_incremental_neardup" -> ((s, d) => incrementalNearDedup(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -910,6 +943,7 @@ object LlmQueries {
     "q34_seq_packing" -> q34Oracle,
     "q34b_packed_text" -> q34bOracle,
     "q35_vocab" -> q35Oracle,
-    "q40_incremental_dedup" -> q40Oracle
+    "q40_incremental_dedup" -> q40Oracle,
+    "q41_incremental_neardup" -> q41Oracle
   )
 }

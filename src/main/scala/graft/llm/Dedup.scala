@@ -169,6 +169,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental MinHash-LSH near-dup — the growing-corpus analogue of
+    * [[incrementalExact]]: given the persisted LSH artifacts of everything
+    * already ingested — its band-hash index (id, band_id, band_hash from
+    * [[bandFrame]]) and its shingle sets (id, shingles from
+    * [[shingleFrame]], needed for exact-Jaccard verification) — and a NEW
+    * batch of raw documents, emit every verified near-dup pair that touches
+    * the batch: batch↔index pairs plus within-batch pairs. Index↔index
+    * pairs are never recomputed (they were found when those docs were
+    * ingested), which is the whole point: per-batch cost scales with the
+    * batch's bucket overlap, not the corpus.
+    *
+    * Because signatures are per-doc deterministic (seeded-md5 minima), the
+    * output is exactly [[minhashPairs]] over index∪batch restricted to
+    * pairs with >=1 batch member — the equivalence the spec pins.
+    *
+    * Scale shape: one pass signs the batch; the batch↔index probe is an
+    * equi-join on (band_id, band_hash) — the index side arrives
+    * hash-partitioned from its parquet layout and only buckets the batch
+    * actually hits are materialized by the join. `maxBucketSize` caps the
+    * within-batch self-join exactly as in [[candidatePairs]]; the probe
+    * join is linear in matches, not quadratic, so it needs no cap.
+    * Verification joins shingle sets by id — batch side tiny and persisted,
+    * index side a keyed lookup touching only candidate ids.
+    */
+  def incrementalMinhashPairs(
+      indexBands: DataFrame,
+      indexShingles: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 10000,
+      capObservation: Option[Observation] = None): DataFrame = {
+    val shingled = shingleFrame(batch, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand)
+    val within = candidatePairs(batchBands, maxBucketSize, capObservation)
+    val cross = batchBands.as("n")
+      .join(indexBands.as("i"),
+        col("n.band_id") === col("i.band_id") &&
+          col("n.band_hash") === col("i.band_hash"))
+      .select(
+        least(col("n.id"), col("i.id")).as("id_a"),
+        greatest(col("n.id"), col("i.id")).as("id_b"))
+      .distinct()
+    val cands = within.union(cross).distinct()
+    val lookup = shingled.select(col("id"), col("shingles"))
+      .union(indexShingles.select(col("id"), col("shingles")))
+    val sa = lookup.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = lookup.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cands
+      .join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over a near-dup pair list: the dedup END-GAME.
     * [[minhashPairs]]/[[blockedJaccardPairs]] emit edges; near-duplicate
     * GROUPS are the transitive closure of those edges (a~b, b~c ⇒ {a,b,c}

@@ -104,6 +104,27 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("incrementalMinhashPairs: equals the full run restricted to batch-touching pairs") {
+    // split the fixture: odd ids already ingested (the index), even ids new
+    val indexDocs = docs.filter(col("doc_id") % 2 =!= 0)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val indexShingles = Dedup.shingleFrame(indexDocs, "doc_id", "text", 3)
+    val indexBands = Dedup.bandFrame(Dedup.withSignature(indexShingles, 8), 8, 2)
+    val inc = Dedup.incrementalMinhashPairs(indexBands, indexShingles, batch,
+      "doc_id", "text", 3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // determinism makes the incremental run equivalent to filtering the
+    // full-corpus pair list down to pairs with >= 1 batch member
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full.filter(p => p._1 % 2 == 0 || p._2 % 2 == 0))
+    // the cross batch<->index exact dup (1,2) survives with jaccard 1.0
+    assert(inc.exists(p => (p._1, p._2) == (1L, 2L) && p._3 == 1.0))
+    // the index-internal dup (1,5) is in the full run but NOT recomputed here
+    assert(full.exists(p => (p._1, p._2) == (1L, 5L)))
+    assert(!inc.exists(p => (p._1, p._2) == (1L, 5L)))
+  }
+
   test("connectedComponents: transitive closure, min-id cluster labels") {
     // two components: a path 1-2-3 (1,3 never share an edge) and pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
