@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   */
 case class MediaRecord(id: Long, kind: String, media: Array[Byte], declaredBytes: Long)
 
-/** Features extracted per record by the batched decode path. */
-case class MediaFeatures(id: Long, kind: String, nBytes: Long, meanByte: Double, headHex: String)
+/** Features extracted per record by the batched decode path. The byte
+  * statistics (nBytes/meanByte/headHex) exist for every payload; the image
+  * fields are populated only when the payload actually decodes as an image
+  * (None for audio/video kinds and for corrupt or unsupported bytes).
+  */
+case class MediaFeatures(
+    id: Long, kind: String, nBytes: Long, meanByte: Double, headHex: String,
+    width: Option[Int], height: Option[Int], meanLuma: Option[Double])
 
 /** One sampled frame of a media payload: 1-row-in → N-rows-out shape. */
 case class MediaFrame(id: Long, kind: String, frameIdx: Int, frame: Array[Byte])
@@ -20,12 +26,14 @@ case class MediaFrame(id: Long, kind: String, frameIdx: Int, frame: Array[Byte])
   * analogue of a `mapInPandas` batch UDF (iterator-of-batches over
   * executor-local data, no driver round-trip).
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB: this container has no
-  * image/audio codec libraries, so [[decodeStub]] computes fake-but-stable
-  * "decoded" features (byte statistics) in place of a real
-  * JPEG/PNG/audio-frame decode. The Spark-side plumbing — schema, encoder,
-  * partitioning, batch shape — is real and tested; swap [[decodeStub]] for
-  * a codec call to productionize.
+  * IMAGE DECODE IS REAL: [[decodeImage]] runs the JDK's own `javax.imageio`
+  * readers (PNG/BMP/GIF/JPEG/WBMP ship with every JRE — zero external
+  * dependencies), yielding width/height/mean-luminance. Payloads no reader
+  * accepts — and non-image kinds, which never attempt a decode — fall back
+  * to the byte-statistics features only ([[decodeStub]], also the stand-in
+  * for audio/video codecs this container lacks). The resize/frame-sample
+  * payload transforms keep deterministic stubs ([[resizeStub]]) with the
+  * real Spark-side shape.
   */
 object Multimodal {
 
@@ -52,10 +60,47 @@ object Multimodal {
     (mean, head)
   }
 
+  /** Real image decode via the JDK's `javax.imageio` readers. Returns
+    * (width, height, mean Rec.601 luminance 0..255), or None when no
+    * registered reader accepts the bytes (corrupt payload, or a format —
+    * audio, video, exotic image codec — the JRE doesn't ship). Luminance
+    * streams one pixel row at a time through a reused buffer, so memory is
+    * O(width) regardless of image size. `ImageIO.setUseCache(false)` keeps
+    * executors off temp-file staging — decode stays in-memory.
+    */
+  private[llm] def decodeImage(media: Array[Byte]): Option[(Int, Int, Double)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val row = new Array[Int](w)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sum / (w.toDouble * h))
+      }
+    } catch {
+      case _: Exception => None // unreadable bytes: byte-stats features only
+    }
+  }
+
   /** Batched feature extraction: mapPartitions with an explicit batch size,
     * so per-batch setup cost (a real decoder's context, a model handle)
     * amortizes — the exact shape a mapInPandas/Arrow batch UDF gives
-    * Python, here with JVM encoders instead of Arrow.
+    * Python, here with JVM encoders instead of Arrow. Image-kind payloads
+    * get the real [[decodeImage]] pass; everything else (and anything
+    * unreadable) carries byte statistics only.
     */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] =
     ds.mapPartitions { it =>
@@ -63,7 +108,9 @@ object Multimodal {
         // per-batch decoder setup would live here
         batch.iterator.map { r =>
           val (mean, head) = decodeStub(r.media)
-          MediaFeatures(r.id, r.kind, r.media.length.toLong, mean, head)
+          val img = if (r.kind == "image") decodeImage(r.media) else None
+          MediaFeatures(r.id, r.kind, r.media.length.toLong, mean, head,
+            img.map(_._1), img.map(_._2), img.map(_._3))
         }
       }
     }(Encoders.product[MediaFeatures])

@@ -54,6 +54,33 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("extractFeatures: real PNG/BMP payloads decode to true dimensions and luminance") {
+    import spark.implicits._
+    // 8x4 solid color (R=100, G=150, B=200): Rec.601 luma is exactly
+    // .299*100 + .587*150 + .114*200 = 140.75 for every pixel
+    def encoded(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must ship a $fmt writer")
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", encoded("png"), 0L),
+      MediaRecord(2L, "image", encoded("bmp"), 0L),
+      MediaRecord(3L, "image", "not an image at all".getBytes("UTF-8"), 0L), // unreadable
+      MediaRecord(4L, "audio", encoded("png"), 0L) // wrong kind: decode never attempted
+    ).toDS()
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.id -> f).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).width.contains(8) && out(id).height.contains(4), s"doc $id dimensions")
+      assert(math.abs(out(id).meanLuma.get - 140.75) < 1e-9, s"doc $id luminance")
+    }
+    assert(out(3L).width.isEmpty && out(3L).meanLuma.isEmpty, "unreadable bytes stay byte-stats-only")
+    assert(out(4L).width.isEmpty, "non-image kinds never decode")
+    assert(out.values.forall(f => f.nBytes > 0 && f.headHex.nonEmpty), "byte stats always present")
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()
