@@ -155,6 +155,53 @@ object Compaction {
     laid.write.mode("overwrite").parquet(outPath)
     files
   }
+
+  /** Leaf partition directories of a hive-partitioned layout, as
+    * root-relative paths ("lang=en/year=2024"). Empty when `path` holds
+    * plain data files (no `k=v` subdirectories). One recursive listing —
+    * metadata only, no data pass.
+    */
+  def partitionDirs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      val parts = fs.listStatus(dir).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(dir.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/"))
+      else parts.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    leaves(root).filter(_.nonEmpty)
+  }
+
+  /** Partition-aware compaction: each leaf partition of a hive layout is
+    * compacted to ITS OWN byte-sized file count and rewritten under the
+    * same `k=v` path, so the output keeps the exact partition structure —
+    * readers still get plan-time partition pruning
+    * ([[Tables.partitionedRoot]]) — and a skewed partition gets more files
+    * while a tiny one collapses to one. Returns partition-relative path →
+    * files written.
+    *
+    * Runs one bounded job per partition, which is the operational shape on
+    * purpose: table maintenance at 100 TB compacts the handful of
+    * partitions a streaming ingest touched today (pass `partitions`), not
+    * the whole table, and a failure mid-run leaves untouched partitions
+    * valid. A non-partitioned layout (no `k=v` dirs) degrades to plain
+    * [[compactParquet]] on the root.
+    */
+  def compactPartitionedParquet(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Seq.empty,
+      partitions: Option[Seq[String]] = None): Map[String, Int] = {
+    val leaves = partitions.getOrElse(partitionDirs(spark, inPath))
+    if (leaves.isEmpty)
+      Map("" -> compactParquet(spark, inPath, outPath, targetFileBytes, sortCols))
+    else
+      leaves.map { rel =>
+        rel -> compactParquet(
+          spark, s"$inPath/$rel", s"$outPath/$rel", targetFileBytes, sortCols)
+      }.toMap
+  }
 }
 
 /** Bucketed datasource tables — the S5 repartition strategy made DURABLE.

@@ -192,6 +192,51 @@ class SourcesSinksSpec extends SparkTestBase {
     }
   }
 
+  test("partition-aware compaction: hive structure survives, per-partition sizing, pruning intact") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-part").toFile
+    val in = s"${tmp.getAbsolutePath}/in"
+    val out = s"${tmp.getAbsolutePath}/out"
+    // skewed 2-partition layout, each written as many small files
+    val df = spark.range(12000)
+      .select(col("id"), when(col("id") % 4 === 0, "fr").otherwise("en").as("lang"))
+      .repartition(10)
+    df.write.partitionBy("lang").parquet(in)
+    assert(new java.io.File(s"$in/lang=en").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 10)
+
+    val enBytes = graft.sources.Compaction.dataBytes(spark, s"$in/lang=en")
+    // target sized so the big partition (en, 3/4 of rows) needs 2 files and
+    // the small one (fr) collapses to 1
+    val written = graft.sources.Compaction.compactPartitionedParquet(
+      spark, in, out, targetFileBytes = (enBytes + 1) / 2)
+    assert(written == Map("lang=en" -> 2, "lang=fr" -> 1), s"got $written")
+    for ((rel, n) <- written)
+      assert(new java.io.File(s"$out/$rel").listFiles()
+        .count(_.getName.endsWith(".parquet")) == n, s"$rel file count")
+
+    // rows and partition values intact through the rewrite
+    val back = Tables.partitionedRoot(spark, out)
+    assert(back.count() == 12000)
+    assert(back.filter(col("lang") === "fr").count() == 3000)
+    // and the compacted layout still prunes at plan time
+    val pruned = back.filter(col("lang") === "fr")
+    val scan = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("lang"),
+      s"partition filter must reach the scan:\n${pruned.queryExecution.executedPlan}")
+  }
+
+  test("partition-aware compaction: non-partitioned layout degrades to the flat rewrite") {
+    val tmp = Files.createTempDirectory("graft-compact-flat").toFile
+    val in = s"${tmp.getAbsolutePath}/in"
+    val out = s"${tmp.getAbsolutePath}/out"
+    spark.range(1000).repartition(5).write.parquet(in)
+    val written = graft.sources.Compaction.compactPartitionedParquet(spark, in, out)
+    assert(written == Map("" -> 1))
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
   test("parquet schema evolution: mergeSchema unions fields across file generations") {
     val tmp = Files.createTempDirectory("graft-evolve").toFile
     val root = tmp.getAbsolutePath
