@@ -305,8 +305,18 @@ object PipelineQueries {
   val specCsvPath: String = java.nio.file.Paths.get(
     sys.props("user.dir"), "target", "q08_spec_csv", "spec.csv").toString
 
-  /** Writes the spec fixture as a real CSV file (header, unquoted values —
-    * the shape the reference's spec lives in, `event_verify.py:27-30`).
+  /** RFC 4180 field quoting: wrap in double quotes when the value contains
+    * a comma, quote, or line break; embedded quotes double. Without this a
+    * comma inside a value silently shifts every later column on read-back.
+    */
+  private def csvField(v: String): String =
+    if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+
+  /** Writes the spec fixture as a real CSV file (header; values quoted per
+    * RFC 4180 only where needed, so the common case keeps the unquoted
+    * shape the reference's spec lives in, `event_verify.py:27-30`).
     */
   def writeSpecCsv(): Unit = {
     import java.nio.file.{Files, Paths}
@@ -315,7 +325,8 @@ object PipelineQueries {
     val header = "channel,version,event_name,release_date,prop_1,prop_2,prop_3"
     val rows = EventCatalogFixture.specRows.map { r =>
       Seq(r.channel, r.version, r.eventName, r.releaseDate,
-        r.p1.getOrElse(""), r.p2.getOrElse(""), r.p3.getOrElse("")).mkString(",")
+        r.p1.getOrElse(""), r.p2.getOrElse(""), r.p3.getOrElse(""))
+        .map(csvField).mkString(",")
     }
     Files.write(p, (header +: rows).mkString("\n").getBytes("UTF-8"))
   }
