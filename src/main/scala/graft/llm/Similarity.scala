@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,23 @@ object Similarity {
 
   private def vectors(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+
+  /** Plan-attached candidate-set metrics for the ANN variants — the recall
+    * proxy an operator watches at 100 TB, where re-running brute force to
+    * measure true recall is not affordable: `candidate_pairs` (scored
+    * (query, candidate) pairs after the bucket join) and `queries_probed`
+    * (approx-distinct query ids — `Observation` forbids exact distinct
+    * aggregates). candidate_pairs / queries_probed is the average
+    * candidate-set size; when it collapses toward k, recall is about to —
+    * the same moment the bucketing (nprobe / nPlanes / centroid choice)
+    * needs retuning. Computed in the same pass as the join
+    * (`Dataset.observe`, zero extra jobs), readable after the first action
+    * — the exact mechanism of [[Dedup.candidatePairs]]'s cap metrics.
+    */
+  private def observeCandidates(pairs: DataFrame, obs: Option[Observation]): DataFrame =
+    obs.fold(pairs)(o => pairs.observe(o,
+      count(lit(1)).as("candidate_pairs"),
+      approx_count_distinct(col("query_id")).as("queries_probed")))
 
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
@@ -118,7 +135,8 @@ object Similarity {
   def ivfTopK(
       vectorsDf: DataFrame, idCol: String, embCol: String,
       queryFilter: Column, centroidFilter: Column, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      candObservation: Option[Observation] = None): DataFrame = {
     val n = vectors(vectorsDf, idCol, embCol)
     val assigned = ivfAssign(n, n.filter(centroidFilter))
     val q = probeBuckets(n.filter(queryFilter), n.filter(centroidFilter), nprobe)
@@ -126,7 +144,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
-    rankTopK(pairs, k)
+    rankTopK(observeCandidates(pairs, candObservation), k)
   }
 
   // ---- int8 scalar quantization ----------------------------------------
@@ -248,7 +266,8 @@ object Similarity {
       vectorsDf: DataFrame, idCol: String, embCol: String,
       queryFilter: Column, k: Int,
       nPlanes: Int = 4, dims: Int = 64, multiProbe: Boolean = true,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      candObservation: Option[Observation] = None): DataFrame = {
     val planes = hyperplanes(nPlanes, dims, seed)
     val assigned = vectors(vectorsDf, idCol, embCol)
       .withColumn("bucket", lshBucket(col("emb"), planes))
@@ -259,7 +278,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
-    rankTopK(pairs, k)
+    rankTopK(observeCandidates(pairs, candObservation), k)
   }
 
   /** Embedding-cosine near-dup: top-1 neighbor per vector within a blocking

@@ -34,6 +34,43 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ANN candidate-set metrics: observable post-action, exact for IVF, monotone for LSH probes") {
+    val emb = Tables.embeddings(spark, dir)
+    val qf = col("id") % 50 === 0
+    val cf = col("id") % 100 === 0
+
+    val ivfObs = org.apache.spark.sql.Observation()
+    Similarity.ivfTopK(emb, "vec_id", "embedding", qf, cf, 5,
+      nprobe = 1, candObservation = Some(ivfObs)).count()
+    // independent expectation: with nprobe=1 each query scores exactly its
+    // own bucket minus itself, so pairs = sum over queries of (|bucket| - 1)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val assigned = Similarity.ivfAssign(n, n.filter(cf)).cache()
+    val sizes = assigned.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val expected = assigned.filter(qf).join(sizes, "bucket")
+      .agg(sum(col("bucket_n") - 1)).as[Long].head()
+    assert(ivfObs.get("candidate_pairs") == expected,
+      s"ivf candidate_pairs ${ivfObs.get("candidate_pairs")} != expected $expected")
+    val nQueries = n.filter(qf).count()
+    val probed = ivfObs.get("queries_probed").asInstanceOf[Long]
+    assert(math.abs(probed - nQueries).toDouble / nQueries <= 0.05,
+      s"queries_probed $probed drifted from $nQueries")
+
+    // LSH: multi-probe must only ADD candidates — the observable form of
+    // the recall-monotonicity property
+    def lshPairs(multiProbe: Boolean): Long = {
+      val o = org.apache.spark.sql.Observation()
+      Similarity.lshTopK(emb, "vec_id", "embedding", qf, 5,
+        multiProbe = multiProbe, candObservation = Some(o)).count()
+      o.get("candidate_pairs").asInstanceOf[Long]
+    }
+    val single = lshPairs(multiProbe = false)
+    val multi = lshPairs(multiProbe = true)
+    assert(single > 0 && multi >= single,
+      s"multi-probe candidates $multi must be >= single-probe $single > 0")
+  }
+
   test("ivfTopK: recall against brute force is reasonable for nprobe=1") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
