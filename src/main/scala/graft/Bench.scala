@@ -12,6 +12,39 @@ import java.nio.file.{Files, Paths}
   * as a fast one.
   */
 object Bench {
+
+  /** The two JSON lines Bench emits — compact (stdout: medians only, stays
+    * under the driver's bounded output tail) and full (BENCH_RESULT.json:
+    * plus all per-query samples). Factored out of `main` so RegistrySpec
+    * can assert the stdout line parses with exactly the registry's query
+    * keys without running the bench.
+    */
+  private[graft] def benchJson(
+      results: Seq[(String, Double)],
+      samples: Map[String, Seq[Double]],
+      errors: Map[String, String],
+      sfDir: String): (String, String) = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val smp = results.map { case (k, _) =>
+      s"${jstr(k)}:${samples(k).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    (compact, full)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,29 +102,12 @@ object Bench {
       name -> median
     }
 
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val smp = results.map { case (k, _) =>
-      s"${jstr(k)}:${samples(k).mkString("[", ",", "]")}"
-    }.mkString("{", ",", "}")
-    val errs = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // stdout gets the compact medians-only line: the driver captures only a
     // bounded tail of sbt output, and the full per-query sample arrays made
     // the line exceed that buffer (BENCH_r04/r05 "parsed": null). The full
     // line with all samples still goes to BENCH_RESULT.json so variance
     // stays auditable.
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    val (compact, full) = benchJson(results, samples, errors, sfDir)
     println(compact)
     Files.writeString(Paths.get("BENCH_RESULT.json"), full + "\n")
     spark.stop()

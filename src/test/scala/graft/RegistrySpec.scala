@@ -24,6 +24,28 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Bench stdout line parses as JSON with exactly the registry's query keys") {
+    // build the line exactly as Bench.main would, one fake median per query
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.5)
+    val samples = results.map { case (k, v) => k -> Seq(v) }.toMap
+    val (compact, full) = Bench.benchJson(results, samples, Map.empty, "/sf")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (line <- Seq(compact, full)) {
+      val root = mapper.readTree(line) // throws on malformed JSON
+      assert(root.get("metric").asText == "total" && root.get("unit").asText == "sec")
+      val keys = {
+        val it = root.get("queries").fieldNames()
+        val b = Set.newBuilder[String]; while (it.hasNext) b += it.next(); b.result()
+      }
+      assert(keys == SparkEntry.queries.keySet,
+        s"bench line keys drifted from the registry: ${(keys diff SparkEntry.queries.keySet) ++ (SparkEntry.queries.keySet diff keys)}")
+    }
+    // error paths survive JSON escaping (quotes, newlines, control chars)
+    val (withErr, _) = Bench.benchJson(results, samples,
+      Map("q99" -> "boom \"quoted\"\nline2"), "/sf")
+    assert(mapper.readTree(withErr).get("errors").get("q99").asText.startsWith("boom"))
+  }
+
   test("every oracle references only relations the driver registers as views") {
     // the driver materializes each parquet table as a DuckDB view by name;
     // an oracle naming anything else fails only at driver time — catch the
