@@ -187,9 +187,19 @@ object Dedup {
     * Scale shape: one pass signs the batch; the batch↔index probe is an
     * equi-join on (band_id, band_hash) — the index side arrives
     * hash-partitioned from its parquet layout and only buckets the batch
-    * actually hits are materialized by the join. `maxBucketSize` caps the
-    * within-batch self-join exactly as in [[candidatePairs]]; the probe
-    * join is linear in matches, not quadratic, so it needs no cap.
+    * actually hits are materialized by the join. `maxBucketSize` caps BOTH
+    * pairing steps: the within-batch self-join exactly as in
+    * [[candidatePairs]], and the probe join's INDEX side — that join is
+    * |batch bucket| × |index bucket| per bucket, so a boilerplate flood
+    * present in the index AND arriving again in every batch would
+    * otherwise re-explode on every ingest. Index buckets above the cap are
+    * truncated to their cap smallest ids; every batch member still pairs
+    * with those representatives, so the batch doc joins the flood's
+    * cluster and recall loss is confined to above-cap index pairs sharing
+    * no other band — the [[candidatePairs]] convention. Truncation is
+    * observable via `probeCapObservation` (`truncated_index_buckets`,
+    * `dropped_index_band_rows`), separate from `capObservation` so an
+    * operator can tell a flooded index from a flooded batch.
     * Verification joins shingle sets by id — batch side tiny and persisted,
     * index side a keyed lookup touching only candidate ids.
     */
@@ -204,13 +214,26 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxBucketSize: Int = 10000,
-      capObservation: Option[Observation] = None): DataFrame = {
+      capObservation: Option[Observation] = None,
+      probeCapObservation: Option[Observation] = None): DataFrame = {
     val shingled = shingleFrame(batch, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBands = bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand)
     val within = candidatePairs(batchBands, maxBucketSize, capObservation)
+    // cap the index side per bucket (same deterministic smallest-ids
+    // convention as candidatePairs; the window's partitioning matches the
+    // join key, so the exchange is shared, not an extra shuffle)
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash").orderBy("id")
+    val idxRn = indexBands.withColumn("__rn", row_number().over(wIdx))
+    val idxObserved = probeCapObservation.fold(idxRn)(o => idxRn.observe(o,
+      sum(when(col("__rn") === maxBucketSize + 1, 1L).otherwise(0L))
+        .as("truncated_index_buckets"),
+      sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L))
+        .as("dropped_index_band_rows")))
+    val idxKept = idxObserved.filter(col("__rn") <= maxBucketSize).drop("__rn")
     val cross = batchBands.as("n")
-      .join(indexBands.as("i"),
+      .join(idxKept.as("i"),
         col("n.band_id") === col("i.band_id") &&
           col("n.band_hash") === col("i.band_hash"))
       .select(

@@ -125,6 +125,41 @@ class DedupSpec extends SparkTestBase {
     assert(!inc.exists(p => (p._1, p._2) == (1L, 5L)))
   }
 
+  test("incrementalMinhashPairs: index-side hot-bucket cap bounds a flooded probe join, observably") {
+    // boilerplate flood already ingested (ids 1..400) arriving again as a
+    // batch (ids 401..500): uncapped, the probe join emits 400 pairs per
+    // batch doc; capped, each batch doc meets only the cap representatives
+    val cap = 20
+    val indexDocs = (1 to 400).map(i => (i.toLong, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val batch = (401 to 500).map(i => (i.toLong, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val indexShingles = Dedup.shingleFrame(indexDocs, "doc_id", "text", 3)
+    val indexBands = Dedup.bandFrame(Dedup.withSignature(indexShingles, 8), 8, 2)
+    val probeObs = org.apache.spark.sql.Observation()
+    val pairs = Dedup.incrementalMinhashPairs(indexBands, indexShingles, batch,
+      "doc_id", "text", 3, 8, 2, 0.5, maxBucketSize = cap,
+      probeCapObservation = Some(probeObs))
+      .as[(Long, Long, Double)].collect()
+    val crossPairs = pairs.filter(p => p._1 <= 400 && p._2 > 400)
+    // bounded: every surviving index member is a representative (smallest ids)
+    assert(crossPairs.nonEmpty && crossPairs.forall(_._1 <= cap),
+      "a non-representative index doc escaped the probe cap")
+    assert(crossPairs.length == cap * 100, "each batch doc pairs with exactly the cap reps")
+    // connectivity: every batch doc still reaches the flood cluster's min id
+    assert(crossPairs.filter(_._1 == 1L).map(_._2).toSet == (401L to 500L).toSet)
+    // truncation is visible: 4 bands x 1 mega-bucket, (400 - cap) dropped each
+    assert(probeObs.get("truncated_index_buckets") == 4L)
+    assert(probeObs.get("dropped_index_band_rows") == 4L * (400 - cap))
+    // and with the cap above the bucket size the probe join is uncapped
+    val quiet = org.apache.spark.sql.Observation()
+    val uncapped = Dedup.incrementalMinhashPairs(indexBands, indexShingles, batch,
+      "doc_id", "text", 3, 8, 2, 0.5, maxBucketSize = 400,
+      probeCapObservation = Some(quiet)).count()
+    assert(uncapped == 400L * 100 + 100L * 99 / 2, "full cross + within-batch pair count")
+    assert(quiet.get("truncated_index_buckets") == 0L)
+  }
+
   test("connectedComponents: transitive closure, min-id cluster labels") {
     // two components: a path 1-2-3 (1,3 never share an edge) and pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
