@@ -268,8 +268,10 @@ object Dedup {
     * Shiloach-Vishkin / Hash-to-Min shape). Labels are eagerly
     * `localCheckpoint`ed every round: iterative self-joins otherwise grow
     * the lineage/plan exponentially, which is the standard Spark iterative-
-    * algorithm failure mode at any scale. Each round is 2 bounded shuffles
-    * on the vertex id; state is one (id, label) row per vertex — at 100 TB
+    * algorithm failure mode at any scale. Each round is ONE job (the eager
+    * checkpoint) carrying bounded vertex-keyed shuffles, with the
+    * convergence count observed in the same pass instead of a second
+    * full-join action; state is one (id, label) row per vertex — at 100 TB
     * that is |near-dup docs|, orders of magnitude below corpus size.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
@@ -300,11 +302,19 @@ object Dedup {
       val jumped = propagated.as("x")
         .join(labels.as("y"), col("x.label") === col("y.id"))
         .select(col("x.id").as("id"), least(col("x.label"), col("y.label")).as("label"))
-      val next = jumped.localCheckpoint(true)
-      converged = next.as("n")
+      // convergence rides the SAME job as the checkpoint materialization:
+      // join the old labels back and count changed rows via a plan-attached
+      // Observation, instead of a separate full-join action per round —
+      // one job per round, not two.
+      val changedObs = org.apache.spark.sql.Observation()
+      val next = jumped.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+        .observe(changedObs,
+          coalesce(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)),
+            lit(0L)).as("changed")) // sum over zero rows is null (empty graph)
+        .select(col("n.id").as("id"), col("n.label").as("label"))
+        .localCheckpoint(true)
+      converged = changedObs.get("changed") == 0L
       labels = next
       iter += 1
     }
