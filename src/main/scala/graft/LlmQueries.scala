@@ -815,6 +815,35 @@ object LlmQueries {
        |FROM long GROUP BY term
        |ORDER BY df DESC, term LIMIT $VocabTopK""".stripMargin
 
+  // ---- q42: TF-IDF top terms per document ------------------------------
+
+  private val TfidfTopK = 5
+
+  /** Top-[[TfidfTopK]] TF-IDF terms per document ([[TextStats.tfidf]]):
+    * smoothed idf, 6-decimal rounding, rank-over-(score, term) cut so the
+    * per-doc selection is a deterministic total order.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextStats.tfidf(docs, "doc_id", "text", TfidfTopK)
+  }
+
+  private val q42Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |long AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM long GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    round(tf * round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1, 6), 6) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (SELECT *,
+       |    rank() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS r
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE r <= $TfidfTopK""".stripMargin
+
   // ---- q40: incremental dedup ------------------------------------------
 
   /** The one split modulus for the incremental-dedup demonstration:
@@ -913,7 +942,8 @@ object LlmQueries {
     "q34b_packed_text" -> ((s, d) => packedText(s, d)),
     "q35_vocab" -> ((s, d) => vocab(s, d)),
     "q40_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
-    "q41_incremental_neardup" -> ((s, d) => incrementalNearDedup(s, d))
+    "q41_incremental_neardup" -> ((s, d) => incrementalNearDedup(s, d)),
+    "q42_tfidf" -> ((s, d) => tfidfTerms(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -944,6 +974,7 @@ object LlmQueries {
     "q34b_packed_text" -> q34bOracle,
     "q35_vocab" -> q35Oracle,
     "q40_incremental_dedup" -> q40Oracle,
-    "q41_incremental_neardup" -> q41Oracle
+    "q41_incremental_neardup" -> q41Oracle,
+    "q42_tfidf" -> q42Oracle
   )
 }

@@ -129,6 +129,41 @@ object TextStats {
       .orderBy(desc("df"), asc("term"))
       .limit(topK)
 
+  /** TF-IDF document-term scoring, top `topK` terms per document: tf = raw
+    * in-doc term count, idf = ln((N+1)/(df+1)) + 1 (the smoothed form that
+    * keeps corpus-wide terms at a positive weight, standard IR practice),
+    * score = tf·idf. The relevance-weighting counterpart to
+    * [[vocabulary]]'s raw counts — quality-scoring and keyword-extraction
+    * steps consume exactly this shape.
+    *
+    * Determinism: idf and the score round to 6 decimals (repo rule) and
+    * both engines feed `ln` identical integer ratios, so doubles match
+    * bit-for-bit; the per-doc cut is `rank()` over (score desc, term), a
+    * total order.
+    *
+    * Scale shape: one shuffle for (doc, term) counts; df + corpus size
+    * derive from THAT aggregate (term-keyed partial agg, no second scan);
+    * N joins in as a broadcast 1-row frame, df on the term key; the
+    * per-doc top-k lowers to WindowGroupLimit (bounded per-group state).
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val termCounts = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfByTerm = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    termCounts
+      .join(dfByTerm, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1, 6))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .withColumn("r", rank().over(w)).filter(col("r") <= topK)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns, written in the Java∩RE2 regex dialect so the same

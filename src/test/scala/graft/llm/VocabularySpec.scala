@@ -19,6 +19,32 @@ class VocabularySpec extends SparkTestBase {
     assert(out(2) == (("bird", 1L, 1L))) // bird < cat < dog at df=1
   }
 
+  test("tfidf: hand-computed scores, smoothed idf, deterministic per-doc cut") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // N=2; df: a=2, b=1, c=1; idf_a = ln(3/3)+1 = 1.0,
+    // idf_b = idf_c = round(ln(3/2)+1, 6) = 1.405465
+    val all = TextStats.tfidf(docs, "doc_id", "text", topK = 5)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    assert(all == Map(
+      (1L, "a") -> ((2L, 2L, 2.0)),
+      (1L, "b") -> ((1L, 1L, 1.405465)),
+      (2L, "a") -> ((1L, 2L, 1.0)),
+      (2L, "c") -> ((1L, 1L, 1.405465))))
+    // topK=1: doc 1 keeps a (2.0 beats 1.405465), doc 2 keeps c
+    val top1 = TextStats.tfidf(docs, "doc_id", "text", topK = 1)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(top1 == Map(1L -> "a", 2L -> "c"))
+  }
+
+  test("tfidf plan: per-doc top-k lowers to WindowGroupLimit") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = TextStats.tfidf(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("vocabulary plan: top-k lowers to TakeOrderedAndProject, never a global sort") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = TextStats.vocabulary(docs, "doc_id", "text", 10)
