@@ -141,10 +141,14 @@ object TextStats {
     * bit-for-bit; the per-doc cut is `rank()` over (score desc, term), a
     * total order.
     *
-    * Scale shape: one shuffle for (doc, term) counts; df + corpus size
-    * derive from THAT aggregate (term-keyed partial agg, no second scan);
-    * N joins in as a broadcast 1-row frame, df on the term key; the
-    * per-doc top-k lowers to WindowGroupLimit (bounded per-group state).
+    * Scale shape: one shuffle for (doc, term) counts; df derives from THAT
+    * aggregate (term-keyed partial agg, no second scan) and joins back on
+    * the term key; the corpus size N is one bounded driver-side count (a
+    * single scalar — the [[graft.llm.Similarity.nearestInBlock]] Auto
+    * precedent; a 1-row cross join would lower to the
+    * BroadcastNestedLoopJoin the plan audit bans) folded in as a literal;
+    * the per-doc top-k lowers to WindowGroupLimit (bounded per-group
+    * state).
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     val termCounts = df
@@ -152,13 +156,12 @@ object TextStats {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfByTerm = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val nDocs = df.select(countDistinct(col(idCol))).head().getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
     termCounts
       .join(dfByTerm, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("idf", round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1, 6))
+      .withColumn("idf", round(log(lit((nDocs + 1).toDouble) / (col("df") + 1)) + 1, 6))
       .withColumn("tfidf", round(col("tf") * col("idf"), 6))
       .withColumn("r", rank().over(w)).filter(col("r") <= topK)
       .select("doc_id", "term", "tf", "df", "tfidf")
