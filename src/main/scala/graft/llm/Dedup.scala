@@ -219,6 +219,28 @@ object Dedup {
     val shingled = shingleFrame(batch, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBands = bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand)
+    incrementalMinhashPairsFromArtifacts(indexBands, indexShingles,
+      batchBands, shingled, threshold, maxBucketSize,
+      capObservation, probeCapObservation)
+  }
+
+  /** [[incrementalMinhashPairs]] over PRE-BUILT batch artifacts — the form
+    * an ingest loop uses when it must also persist the batch's bands and
+    * shingles into the index (computing them once, not twice; see
+    * [[graft.streaming.StreamingNearDedup]]). `batchShingles` should be
+    * persisted by the caller — it is read by candidate generation AND
+    * verification.
+    */
+  private[graft] def incrementalMinhashPairsFromArtifacts(
+      indexBands: DataFrame,
+      indexShingles: DataFrame,
+      batchBands: DataFrame,
+      batchShingles: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int,
+      capObservation: Option[Observation] = None,
+      probeCapObservation: Option[Observation] = None): DataFrame = {
+    val shingled = batchShingles
     val within = candidatePairs(batchBands, maxBucketSize, capObservation)
     // cap the index side per bucket (same deterministic smallest-ids
     // convention as candidatePairs; the window's partitioning matches the

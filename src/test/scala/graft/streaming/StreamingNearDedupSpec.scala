@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+
+class StreamingNearDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("foreachBatch ingest loop: each micro-batch probes the grown index, artifacts accumulate") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-neardup").toFile
+    val indexDir = s"${tmp.getAbsolutePath}/index"
+    val pairsDir = s"${tmp.getAbsolutePath}/pairs"
+
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDS().toDF("doc_id", "text")
+    val query = docs.writeStream
+      .foreachBatch(StreamingNearDedup.pairSink("doc_id", "text", indexDir, pairsDir))
+      .start()
+    try {
+      // trigger 1: empty index — only the within-batch exact dup pairs
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (10L, "completely different content about spark engines"))
+      query.processAllAvailable()
+      val after1 = spark.read.parquet(pairsDir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after1.map(p => (p._1, p._2)) == Set((1L, 2L)),
+        s"first batch must find only its internal dup, got $after1")
+
+      // trigger 2: doc 3 repeats doc 1's content — the index probe must
+      // pair it with BOTH already-ingested copies; doc 4 matches nothing
+      ms.addData(
+        (3L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "unrelated text that matches nothing at all"))
+      query.processAllAvailable()
+      val after2 = spark.read.parquet(pairsDir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after2.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"index probe must emit the cross pairs, got $after2")
+      assert(after2.filter(p => p._2 == 3L).forall(_._3 == 1.0),
+        "identical content must verify at jaccard 1.0")
+
+      // the index holds every ingested doc's artifacts: 5 docs x 4 bands
+      assert(spark.read.parquet(s"$indexDir/bands").count() == 20)
+      assert(spark.read.parquet(s"$indexDir/shingles")
+        .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 10L))
+    } finally query.stop()
+  }
+
+  test("ingestBatch returns the per-trigger pair count (the monitor signal)") {
+    val tmp = Files.createTempDirectory("graft-ingest-count").toFile
+    val indexDir = s"${tmp.getAbsolutePath}/index"
+    val pairsDir = s"${tmp.getAbsolutePath}/pairs"
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    assert(StreamingNearDedup.ingestBatch(b1, "doc_id", "text", indexDir, pairsDir) == 0L)
+    val b2 = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    assert(StreamingNearDedup.ingestBatch(b2, "doc_id", "text", indexDir, pairsDir) == 1L)
+  }
+}
