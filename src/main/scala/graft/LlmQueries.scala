@@ -149,7 +149,12 @@ object LlmQueries {
         explode(TextStats.winnowFingerprints(col("text"), WinnowK, WinnowW))
           .as("fingerprint"))
 
-  private val q10bOracle: String = {
+  /** CTE chain ending in `wfp(doc_id, fingerprint)` — the winnowing sketch
+    * as a reusable oracle building block, shared by q10b (the sketch rows)
+    * and q43 (fingerprint-overlap pairs) so the SQL mirror cannot drift
+    * between the two.
+    */
+  private val dWinnowCtes: String = {
     val k = WinnowK
     val w = WinnowW
     val grams = s"(CASE WHEN len(toks) = 0 THEN [] " +
@@ -160,11 +165,14 @@ object LlmQueries {
       s"WHEN len(hashes) < $w THEN [list_min(hashes)] " +
       s"ELSE list_distinct(list_transform(range(1, len(hashes) - ${w - 2}), " +
       s"j -> list_min(list_slice(hashes, j, j + ${w - 1})))) END)"
-    s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $dToks AS toks FROM documents),
        |g AS (SELECT doc_id, $grams AS grams FROM t),
-       |h AS (SELECT doc_id, list_transform(grams, g -> md5(g)) AS hashes FROM g)
-       |SELECT doc_id, unnest($fps) AS fingerprint FROM h""".stripMargin
+       |h AS (SELECT doc_id, list_transform(grams, g -> md5(g)) AS hashes FROM g),
+       |wfp AS (SELECT doc_id, unnest($fps) AS fingerprint FROM h)""".stripMargin
   }
+
+  private val q10bOracle: String =
+    s"WITH $dWinnowCtes SELECT doc_id, fingerprint FROM wfp"
 
   // ---- q11: exact dedup ------------------------------------------------
 
@@ -815,6 +823,34 @@ object LlmQueries {
        |FROM long GROUP BY term
        |ORDER BY df DESC, term LIMIT $VocabTopK""".stripMargin
 
+  // ---- q43: winnow-fingerprint containment pairs -----------------------
+
+  private val MinSharedFps = 2
+
+  /** Pairs of documents sharing >= [[MinSharedFps]] winnowing fingerprints
+    * with their containment score ([[Dedup.winnowOverlapPairs]]) — the
+    * local-overlap / quoted-inside detector whole-doc Jaccard
+    * under-scores.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    Dedup.winnowOverlapPairs(docs, "doc_id", "text", WinnowK, WinnowW, MinSharedFps)
+  }
+
+  private val q43Oracle: String =
+    s"""WITH $dWinnowCtes,
+       |fps AS (SELECT doc_id AS id, fingerprint AS fp FROM wfp),
+       |sizes AS (SELECT id, count(*) AS n FROM fps GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared_fps,
+       |  round(CAST(shared_fps AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+       |FROM pairs JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+       |WHERE shared_fps >= $MinSharedFps""".stripMargin
+
   // ---- q42: TF-IDF top terms per document ------------------------------
 
   private val TfidfTopK = 5
@@ -943,7 +979,8 @@ object LlmQueries {
     "q35_vocab" -> ((s, d) => vocab(s, d)),
     "q40_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q41_incremental_neardup" -> ((s, d) => incrementalNearDedup(s, d)),
-    "q42_tfidf" -> ((s, d) => tfidfTerms(s, d))
+    "q42_tfidf" -> ((s, d) => tfidfTerms(s, d)),
+    "q43_winnow_overlap" -> ((s, d) => winnowOverlap(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -975,6 +1012,7 @@ object LlmQueries {
     "q35_vocab" -> q35Oracle,
     "q40_incremental_dedup" -> q40Oracle,
     "q41_incremental_neardup" -> q41Oracle,
-    "q42_tfidf" -> q42Oracle
+    "q42_tfidf" -> q42Oracle,
+    "q43_winnow_overlap" -> q43Oracle
   )
 }

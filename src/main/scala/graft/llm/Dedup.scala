@@ -388,6 +388,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment-candidate pairs via shared WINNOWING fingerprints
+    * ([[TextStats.winnowFingerprints]]): pairs of docs sharing at least
+    * `minShared` fingerprints, with `containment` = shared /
+    * min(|fps_a|, |fps_b|). This catches near-verbatim LOCAL overlap —
+    * a document quoted inside a much larger one — which whole-document
+    * Jaccard under-scores (the union term grows with the big doc) and
+    * exact dedup misses entirely; the standard MOSS-style plagiarism /
+    * quote-detection shape, here as a dedup-pipeline feeder.
+    *
+    * Plan: explode fingerprints, self-join bucketed on the fingerprint
+    * (one shuffle), partial-aggregated pair counts — the same
+    * co-occurrence rewrite as [[blockedJaccardPairs]], never an
+    * array-carrying join. `maxBucketSize` caps a ubiquitous-boilerplate
+    * fingerprint's bucket to its smallest ids (the [[candidatePairs]]
+    * convention, observable via `capObservation`) so one viral snippet
+    * cannot make a bucket quadratic.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucketSize: Int = 10000,
+      capObservation: Option[Observation] = None): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(TextStats.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n"))
+    val wCap = org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("id")
+    val rn = fps.withColumn("__rn", row_number().over(wCap))
+    val observed = capObservation.fold(rn)(o => rn.observe(o,
+      coalesce(sum(when(col("__rn") === maxBucketSize + 1, 1L).otherwise(0L)), lit(0L))
+        .as("truncated_fp_buckets"),
+      coalesce(sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+        .as("dropped_fp_rows")))
+    val kept = observed.filter(col("__rn") <= maxBucketSize).drop("__rn")
+    kept.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("containment",
+        round(col("shared_fps").cast("double") / least(col("n_a"), col("n_b")), 6))
+      .select("id_a", "id_b", "shared_fps", "containment")
+  }
+
   /** Per-token bit hash for [[simhash]]: bit `j` of xxhash64(token).
     * Spark-native codegen, the default — but xxhash64 has no DuckDB
     * equivalent, so sketches built with it are property-tested only.

@@ -184,6 +184,44 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("winnowOverlapPairs: containment scores a quoted doc ~1.0 where Jaccard under-scores it") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val host = ("completely unrelated framing sentence about engines " + quote +
+      " and then a long tail of other words that dilute the union " +
+      "padding padding more filler content here to stretch the host document")
+    val docs = Seq((1L, quote), (2L, host), (3L, "nothing in common with either"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowOverlapPairs(docs, "doc_id", "text", 3, 4, minShared = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"only the quote/host pair should surface, got ${out.toSeq}")
+    val containment = out.head._4
+    // winnowing guarantees shared fingerprints on any run >= w + k - 1
+    // tokens; the quote is fully inside the host, so containment
+    // (shared / min-side fingerprints) is high even though the pair's
+    // plain Jaccard is low
+    assert(containment >= 0.8, s"containment collapsed: $containment")
+    val jac = docs.filter(col("doc_id").isin(1L, 2L))
+    val jaccard = Dedup.blockedJaccardPairs(jac, "doc_id", "text", lit(1), 3, 0.01)
+      .as[(Long, Long, Double)].collect().head._3
+    assert(jaccard < 0.5, s"sanity: whole-doc jaccard should under-score containment, got $jaccard")
+  }
+
+  test("winnowOverlapPairs: hot-fingerprint cap bounds a viral snippet, observably") {
+    val n = 300
+    val cap = 10
+    val flood = (1 to n).map(i => (i.toLong, "same viral snippet repeated everywhere online"))
+      .toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    val pairs = Dedup.winnowOverlapPairs(flood, "doc_id", "text", 3, 4,
+      minShared = 1, maxBucketSize = cap, capObservation = Some(obs))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.forall(_._1 <= cap), "pair with non-representative smaller id escaped the cap")
+    assert(obs.get("truncated_fp_buckets").asInstanceOf[Long] >= 1L)
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).toSet == (1L to n).toSet,
+      "every doc must keep at least one pair with a representative")
+  }
+
   test("simhash: identical text -> identical sketch; near dup -> small hamming; 16-bit range") {
     val out = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
       .as[(Long, Long)].collect().toMap
