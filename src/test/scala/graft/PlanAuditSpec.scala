@@ -116,6 +116,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"both pivot phases must partial-aggregate before their shuffles:\n$p")
   }
 
+  test("q41 incremental near-dup: index cap window shares the probe join's band-key exchange") {
+    val p = plan(LlmQueries.incrementalNearDedup(spark, dir))
+    // the cap's row_number partitions on exactly the join key, so Spark
+    // must NOT insert a second exchange between the window and the join —
+    // count the band-keyed exchanges: one for the index side, one for the
+    // batch side of the probe join
+    val bandExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(band_id"))
+    assert(bandExchanges <= 2,
+      s"index cap added an extra band-key exchange ($bandExchanges):\n$p")
+    // (the cap's row_number does NOT lower to WindowGroupLimit: the 10000
+    // cap exceeds spark.sql.window.group.limit.threshold — per-bucket sort
+    // state is still bounded by the bucket, which the cap itself bounds)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window ") && l.contains("band_id") && l.contains("row_number")),
+      s"the index cap window must partition on the band key:\n$p")
+  }
+
+  test("q43 winnow overlap: pair counts partial-aggregate before their shuffle, join keyed on the fingerprint") {
+    val p = plan(LlmQueries.winnowOverlap(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"shared-fingerprint counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the fingerprint self-join must stay an equi join:\n$p")
+  }
+
   test("q17 nearest-in-block: broadcast below the threshold, shuffle join with salt above it") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val viaBroadcast = graft.llm.Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))
