@@ -142,6 +142,60 @@ object Multimodal {
     }(Encoders.product[MediaRecord])
   }
 
+  /** Real image downscale via JDK-only `Graphics2D`: decode, scale so the
+    * longest side is `maxDim` (never upscales), bilinear-interpolated draw,
+    * re-encode as PNG. None when the bytes don't decode as an image.
+    */
+  private[llm] def rescaleImage(media: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+        .map { img =>
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          if (scale >= 1.0) media // already within bounds: bytes unchanged
+          else {
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            bos.toByteArray
+          }
+        }
+    } catch {
+      case _: Exception => None
+    }
+  }
+
+  /** REAL image resize over the media column: image-kind payloads that
+    * decode are downscaled so their longest side is `maxDim` (bilinear,
+    * re-encoded PNG — the standard thumbnail/feature-input prep step);
+    * everything else passes through untouched. Same mapPartitions batch
+    * shape as [[resize]], 1-row-in → 1-row-out, metadata tracks the new
+    * payload.
+    */
+  def resizeImages(
+      ds: Dataset[MediaRecord], maxDim: Int, batchSize: Int = 64): Dataset[MediaRecord] = {
+    require(maxDim > 0, "maxDim must be positive")
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch scaler setup would live here
+        batch.iterator.map { r =>
+          val media =
+            if (r.kind == "image") rescaleImage(r.media, maxDim).getOrElse(r.media)
+            else r.media
+          MediaRecord(r.id, r.kind, media, media.length.toLong)
+        }
+      }
+    }(Encoders.product[MediaRecord])
+  }
+
   /** STUB frame extraction — fixed-size byte windows standing in for video
     * frame decode: the payload splits into `frameBytes` chunks ("frames"),
     * of which every `stride`-th is kept. The 1-row-in → N-rows-out flatMap

@@ -81,6 +81,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.values.forall(f => f.nBytes > 0 && f.headHex.nonEmpty), "byte stats always present")
   }
 
+  test("resizeImages: real downscale to maxDim, luminance preserved, non-images untouched") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", png(64, 32), 0L),      // downscales to 16x8
+      MediaRecord(2L, "image", png(8, 4), 0L),        // within bounds: untouched
+      MediaRecord(3L, "audio", Array[Byte](1, 2, 3), 0L) // wrong kind: untouched
+    ).toDS()
+    val out = Multimodal.resizeImages(media, maxDim = 16).collect().map(r => r.id -> r).toMap
+    val resized = Multimodal.decodeImage(out(1L).media).get
+    assert((resized._1, resized._2) == ((16, 8)), s"got ${(resized._1, resized._2)}")
+    // solid color survives bilinear downscale exactly
+    assert(math.abs(resized._3 - 140.75) < 1e-9, s"luminance drifted: ${resized._3}")
+    assert(out(1L).declaredBytes == out(1L).media.length.toLong)
+    assert(out(2L).media.toSeq == png(8, 4).toSeq, "small image must pass through byte-identical")
+    assert(out(3L).media.toSeq == Seq[Byte](1, 2, 3), "non-image must pass through")
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()
