@@ -823,6 +823,29 @@ object LlmQueries {
        |FROM long GROUP BY term
        |ORDER BY df DESC, term LIMIT $VocabTopK""".stripMargin
 
+  // ---- q44: corpus-relative rare-token ratio ---------------------------
+
+  private val RareBelow = 3L
+
+  /** Per-doc rare-token stats against the corpus-wide frequency table
+    * ([[TextStats.rareTokenStats]]): tokens whose global count <
+    * [[RareBelow]] are rare; a high ratio flags OOV-heavy/gibberish docs.
+    */
+  def rareTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextStats.rareTokenStats(docs, "doc_id", "text", RareBelow)
+  }
+
+  private val q44Oracle: String =
+    s"""WITH t AS (SELECT doc_id, unnest($dToks) AS term FROM documents),
+       |freq AS (SELECT term, count(*) AS n_global FROM t GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  sum(CASE WHEN n_global < $RareBelow THEN 1 ELSE 0 END) AS n_rare,
+       |  round(CAST(sum(CASE WHEN n_global < $RareBelow THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS rare_ratio
+       |FROM t JOIN freq USING (term) GROUP BY doc_id""".stripMargin
+
   // ---- q43: winnow-fingerprint containment pairs -----------------------
 
   private val MinSharedFps = 2
@@ -980,7 +1003,8 @@ object LlmQueries {
     "q40_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q41_incremental_neardup" -> ((s, d) => incrementalNearDedup(s, d)),
     "q42_tfidf" -> ((s, d) => tfidfTerms(s, d)),
-    "q43_winnow_overlap" -> ((s, d) => winnowOverlap(s, d))
+    "q43_winnow_overlap" -> ((s, d) => winnowOverlap(s, d)),
+    "q44_rare_tokens" -> ((s, d) => rareTokens(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1013,6 +1037,7 @@ object LlmQueries {
     "q40_incremental_dedup" -> q40Oracle,
     "q41_incremental_neardup" -> q41Oracle,
     "q42_tfidf" -> q42Oracle,
-    "q43_winnow_overlap" -> q43Oracle
+    "q43_winnow_overlap" -> q43Oracle,
+    "q44_rare_tokens" -> q44Oracle
   )
 }

@@ -167,6 +167,37 @@ object TextStats {
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
 
+  /** Corpus-relative rarity stats per document: token count, how many of
+    * its tokens are globally RARE (corpus-wide frequency < `rareBelow`),
+    * and their ratio — the join-based quality signal per-row stats can't
+    * express (a doc of individually plausible but corpus-unseen tokens is
+    * gibberish/OOV-heavy; a high ratio is the standard filter heuristic).
+    * Deliberately all-integer until one final per-row division, so the
+    * result is bit-deterministic across engines and partitionings — a mean
+    * log-probability would sum doubles in shuffle order.
+    *
+    * Docs with zero tokens produce no exploded rows and drop from the
+    * output (their ratio is undefined).
+    *
+    * Scale shape: one explode feeding both sides — global term counts
+    * (term-keyed shuffle, partial agg) joined back to the exploded tokens
+    * on the term, then one doc-keyed count aggregation. Three shuffles,
+    * no driver-side anything.
+    */
+  def rareTokenStats(
+      df: DataFrame, idCol: String, textCol: String, rareBelow: Long): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("n_global"))
+    toks.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("n_global") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        round(col("n_rare").cast("double") / col("n_tokens"), 6))
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns, written in the Java∩RE2 regex dialect so the same

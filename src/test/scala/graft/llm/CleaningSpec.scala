@@ -71,4 +71,16 @@ class CleaningSpec extends SparkTestBase {
     assert(out(5L) == 3L, "jumps-over-the / over-the-lazy / the-lazy-dog")
     assert(!out.contains(0L), "bench docs themselves are never flagged")
   }
+
+  test("rareTokenStats: corpus-relative rarity, exact integer counts, zero-token docs drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aaa bbb"), (2L, "aaa ccc"), (3L, "")).toDF("doc_id", "text")
+    // global: aaa=3, bbb=1, ccc=1; rareBelow=2 -> bbb and ccc are rare
+    val out = TextStats.rareTokenStats(docs, "doc_id", "text", rareBelow = 2)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out == Map(
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((2L, 1L, 0.5))), s"got $out")
+    assert(!out.contains(3L), "zero-token doc must drop (undefined ratio)")
+  }
 }
