@@ -97,6 +97,65 @@ class TextStatsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("winnowOverlapPairs: containment bounded (0,1]; the winnowing guarantee lifts to pairs") {
+    val run = "alpha beta gamma delta epsilon zeta" // w + k - 1 = 6 tokens
+    val pads = samples(textGen, 15)
+    // every even/odd id pair shares the 6-token run -> must pair at minShared=1
+    val docs = pads.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i.toLong * 2, s"$p $run"), (i.toLong * 2 + 1, s"$run ${pads(pads.length - 1 - i)}"))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text", 3, 4, minShared = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, shared, c) =>
+      assert(a < b && shared >= 1)
+      assert(c > 0.0 && c <= 1.0, s"containment $c out of (0,1] for ($a,$b)")
+    }
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until pads.length).foreach { i =>
+      assert(found.contains((i.toLong * 2, i.toLong * 2 + 1)),
+        s"docs ${i * 2}/${i * 2 + 1} share a 6-token run but produced no pair")
+    }
+  }
+
+  test("rareTokenStats: rarity bounded by token count, totals reassemble the corpus") {
+    val texts = samples(textGen, 30)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextStats.rareTokenStats(docs, "doc_id", "text", rareBelow = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    out.foreach { case (_, n, rare, ratio) =>
+      assert(rare >= 0 && rare <= n)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - (rare.toDouble / n)) < 1e-6)
+    }
+    val totalTokens = docs.select(explode(TextStats.tokens(col("text")))).count()
+    assert(out.map(_._2).sum == totalTokens, "per-doc token counts must reassemble the corpus")
+    // every token is rare at an impossible threshold, none at threshold 1
+    val allRare = TextStats.rareTokenStats(docs, "doc_id", "text", rareBelow = Long.MaxValue)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(allRare.forall(r => r._2 == r._3 && r._4 == 1.0))
+    val noneRare = TextStats.rareTokenStats(docs, "doc_id", "text", rareBelow = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(noneRare.forall(r => r._3 == 0 && r._4 == 0.0))
+  }
+
+  test("tfidf: tf/df positive, df bounded by corpus size, smoothed idf keeps scores positive") {
+    val texts = samples(textGen, 20)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val n = docs.count()
+    val out = TextStats.tfidf(docs, "doc_id", "text", topK = 3)
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, tf, df, score) =>
+      assert(tf >= 1 && df >= 1 && df <= n)
+      assert(score > 0.0, s"smoothed idf must keep scores positive, got $score")
+    }
+    // rank()-based cut: > topK rows per doc only on exact score-and-term
+    // ties, which cannot happen (term is part of the order) — so <= topK
+    out.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.length <= 3, s"doc $d returned ${rows.length} rows for topK=3")
+    }
+  }
+
   test("winnowing edges: empty -> no fingerprints; short docs -> one global min") {
     val df = Seq(
       (1L, ""), (2L, "   "),
