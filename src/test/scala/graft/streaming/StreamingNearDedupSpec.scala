@@ -52,6 +52,43 @@ class StreamingNearDedupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("ingest loop resumes from checkpoint: unprocessed data flows, processed batches don't replay") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-neardup-recovery").toFile
+    val indexDir = s"${tmp.getAbsolutePath}/index"
+    val pairsDir = s"${tmp.getAbsolutePath}/pairs"
+    val ckpt = s"${tmp.getAbsolutePath}/ckpt"
+    val ms = MemoryStream[(Long, String)]
+
+    def startQuery() = ms.toDS().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingNearDedup.pairSink("doc_id", "text", indexDir, pairsDir))
+      .start()
+
+    val q1 = startQuery()
+    try {
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart on the SAME checkpoint: the committed first batch must not
+    // replay (its pairs would duplicate), new data must flow
+    val q2 = startQuery()
+    try {
+      ms.addData((3L, "the quick brown fox jumps over the lazy dog"))
+      q2.processAllAvailable()
+      val pairs = spark.read.parquet(pairsDir)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSeq
+      assert(pairs.sorted == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"restart must neither replay batch 1 nor drop batch 2, got $pairs")
+      assert(spark.read.parquet(s"$indexDir/shingles")
+        .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+        "index must hold each doc's artifacts exactly once")
+    } finally q2.stop()
+  }
+
   test("ingestBatch returns the per-trigger pair count (the monitor signal)") {
     val tmp = Files.createTempDirectory("graft-ingest-count").toFile
     val indexDir = s"${tmp.getAbsolutePath}/index"
