@@ -846,6 +846,41 @@ object LlmQueries {
        |    / count(*), 6) AS rare_ratio
        |FROM t JOIN freq USING (term) GROUP BY doc_id""".stripMargin
 
+  // ---- q45: corpus data card -------------------------------------------
+
+  /** Per-language corpus report — doc counts, token totals, exact token
+    * length percentiles — the "data card" table every dataset release
+    * ships. Integer counts plus exact interpolated percentiles over
+    * integers (the q36 convention: Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, deterministic because the sorted multiset is), so
+    * there is no shuffle-order-dependent double summation anywhere.
+    *
+    * Scale shape: one narrow projection (lang, token count) feeding one
+    * lang-keyed aggregation; counts/sums partial-aggregate, the exact
+    * percentile buffers per-group values — with unbounded group
+    * cardinality switch to `approx_percentile`, same plan (q36's
+    * documented trade).
+    */
+  def corpusDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    docs
+      .select(col("lang"), size(TextStats.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        percentile(col("n_toks"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_toks"), lit(0.9)).as("p90_tokens"))
+  }
+
+  private val q45Oracle: String =
+    s"""WITH t AS (SELECT lang, len($dToks) AS n_toks FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  quantile_cont(n_toks, 0.5) AS p50_tokens,
+       |  quantile_cont(n_toks, 0.9) AS p90_tokens
+       |FROM t GROUP BY 1""".stripMargin
+
   // ---- q43: winnow-fingerprint containment pairs -----------------------
 
   private val MinSharedFps = 2
@@ -1004,7 +1039,8 @@ object LlmQueries {
     "q41_incremental_neardup" -> ((s, d) => incrementalNearDedup(s, d)),
     "q42_tfidf" -> ((s, d) => tfidfTerms(s, d)),
     "q43_winnow_overlap" -> ((s, d) => winnowOverlap(s, d)),
-    "q44_rare_tokens" -> ((s, d) => rareTokens(s, d))
+    "q44_rare_tokens" -> ((s, d) => rareTokens(s, d)),
+    "q45_data_card" -> ((s, d) => corpusDataCard(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1038,6 +1074,7 @@ object LlmQueries {
     "q41_incremental_neardup" -> q41Oracle,
     "q42_tfidf" -> q42Oracle,
     "q43_winnow_overlap" -> q43Oracle,
-    "q44_rare_tokens" -> q44Oracle
+    "q44_rare_tokens" -> q44Oracle,
+    "q45_data_card" -> q45Oracle
   )
 }
