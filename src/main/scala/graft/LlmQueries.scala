@@ -841,7 +841,7 @@ object LlmQueries {
     s"""WITH t AS (SELECT doc_id, unnest($dToks) AS term FROM documents),
        |freq AS (SELECT term, count(*) AS n_global FROM t GROUP BY 1)
        |SELECT doc_id, count(*) AS n_tokens,
-       |  sum(CASE WHEN n_global < $RareBelow THEN 1 ELSE 0 END) AS n_rare,
+       |  CAST(sum(CASE WHEN n_global < $RareBelow THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
        |  round(CAST(sum(CASE WHEN n_global < $RareBelow THEN 1 ELSE 0 END) AS DOUBLE)
        |    / count(*), 6) AS rare_ratio
        |FROM t JOIN freq USING (term) GROUP BY doc_id""".stripMargin

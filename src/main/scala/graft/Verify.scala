@@ -11,6 +11,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Operators persist intermediates and document a caller-owned
+      // lifecycle; in this 50-query single-session shape that caller is
+      // Verify, so drop each query's cached blocks before the next one
+      // (the Bench convention) or they accumulate across the run.
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -201,7 +201,15 @@ object Dedup {
     * `dropped_index_band_rows`), separate from `capObservation` so an
     * operator can tell a flooded index from a flooded batch.
     * Verification joins shingle sets by id — batch side tiny and persisted,
-    * index side a keyed lookup touching only candidate ids.
+    * index side a keyed lookup touching only candidate ids. Replay-safe:
+    * the probe join carries an id-inequality predicate, so a redelivered
+    * doc whose bands already sit in the index (the at-least-once case
+    * [[graft.streaming.StreamingNearDedup]] documents) never pairs with
+    * itself. The batch shingles persist at MEMORY_AND_DISK with a
+    * caller-owned lifecycle (`spark.catalog.clearCache()` / session end —
+    * the [[minhashPairs]] convention;
+    * [[graft.streaming.StreamingNearDedup.ingestBatch]] unpersists
+    * eagerly).
     */
   def incrementalMinhashPairs(
       indexBands: DataFrame,
@@ -254,10 +262,15 @@ object Dedup {
       sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L))
         .as("dropped_index_band_rows")))
     val idxKept = idxObserved.filter(col("__rn") <= maxBucketSize).drop("__rn")
+    // the id-inequality predicate matters under at-least-once replay: a
+    // replayed doc's bands already sit in the index, so without it the doc
+    // matches itself and emits (x, x, 1.0) rows that [[minhashPairs]]
+    // (strict id_a < id_b) never produces
     val cross = batchBands.as("n")
       .join(idxKept.as("i"),
         col("n.band_id") === col("i.band_id") &&
-          col("n.band_hash") === col("i.band_hash"))
+          col("n.band_hash") === col("i.band_hash") &&
+          col("n.id") =!= col("i.id"))
       .select(
         least(col("n.id"), col("i.id")).as("id_a"),
         greatest(col("n.id"), col("i.id")).as("id_b"))
@@ -403,7 +416,10 @@ object Dedup {
     * array-carrying join. `maxBucketSize` caps a ubiquitous-boilerplate
     * fingerprint's bucket to its smallest ids (the [[candidatePairs]]
     * convention, observable via `capObservation`) so one viral snippet
-    * cannot make a bucket quadratic.
+    * cannot make a bucket quadratic. The exploded fingerprints persist at
+    * MEMORY_AND_DISK with a caller-owned lifecycle
+    * (`spark.catalog.clearCache()` / session end — the [[minhashPairs]]
+    * convention).
     */
   def winnowOverlapPairs(
       df: DataFrame,

@@ -28,8 +28,10 @@ case class MediaFrame(id: Long, kind: String, frameIdx: Int, frame: Array[Byte])
   *
   * IMAGE DECODE IS REAL: [[decodeImage]] runs the JDK's own `javax.imageio`
   * readers (PNG/BMP/GIF/JPEG/WBMP ship with every JRE — zero external
-  * dependencies), yielding width/height/mean-luminance. Payloads no reader
-  * accepts — and non-image kinds, which never attempt a decode — fall back
+  * dependencies), yielding width/height/mean-luminance, behind a
+  * header-dimension pixel-budget guard ([[readImageGuarded]]) so hostile
+  * payloads can't OOM an executor. Payloads no reader accepts — and
+  * non-image kinds, which never attempt a decode — fall back
   * to the byte-statistics features only ([[decodeStub]], also the stand-in
   * for audio/video codecs this container lacks). The resize/frame-sample
   * payload transforms keep deterministic stubs ([[resizeStub]]) with the
@@ -60,18 +62,64 @@ object Multimodal {
     (mean, head)
   }
 
+  /** Pixel budget for [[readImageGuarded]]: 64 MP ≈ a 256 MB ARGB raster,
+    * the most a single decode may allocate. Large enough for any sane
+    * corpus image, small enough that a hostile header can't OOM an
+    * executor core.
+    */
+  private[llm] val MaxImagePixels: Long = 64L * 1024 * 1024
+
+  /** Header-guarded image read. `ImageIO.read` allocates the full
+    * `BufferedImage` from the HEADER-DECLARED dimensions before any pixel
+    * data streams, so a corrupt or hostile payload declaring huge
+    * dimensions (a decompression bomb) raises `OutOfMemoryError` — which
+    * no `catch Exception` sees — and kills the executor. On an untrusted
+    * 100 TB corpus that is a denial-of-service row. So: pick the reader,
+    * ask it for width/height (parses only the header), reject anything
+    * over `maxPixels`, and only then decode. None for no-reader bytes,
+    * over-budget declarations, and decode failures alike — callers fall
+    * back to byte statistics. `ImageIO.setUseCache(false)` keeps
+    * executors off temp-file staging — decode stays in-memory.
+    */
+  private[llm] def readImageGuarded(
+      media: Array[Byte],
+      maxPixels: Long = MaxImagePixels): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      if (iis == null) None
+      else
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > maxPixels) None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+    } catch {
+      case _: Exception => None // unreadable bytes: byte-stats features only
+    }
+  }
+
   /** Real image decode via the JDK's `javax.imageio` readers. Returns
     * (width, height, mean Rec.601 luminance 0..255), or None when no
     * registered reader accepts the bytes (corrupt payload, or a format —
-    * audio, video, exotic image codec — the JRE doesn't ship). Luminance
-    * streams one pixel row at a time through a reused buffer, so memory is
-    * O(width) regardless of image size. `ImageIO.setUseCache(false)` keeps
-    * executors off temp-file staging — decode stays in-memory.
+    * audio, video, exotic image codec — the JRE doesn't ship) or the
+    * header declares more than [[MaxImagePixels]] ([[readImageGuarded]]'s
+    * bomb guard). Luminance streams one pixel row at a time through a
+    * reused buffer, so memory is O(width) regardless of image size.
     */
   private[llm] def decodeImage(media: Array[Byte]): Option[(Int, Int, Double)] = {
-    javax.imageio.ImageIO.setUseCache(false)
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))).map { img =>
+      readImageGuarded(media).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         val row = new Array[Int](w)
@@ -142,14 +190,14 @@ object Multimodal {
     }(Encoders.product[MediaRecord])
   }
 
-  /** Real image downscale via JDK-only `Graphics2D`: decode, scale so the
-    * longest side is `maxDim` (never upscales), bilinear-interpolated draw,
+  /** Real image downscale via JDK-only `Graphics2D`: decode (through
+    * [[readImageGuarded]]'s pixel-budget bomb guard), scale so the longest
+    * side is `maxDim` (never upscales), bilinear-interpolated draw,
     * re-encode as PNG. None when the bytes don't decode as an image.
     */
   private[llm] def rescaleImage(media: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
-    javax.imageio.ImageIO.setUseCache(false)
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+      readImageGuarded(media)
         .map { img =>
           val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
           if (scale >= 1.0) media // already within bounds: bytes unchanged

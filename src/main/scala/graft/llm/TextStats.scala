@@ -149,6 +149,12 @@ object TextStats {
     * BroadcastNestedLoopJoin the plan audit bans) folded in as a literal;
     * the per-doc top-k lowers to WindowGroupLimit (bounded per-group
     * state).
+    *
+    * Caching: the (doc, term) counts persist at MEMORY_AND_DISK (read by
+    * both df derivation and the final join) and stay cached until the
+    * CALLER drops them — `spark.catalog.clearCache()` between queries (the
+    * Bench/Verify convention) or session end. Same lifecycle as
+    * [[graft.llm.Dedup.minhashPairs]].
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     val termCounts = df
@@ -182,7 +188,10 @@ object TextStats {
     * Scale shape: one explode feeding both sides — global term counts
     * (term-keyed shuffle, partial agg) joined back to the exploded tokens
     * on the term, then one doc-keyed count aggregation. Three shuffles,
-    * no driver-side anything.
+    * no driver-side anything. The exploded tokens persist at
+    * MEMORY_AND_DISK with a caller-owned lifecycle
+    * (`spark.catalog.clearCache()` / session end — the
+    * [[graft.llm.Dedup.minhashPairs]] convention).
     */
   def rareTokenStats(
       df: DataFrame, idCol: String, textCol: String, rareBelow: Long): DataFrame = {

@@ -105,6 +105,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(3L).media.toSeq == Seq[Byte](1, 2, 3), "non-image must pass through")
   }
 
+  test("decodeImage: header-declared decompression bomb is rejected before allocation") {
+    // a real 8x4 PNG whose IHDR width/height fields are patched to declare
+    // 100000x100000 (10 gigapixels — a ~40 GB raster if decoded); CRC is
+    // recomputed so the PNG reader trusts the header. ImageIO.read would
+    // OOM allocating the BufferedImage; the guard must reject it from the
+    // header dimensions alone, without throwing
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val bomb = out.toByteArray
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = ((v >>> 24) & 0xff).toByte; bomb(off + 1) = ((v >>> 16) & 0xff).toByte
+      bomb(off + 2) = ((v >>> 8) & 0xff).toByte; bomb(off + 3) = (v & 0xff).toByte
+    }
+    // PNG layout: 8-byte signature, 4-byte chunk length, "IHDR" at offset
+    // 12, width at 16, height at 20; chunk CRC (over type+data, bytes
+    // 12..28) at offset 29
+    putInt(16, 100000)
+    putInt(20, 100000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17)
+    putInt(29, crc.getValue.toInt)
+    assert(Multimodal.decodeImage(bomb).isEmpty, "bomb must be rejected, not decoded")
+    assert(Multimodal.rescaleImage(bomb, 16).isEmpty, "rescale path must reject it too")
+    // the same bytes with truthful dimensions still decode: the guard
+    // rejects on declared pixels, not on any other property of the file
+    assert(Multimodal.decodeImage(out.toByteArray).exists(d => (d._1, d._2) == ((8, 4))))
+    // over-budget via the parameter, independent of file patching
+    assert(Multimodal.readImageGuarded(out.toByteArray, maxPixels = 31L).isEmpty,
+      "8x4 = 32 pixels must fail a 31-pixel budget")
+    assert(Multimodal.readImageGuarded(out.toByteArray, maxPixels = 32L).isDefined)
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()

@@ -89,6 +89,29 @@ class StreamingNearDedupSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("replay of an already-ingested batch never emits self-pairs") {
+    // at-least-once: a replayed batch's bands ALREADY sit in the index, so
+    // every doc's own bands match on the probe join — without the
+    // id-inequality predicate each would pair with itself, emitting
+    // (x, x, 1.0) rows that minhashPairs (strict id_a < id_b) never
+    // produces and that reader-side (id_a, id_b) dedup can't remove
+    val tmp = Files.createTempDirectory("graft-neardup-replay").toFile
+    val indexDir = s"${tmp.getAbsolutePath}/index"
+    val pairsDir = s"${tmp.getAbsolutePath}/pairs"
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "completely different content about spark engines")).toDF("doc_id", "text")
+    StreamingNearDedup.ingestBatch(batch, "doc_id", "text", indexDir, pairsDir)
+    // redeliver the exact same batch (crash-after-commit replay)
+    StreamingNearDedup.ingestBatch(batch, "doc_id", "text", indexDir, pairsDir)
+    val pairs = spark.read.parquet(pairsDir).as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.forall(p => p._1 != p._2),
+      s"replay must not produce self-pairs, got $pairs")
+    assert(pairs.map(p => (p._1, p._2)).distinct.sorted == Seq((1L, 2L)),
+      s"reader-side (id_a, id_b) dedup must recover the true pair set, got $pairs")
+  }
+
   test("ingestBatch returns the per-trigger pair count (the monitor signal)") {
     val tmp = Files.createTempDirectory("graft-ingest-count").toFile
     val indexDir = s"${tmp.getAbsolutePath}/index"
