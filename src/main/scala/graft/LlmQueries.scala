@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.fixtures.DocumentsFixture
+import graft.fixtures.{DocumentsFixture, EmbeddingsFixture}
 import graft.llm.{Chunking, Contamination, Dedup, Similarity, TextStats}
 import graft.sources.Tables
 
@@ -1006,6 +1006,105 @@ object LlmQueries {
        |SELECT id_a, id_b, jaccard FROM pairs
        |WHERE id_a % $IndexMod = 0 OR id_b % $IndexMod = 0""".stripMargin
 
+  // ---- q46: per-source quality cap -------------------------------------
+
+  private val SourceCap = 10
+
+  /** Per-source (domain) cap, quality-ranked
+    * ([[graft.operators.Sampling.rankedQuota]]): each source keeps at most
+    * [[SourceCap]] docs — its BEST by [[TextStats.qualityScore]], doc_id
+    * tiebreak — so no single domain dominates the corpus mix (the standard
+    * web-curation guard against spammy/over-crawled domains). One shuffle
+    * on the source key; the rank lowers to WindowGroupLimit.
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextStats.qualityScore(col("text")).as("quality"))
+    graft.operators.Sampling.rankedQuota(
+      scored, col("source"), SourceCap, desc("quality"), col("doc_id"))
+  }
+
+  /** Twin: the shared `scored` CTE ([[dScoredCtes]] — the one SQL mirror of
+    * the quality formula) joined back to `documents` for the source, same
+    * rank, same cap.
+    */
+  private val q46Oracle: String =
+    s"""WITH ${dScoredCtes("documents")},
+       |ranked AS (
+       |  SELECT s.doc_id, d.source, s.quality,
+       |    row_number() OVER (
+       |      PARTITION BY d.source ORDER BY s.quality DESC, s.doc_id) AS rn
+       |  FROM scored s JOIN documents d USING (doc_id))
+       |SELECT doc_id, source, quality FROM ranked WHERE rn <= $SourceCap""".stripMargin
+
+  // ---- q47: inter-document repetition ----------------------------------
+
+  /** Per-doc shared-shingle stats over the duplicate-injected corpus
+    * ([[TextStats.interDocRepetition]]): how much of each doc's distinct
+    * shingle set also lives in other docs — the cheap corpus-level triage
+    * signal that runs BEFORE pairwise dedup.
+    */
+  def interDocDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    TextStats.interDocRepetition(corpus, "doc_id", "text", ShingleSize)
+  }
+
+  private val q47Oracle: String =
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |sh AS (SELECT doc_id, ${dShingles(dToks, ShingleSize)} AS shingles FROM corpus),
+       |long AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |freq AS (SELECT s, count(*) AS df FROM long GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS shared_ratio
+       |FROM long JOIN freq USING (s) GROUP BY doc_id""".stripMargin
+
+  // ---- q48: semantic dedup (embedding clusters) ------------------------
+
+  private val CosineDupThreshold = 0.4
+
+  /** Semantic dedup over the duplicate-injected embeddings corpus
+    * ([[Similarity.semanticClusters]]): label-blocked cosine pairs at
+    * [[CosineDupThreshold]] (injected identical vectors score exactly 1.0;
+    * a handful of natural pairs sit just over the cut), transitive closure,
+    * one canonical keep per cluster — the embedding-space analogue of
+    * q32's lexical clusters.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = EmbeddingsFixture.corpusDf(spark, dir)
+    Similarity.semanticClusters(
+      corpus, "vec_id", "embedding", col("label"), CosineDupThreshold)
+  }
+
+  /** Twin: q17's cosine SQL (DOUBLE[] `list_dot_product`, round 6) for the
+    * pair list, q32's recursive-CTE closure for the clusters.
+    */
+  private val q48Oracle: String =
+    s"""WITH RECURSIVE corpus AS (${EmbeddingsFixture.corpusSql()}),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM corpus),
+       |n AS (SELECT vec_id AS id, label AS block, emb,
+       |  sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |scoredp AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+       |  FROM n a JOIN n b ON a.block = b.block AND a.id < b.id),
+       |pairs AS (SELECT * FROM scoredp WHERE score >= $CosineDupThreshold),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       |comp AS (SELECT u AS vec_id, least(u, min(v)) AS cluster
+       |  FROM reach GROUP BY u)
+       |SELECT c.vec_id, coalesce(p.cluster, c.vec_id) AS cluster,
+       |  CAST(coalesce(p.cluster, c.vec_id) = c.vec_id AS INT) AS keep
+       |FROM corpus c LEFT JOIN comp p USING (vec_id)""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1040,7 +1139,10 @@ object LlmQueries {
     "q42_tfidf" -> ((s, d) => tfidfTerms(s, d)),
     "q43_winnow_overlap" -> ((s, d) => winnowOverlap(s, d)),
     "q44_rare_tokens" -> ((s, d) => rareTokens(s, d)),
-    "q45_data_card" -> ((s, d) => corpusDataCard(s, d))
+    "q45_data_card" -> ((s, d) => corpusDataCard(s, d)),
+    "q46_source_cap" -> ((s, d) => sourceCap(s, d)),
+    "q47_interdoc_dup" -> ((s, d) => interDocDup(s, d)),
+    "q48_semantic_dedup" -> ((s, d) => semanticDedup(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1075,6 +1177,9 @@ object LlmQueries {
     "q42_tfidf" -> q42Oracle,
     "q43_winnow_overlap" -> q43Oracle,
     "q44_rare_tokens" -> q44Oracle,
-    "q45_data_card" -> q45Oracle
+    "q45_data_card" -> q45Oracle,
+    "q46_source_cap" -> q46Oracle,
+    "q47_interdoc_dup" -> q47Oracle,
+    "q48_semantic_dedup" -> q48Oracle
   )
 }

@@ -331,4 +331,62 @@ object Similarity {
     scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("id").as("vec_id"), col("neighbor_id"), col("score"))
   }
+
+  /** All within-block pairs scoring at least `threshold`: (id_a, id_b,
+    * score) with id_a < id_b, score the fused cosine rounded to 6 decimals
+    * (rounded BEFORE the threshold compare, so the cut can never disagree
+    * with an engine that stores the rounded score). The edge generator for
+    * [[semanticClusters]] — and usable alone as an embedding-space
+    * near-dup pair list, the vector analogue of
+    * [[graft.llm.Dedup.minhashPairs]].
+    *
+    * Scale shape: one self-equi-join on the block key — O(block²) WITHIN a
+    * block, which is the deliberate trade every blocked pairing in this
+    * repo makes ([[graft.llm.Dedup.candidatePairs]]): the block column
+    * must be a bounded coarse partition (IVF cell, LSH bucket, shard key),
+    * and then the join shuffles each side once on the block and never goes
+    * cartesian.
+    */
+  def cosinePairs(
+      df: DataFrame, idCol: String, embCol: String, blockCol: Column,
+      threshold: Double): DataFrame = {
+    val n = df.select(
+      col(idCol).as("id"), asDouble(col(embCol)).as("emb"), blockCol.as("block"))
+    n.as("a")
+      .join(n.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("score", round(fusedCosine(col("a.emb"), col("b.emb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+  }
+
+  /** SEMANTIC dedup (the SemDeDup shape from public literature): cluster
+    * embedding-space near-duplicates — pairs from [[cosinePairs]], closed
+    * transitively by [[graft.llm.Dedup.connectedComponents]] — and keep
+    * one canonical representative (the min id) per cluster. Text dedup
+    * catches re-typed copies; THIS catches re-phrasings, translations, and
+    * template instantiations that share meaning but few shingles — the
+    * complementary dedup axis a training-data pipeline runs after lexical
+    * dedup. Output mirrors the lexical clusters
+    * ([[graft.LlmQueries.dedupClusters]]): every input id once, (vec_id,
+    * cluster, keep) with keep=1 on the canonical member, INT so the
+    * cross-engine compare never sees a boolean.
+    *
+    * Scale: pair generation is the [[cosinePairs]] blocked join; the
+    * transitive closure is per-round-checkpointed min-label propagation
+    * over |near-dup vectors| rows — both documented 100 TB shapes.
+    */
+  def semanticClusters(
+      df: DataFrame, idCol: String, embCol: String, blockCol: Column,
+      threshold: Double): DataFrame = {
+    val pairs = cosinePairs(df, idCol, embCol, blockCol, threshold)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+    df.select(col(idCol).as("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"),
+        (coalesce(col("cluster"), col("vec_id")) === col("vec_id"))
+          .cast("int").as("keep"))
+  }
 }

@@ -207,6 +207,41 @@ object TextStats {
         round(col("n_rare").cast("double") / col("n_tokens"), 6))
   }
 
+  /** INTER-document repetition per document: of a doc's distinct shingles,
+    * how many also appear in at least one OTHER doc, and their ratio — the
+    * corpus-level repetition signal [[dupShingleRatio]] (within-doc) can't
+    * see. A high ratio marks boilerplate-heavy or near-duplicate content
+    * BEFORE any pairwise dedup runs, which is how web-scale pipelines
+    * triage: cheap per-doc overlap stats first, expensive pair generation
+    * only on what survives. All-integer until one final rounded division
+    * (the [[rareTokenStats]] determinism rule).
+    *
+    * Scale shape: one explode of per-doc DISTINCT shingles feeding both
+    * sides — shingle-keyed doc frequency (partial agg; rows are distinct
+    * per doc, so `count(*)` IS the doc frequency) joined back on the
+    * shingle key, then one doc-keyed aggregation. A ubiquitous-boilerplate
+    * shingle skews its join bucket, but the frequency side is one row per
+    * shingle, so the bucket stays |docs carrying it| — the q44 term-join
+    * shape, not a pair explosion. The exploded shingles persist at
+    * MEMORY_AND_DISK with a caller-owned lifecycle
+    * (`spark.catalog.clearCache()` / session end — the
+    * [[graft.llm.Dedup.minhashPairs]] convention).
+    */
+  def interDocRepetition(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), shingleSize)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns, written in the Java∩RE2 regex dialect so the same

@@ -57,4 +57,26 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Per-group cap in an EXPLICIT preference order — [[stratifiedQuota]]'s
+    * ranked sibling: keep at most `cap` rows per value of `groupCol`,
+    * choosing the TOP rows by `orderCols` (e.g. quality desc). The
+    * per-source/per-domain cap every web-scale curation pipeline applies —
+    * one spammy domain must not dominate the corpus — where the keeps
+    * should be the BEST documents, not a uniform draw.
+    *
+    * Determinism contract: `orderCols` must end in a unique tiebreak key
+    * (id asc) or retries and engines may keep different rows at the cap
+    * boundary. Same plan shape as [[stratifiedQuota]]: one shuffle on the
+    * group key, `row_number` lowered to WindowGroupLimit — bounded
+    * per-group state, never a full sort of the corpus.
+    */
+  def rankedQuota(
+      df: DataFrame, groupCol: Column, cap: Int, orderCols: Column*): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -83,4 +83,27 @@ class CleaningSpec extends SparkTestBase {
       2L -> ((2L, 1L, 0.5))), s"got $out")
     assert(!out.contains(3L), "zero-token doc must drop (undefined ratio)")
   }
+
+  test("interDocRepetition: shared-shingle fraction vs the rest of the corpus, exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),  // shingles: abc bcd cde
+      (2L, "a b c x y"),  // shingles: abc bcx cxy — shares only abc with doc 1
+      (3L, "p q r s t"),  // no overlap with anything
+      (4L, "p q r s t")   // exact dup of doc 3: every shingle shared, both ways
+    ).toDF("doc_id", "text")
+    val out = TextStats.interDocRepetition(docs, "doc_id", "text", shingleSize = 3)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out == Map(
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((3L, 1L, 0.333333)),
+      3L -> ((3L, 3L, 1.0)),
+      4L -> ((3L, 3L, 1.0))), s"got $out")
+    // within-doc repetition alone must NOT count as shared: distinct
+    // shingles are computed per doc before the corpus-frequency join
+    val solo = Seq((1L, "z z z z z z")).toDF("doc_id", "text")
+    val soloOut = TextStats.interDocRepetition(solo, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(soloOut.toSeq == Seq((1L, 1L, 0L, 0.0)), s"got ${soloOut.toSeq}")
+  }
 }

@@ -179,4 +179,49 @@ class SimilaritySpec extends SparkTestBase {
       .count(t => labels(t._1) != labels(t._2))
     assert(bad == 0, "blocking violated: neighbor from another label")
   }
+
+  // cos(v1,v2)=1 (identical), cos(v1,v3)=cos(v2,v3)=0.707107 ((1,0)·(1,1)),
+  // cos with v4=(0,1) vs v1 is 0; v5 duplicates v1 in ANOTHER block
+  private def clusterFixture = Seq(
+    (1L, Seq(1.0f, 0.0f), 0),
+    (2L, Seq(1.0f, 0.0f), 0),
+    (3L, Seq(1.0f, 1.0f), 0),
+    (4L, Seq(0.0f, 1.0f), 0),
+    (5L, Seq(1.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosinePairs: threshold on the rounded score, id_a < id_b, block-confined") {
+    val strict = Similarity.cosinePairs(clusterFixture, "vec_id", "embedding", col("label"), 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(strict == Set((1L, 2L, 1.0)), s"got $strict")
+    val loose = Similarity.cosinePairs(clusterFixture, "vec_id", "embedding", col("label"), 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose == Set((1L, 2L, 1.0), (1L, 3L, 0.707107), (2L, 3L, 0.707107),
+      (3L, 4L, 0.707107)), s"got $loose")
+    assert(loose.forall(p => p._1 < p._2), "pair order must be canonical")
+    // vec 5 is identical to vec 1 but in another block: never paired
+    assert(!loose.exists(p => p._1 == 5L || p._2 == 5L), "blocking violated")
+  }
+
+  test("semanticClusters: transitive closure, min-id canonical keep, singletons kept") {
+    // at 0.7 the edges are 1-2, 1-3, 2-3, 3-4: {1,2,3,4} one cluster
+    // (canonical 1, with 4 joining only through 3 — transitivity); 5 is a
+    // singleton cluster of itself (same vector as 1, but another block)
+    val out = Similarity.semanticClusters(
+      clusterFixture, "vec_id", "embedding", col("label"), 0.7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 1L, 0), (5L, 5L, 1)), s"got $out")
+    // a chain a~b, b~c with cos(a,c) BELOW threshold still merges: that is
+    // the transitive-closure contract (and why CC runs, not just pairs).
+    // cos(a,b)=0.948683, cos(b,c)=0.989949, cos(a,c)=0.894427 < 0.9
+    val chain = Seq(
+      (10L, Seq(1.0f, 0.0f), 0),
+      (11L, Seq(3.0f, 1.0f), 0),
+      (12L, Seq(2.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val chained = Similarity.semanticClusters(chain, "vec_id", "embedding", col("label"), 0.9)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(chained == Set((10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0)), s"got $chained")
+  }
 }

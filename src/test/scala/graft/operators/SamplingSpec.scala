@@ -45,4 +45,25 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), s"quota must be group-limited:\n$p")
   }
+
+  test("rankedQuota: keeps exactly the top-by-order rows per group, WindowGroupLimit plan") {
+    // group g0: scores 100..91 must survive a cap of 3 as {100, 99, 98}
+    val df = (1L to 30L).map(i => (i, s"g${i % 3}", (101 - i).toDouble))
+      .toDF("id", "grp", "score")
+    val out = Sampling.rankedQuota(df, col("grp"), 3, desc("score"), col("id"))
+    val kept = out.as[(Long, String, Double)].collect()
+    val byGrp = kept.groupBy(_._2)
+    assert(byGrp.values.forall(_.length == 3), s"cap violated: $byGrp")
+    // per group, the kept scores are the 3 LARGEST of that group's 10
+    val all = df.as[(Long, String, Double)].collect().groupBy(_._2)
+    byGrp.foreach { case (g, rows) =>
+      val expect = all(g).map(_._3).sorted(Ordering[Double].reverse).take(3).toSet
+      assert(rows.map(_._3).toSet == expect, s"group $g kept wrong rows")
+    }
+    // under-cap group keeps everything; plan stays group-limited
+    val tiny = Seq((1L, "x", 5.0), (2L, "x", 4.0)).toDF("id", "grp", "score")
+    assert(Sampling.rankedQuota(tiny, col("grp"), 10, desc("score"), col("id")).count() == 2)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rankedQuota must be group-limited:\n$p")
+  }
 }
