@@ -1105,6 +1105,53 @@ object LlmQueries {
        |  CAST(coalesce(p.cluster, c.vec_id) = c.vec_id AS INT) AS keep
        |FROM corpus c LEFT JOIN comp p USING (vec_id)""".stripMargin
 
+  // ---- q49: per-language quality floor ---------------------------------
+
+  private val FloorQuantile = 0.1
+
+  /** Per-language quality floor: drop each language's bottom
+    * [[FloorQuantile]] of docs by [[TextStats.qualityScore]] — the
+    * RELATIVE quality cut (a fixed global threshold over- or under-filters
+    * languages whose score distributions sit differently, the standard
+    * multilingual-curation correction). Output keeps the floor value so
+    * the cut is auditable.
+    *
+    * Scale shape — the corpus-statistic-filter pattern: one shuffle
+    * aggregates the tiny per-language floor table (exact interpolated
+    * `percentile`, the q36/q45 convention — switch to `approx_percentile`
+    * if group cardinality is unbounded, same plan), which then BROADCASTS
+    * back onto the scored corpus as a hash join + filter. No window over
+    * the full corpus, no second corpus shuffle — at 100 TB the floor table
+    * is |languages| rows and the filter is map-side.
+    *
+    * Both engines round the floor to 6 decimals before the compare, so
+    * the cut can never hinge on a sub-ulp interpolation difference.
+    */
+  def qualityFloor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextStats.qualityScore(col("text")).as("quality"))
+    val floors = scored.groupBy("lang")
+      .agg(round(percentile(col("quality"), lit(FloorQuantile)), 6).as("q_floor"))
+    scored.join(broadcast(floors), "lang")
+      .filter(col("quality") > col("q_floor"))
+      .select("doc_id", "lang", "quality", "q_floor")
+  }
+
+  /** Twin: the shared quality CTE, `quantile_cont` ≡ Spark `percentile`
+    * (the q36/q45-proven pairing), floor rounded identically.
+    */
+  private val q49Oracle: String =
+    s"""WITH ${dScoredCtes("documents")},
+       |sq AS (SELECT s.doc_id, d.lang, s.quality
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |floors AS (SELECT lang,
+       |    round(quantile_cont(quality, $FloorQuantile), 6) AS q_floor
+       |  FROM sq GROUP BY lang)
+       |SELECT doc_id, lang, quality, q_floor
+       |FROM sq JOIN floors USING (lang) WHERE quality > q_floor""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1142,7 +1189,8 @@ object LlmQueries {
     "q45_data_card" -> ((s, d) => corpusDataCard(s, d)),
     "q46_source_cap" -> ((s, d) => sourceCap(s, d)),
     "q47_interdoc_dup" -> ((s, d) => interDocDup(s, d)),
-    "q48_semantic_dedup" -> ((s, d) => semanticDedup(s, d))
+    "q48_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
+    "q49_quality_floor" -> ((s, d) => qualityFloor(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1180,6 +1228,7 @@ object LlmQueries {
     "q45_data_card" -> q45Oracle,
     "q46_source_cap" -> q46Oracle,
     "q47_interdoc_dup" -> q47Oracle,
-    "q48_semantic_dedup" -> q48Oracle
+    "q48_semantic_dedup" -> q48Oracle,
+    "q49_quality_floor" -> q49Oracle
   )
 }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** The OPERATIONAL form of semantic dedup
+  * ([[graft.llm.Similarity.semanticClusters]], q48): a `foreachBatch`
+  * ingest loop that probes every arriving micro-batch of vectors against
+  * the persisted vector index of everything ingested so far, appends the
+  * over-threshold cosine pairs to an output table, and folds the batch's
+  * vectors into the index for the next trigger — the embedding-space twin
+  * of [[StreamingNearDedup]]'s lexical loop.
+  *
+  * Index layout (plain parquet): `<indexDir>/vectors` holds
+  * (id, emb DOUBLE[], block) rows. Append-only; at 100 TB compact and
+  * bucket it BY THE BLOCK KEY ([[graft.sources.Tables]] bucketing /
+  * [[graft.sources.Compaction]]) so the per-trigger probe join reads only
+  * the blocks the batch actually hits.
+  *
+  * Failure semantics match [[StreamingNearDedup]]: `foreachBatch` is
+  * at-least-once, so a replayed batch re-appends its pairs and vectors;
+  * downstream consumers dedupe on (id_a, id_b). The probe join carries an
+  * id-inequality predicate so a replayed vector — already in the index —
+  * never pairs with itself.
+  *
+  * Batch shape per trigger: one block-keyed self-join within the batch
+  * (O(batch-block²)), one block-keyed probe join batch×index (the index
+  * side never self-joins — index-internal pairs were emitted when those
+  * vectors arrived), one append each for pairs and vectors. Per-trigger
+  * cost scales with the batch's block overlap, never the corpus.
+  */
+object StreamingSemanticDedup {
+
+  /** Run one ingest step: emit over-threshold pairs touching `batch` to
+    * `pairsDir` (append), fold the batch's vectors into `indexDir`.
+    * Returns the number of pairs appended (the per-trigger monitor
+    * signal, as in [[StreamingNearDedup.ingestBatch]]).
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      idCol: String,
+      embCol: String,
+      blockCol: String,
+      indexDir: String,
+      pairsDir: String,
+      threshold: Double = 0.9): Long = {
+    val spark = batch.sparkSession
+    val vectorsPath = s"$indexDir/vectors"
+
+    val b = batch.select(
+      col(idCol).as("id"),
+      Similarity.asDouble(col(embCol)).as("emb"),
+      col(blockCol).as("block"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def readOrEmpty(path: String, like: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    }
+    val index = readOrEmpty(vectorsPath, b)
+
+    val within = b.as("a")
+      .join(b.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("score", round(Similarity.fusedCosine(col("a.emb"), col("b.emb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+    // id inequality: a replayed vector's copy already sits in the index
+    // (the at-least-once case) and must not pair with itself
+    val cross = b.as("n")
+      .join(index.as("i"),
+        col("n.block") === col("i.block") && col("n.id") =!= col("i.id"))
+      .withColumn("score", round(Similarity.fusedCosine(col("n.emb"), col("i.emb")), 6))
+      .filter(col("score") >= threshold)
+      .select(
+        least(col("n.id"), col("i.id")).as("id_a"),
+        greatest(col("n.id"), col("i.id")).as("id_b"),
+        col("score"))
+    // distinct over the union: under replay the same canonical pair can
+    // arrive via within AND via both probe directions — one trigger must
+    // still append each pair at most once (cross-trigger duplicates remain
+    // the documented reader-side concern)
+    val pairs = within.union(cross).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val n = pairs.count()
+    pairs.write.mode("append").parquet(pairsDir)
+    // fold the batch into the index AFTER probing it (a batch never pairs
+    // with itself through the index — the within join covered that)
+    b.write.mode("append").parquet(vectorsPath)
+    pairs.unpersist(false)
+    b.unpersist(false)
+    n
+  }
+
+  /** The `foreachBatch` function: `stream.writeStream.foreachBatch(
+    * StreamingSemanticDedup.pairSink(...)).start()`.
+    */
+  def pairSink(
+      idCol: String,
+      embCol: String,
+      blockCol: String,
+      indexDir: String,
+      pairsDir: String,
+      threshold: Double = 0.9): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      ingestBatch(batch, idCol, embCol, blockCol, indexDir, pairsDir, threshold)
+      ()
+    }
+}
