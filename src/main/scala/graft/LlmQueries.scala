@@ -1152,6 +1152,53 @@ object LlmQueries {
        |SELECT doc_id, lang, quality, q_floor
        |FROM sq JOIN floors USING (lang) WHERE quality > q_floor""".stripMargin
 
+  // ---- q50: per-language token budget ----------------------------------
+
+  private val TokenBudget = 500L
+
+  /** Deterministic TOKEN-budget draw per language — the mixing primitive
+    * when the recipe says "N tokens of each language", not "N documents"
+    * (doc-count quotas — q28 — over-weight long-doc languages): docs
+    * accumulate in md5(doc_id) order (the [[graft.operators.Sampling]]
+    * retry-stable uniform order) and a doc is kept iff the running token
+    * total INCLUDING it stays within [[TokenBudget]] — the greedy prefix,
+    * which is the deterministic choice (budget-filling knapsack variants
+    * are order-dependent). `cum_tokens` stays in the output so the cut is
+    * auditable.
+    *
+    * Scale shape: one narrow projection (lang, token count), one shuffle
+    * on the language key for the group-partitioned running sum (the q34
+    * cumsum convention — never a global sort), then a map-side filter.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    toks.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+  }
+
+  /** Twin: same md5 order, same running-sum frame; the cumulative sum is
+    * CAST to BIGINT (DuckDB sums BIGINT into HUGEINT — the q44 lesson).
+    */
+  private val q50Oracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, len($dToks) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(sum(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= $TokenBudget""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1190,7 +1237,8 @@ object LlmQueries {
     "q46_source_cap" -> ((s, d) => sourceCap(s, d)),
     "q47_interdoc_dup" -> ((s, d) => interDocDup(s, d)),
     "q48_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
-    "q49_quality_floor" -> ((s, d) => qualityFloor(s, d))
+    "q49_quality_floor" -> ((s, d) => qualityFloor(s, d)),
+    "q50_token_budget" -> ((s, d) => tokenBudget(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1229,6 +1277,7 @@ object LlmQueries {
     "q46_source_cap" -> q46Oracle,
     "q47_interdoc_dup" -> q47Oracle,
     "q48_semantic_dedup" -> q48Oracle,
-    "q49_quality_floor" -> q49Oracle
+    "q49_quality_floor" -> q49Oracle,
+    "q50_token_budget" -> q50Oracle
   )
 }

@@ -152,4 +152,22 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan(viaSalted)
     assert(p.contains("__salt"), s"salted path must join on the salt key:\n$p")
   }
+
+  test("q49 quality floor: the per-language floor table broadcasts back onto the corpus") {
+    // the corpus-statistic-filter pattern's whole point: the |languages|-row
+    // floor aggregate must come back as a broadcast hash join, never a
+    // second corpus-wide shuffle join
+    val p = plan(LlmQueries.qualityFloor(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"floor table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the floor join must not shuffle the corpus a second time:\n$p")
+  }
+
+  test("q50 token budget: running sum is group-partitioned, never a global sort") {
+    val p = plan(LlmQueries.tokenBudget(spark, dir))
+    assert(p.contains("hashpartitioning(lang"),
+      s"cumsum window must shuffle on the language key:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a global sort would serialize the corpus through one range shuffle:\n$p")
+  }
 }
