@@ -34,4 +34,47 @@ object Contamination {
       .groupBy("doc_id")
       .agg(count_distinct(col("s")).as("n_contaminated_shingles"))
   }
+
+  /** Sketch-based variant of [[overlap]] for when even the benchmark's
+    * distinct-shingle SET is too large to broadcast as rows (a full
+    * eval-suite federation against a 100 TB corpus): the benchmark
+    * shingles compress into a Bloom filter
+    * (`org.apache.spark.util.sketch.BloomFilter` — Spark's public sketch
+    * API, ~1.2 bytes/item at 1% fpp versus tens of bytes per broadcast
+    * row), which broadcasts and probes MAP-SIDE: the corpus is touched by
+    * one narrow pass, no join, no explode, no shuffle before the final
+    * filter.
+    *
+    * Accuracy contract: NO false negatives — every truly contaminated doc
+    * is flagged — while false positives over-flag clean shingles at
+    * ≤ ~`fpp` each, the conservative direction for decontamination
+    * (over-dropping costs a little clean data; under-dropping leaks eval
+    * data into training). `n_flagged_shingles` is therefore an UPPER
+    * bound on [[overlap]]'s exact count. Probabilistic ⇒ spec-pinned
+    * against the exact form, not SQL-oracled.
+    *
+    * This is one of the repo's few deliberate UDFs: a sketch probe has no
+    * built-in Column form, the UDF is a pure per-row function over an
+    * executor-local broadcast (no state, no shuffle), and the alternative
+    * — exploding the corpus to join a shingle table — is exactly the cost
+    * this variant exists to avoid. Sizing: `expectedItems` must be >= the
+    * benchmark's distinct-shingle count or the realized fpp degrades
+    * (monitor with [[overlap]] on a sample).
+    */
+  def overlapBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchFilter: Column, shingleSize: Int = 3,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val shingled = docs.select(col(idCol).as("doc_id"),
+      TextStats.shingles(TextStats.tokens(col(textCol)), shingleSize).as("shingles"))
+    val bf = shingled.filter(benchFilter)
+      .select(explode(col("shingles")).as("s"))
+      .stat.bloomFilter("s", expectedItems, fpp)
+    val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+    val flagged = udf((ss: Seq[String]) => ss.count(bfBc.value.mightContainString))
+    shingled.filter(!benchFilter)
+      .withColumn("n_flagged_shingles", flagged(col("shingles")))
+      .filter(col("n_flagged_shingles") >= 1)
+      .select("doc_id", "n_flagged_shingles")
+  }
 }

@@ -72,6 +72,28 @@ class CleaningSpec extends SparkTestBase {
     assert(!out.contains(0L), "bench docs themselves are never flagged")
   }
 
+  test("overlapBloom: never misses a truly contaminated doc, counts upper-bound the exact form") {
+    // run the sketch variant on the real corpus fixture at sf0.001 so the
+    // probe covers hundreds of docs, and pin it against the exact join
+    val corpus = graft.fixtures.DocumentsFixture.corpusDf(spark, "/root/testdata/sf0.001")
+    val bench = col("doc_id") % 97 === 0
+    val exact = Contamination.overlap(corpus, "doc_id", "text", bench)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Contamination.overlapBloom(corpus, "doc_id", "text", bench,
+      expectedItems = 10000L, fpp = 0.001)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture must produce real contamination")
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      s"false negative: missing ${exact.keySet -- bloom.keySet}")
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) >= n, s"doc $id: bloom count ${bloom(id)} < exact $n")
+    }
+    // over-flagging stays near fpp: the flagged-doc set may exceed the
+    // exact set only marginally (deterministic for fixed inputs/sizing)
+    assert(bloom.size <= exact.size + math.max(2, corpus.count() / 100),
+      s"over-flagging beyond the fpp contract: ${bloom.size} vs ${exact.size}")
+  }
+
   test("rareTokenStats: corpus-relative rarity, exact integer counts, zero-token docs drop") {
     import spark.implicits._
     val docs = Seq((1L, "aaa aaa bbb"), (2L, "aaa ccc"), (3L, "")).toDF("doc_id", "text")
