@@ -1199,6 +1199,119 @@ object LlmQueries {
        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= $TokenBudget""".stripMargin
 
+  // ---- q51: corpus line-level dedup ------------------------------------
+
+  private val LineDupMin = 2
+
+  /** Cross-document duplicate-line removal over the multi-line fixture
+    * corpus ([[TextStats.dedupLines]]): lines occurring >= [[LineDupMin]]
+    * times corpus-wide (boilerplate, injected duplicates) vanish from every
+    * doc; survivors re-join in original order. The MassiveText-style
+    * repetition filter at corpus (not document) scope.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.fixtures.DocumentsFixture.linesCorpusDf(spark, dir)
+    TextStats.dedupLines(corpus, "doc_id", "text", LineDupMin)
+  }
+
+  /** Twin: banned set as a scalar list probed with `list_filter` (DuckDB's
+    * mirror of the broadcast membership join); `array_to_string` of an
+    * empty list is NULL in DuckDB but '' in Spark's `array_join`, hence the
+    * coalesce.
+    */
+  private val q51Oracle: String =
+    s"""WITH corpus AS (${graft.fixtures.DocumentsFixture.linesCorpusSql()}),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+       |long AS (SELECT doc_id, unnest(lines) AS line FROM ls),
+       |freq AS (SELECT line FROM long GROUP BY line HAVING count(*) >= $LineDupMin),
+       |b AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS banned FROM freq)
+       |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(lines, x -> NOT list_contains(b.banned, x))) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(
+       |    list_filter(lines, x -> NOT list_contains(b.banned, x)), chr(10)), '') AS clean_text
+       |FROM ls CROSS JOIN b""".stripMargin
+
+  // ---- q52: leakage-free cluster split ---------------------------------
+
+  private val TrainRate = 0.9
+
+  /** Train/val split whose unit is the NEAR-DUP CLUSTER, not the document
+    * ([[graft.operators.Sampling.hashSplit]] on q32's connected-component
+    * id): a doc and its near-twin can never straddle the boundary, the
+    * leakage guard every eval-honest corpus release needs. Split on doc_id
+    * and the injected duplicates put one copy in train and one in val.
+    */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    corpus.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        graft.operators.Sampling.hashSplit(col("cluster"), TrainRate))
+      .select("doc_id", "cluster", "split")
+  }
+
+  /** Twin: q32's recursive-CTE closure plus the same md5-prefix threshold
+    * (the hex literal comes from the one Scala implementation,
+    * [[graft.operators.Sampling.rateThresholdHex]], so engine and oracle
+    * cannot disagree on the boundary).
+    */
+  private val q52Oracle: String = {
+    val hex = graft.operators.Sampling.rateThresholdHex(TrainRate)
+    s"""WITH RECURSIVE $dMinhashPairCtes,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |  FROM reach GROUP BY u),
+       |labeled AS (
+       |  SELECT c.doc_id, coalesce(p.cluster, c.doc_id) AS cluster
+       |  FROM corpus c LEFT JOIN comp p USING (doc_id))
+       |SELECT doc_id, cluster,
+       |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8) < '$hex'
+       |    THEN 'train' ELSE 'val' END AS split
+       |FROM labeled""".stripMargin
+  }
+
+  // ---- q53: temperature-rebalanced language mix ------------------------
+
+  /** Temperature-rebalanced language mix over the documents table
+    * ([[graft.operators.Sampling.temperatureSample]] at α = 0.5, keyed on
+    * doc_id, grouped by lang): high-resource languages are deterministically
+    * downsampled toward the smallest one (expected keeps ∝ n^0.5), the
+    * standard multilingual mixing correction. Output keeps the per-language
+    * rate so the draw is auditable.
+    */
+  def tempSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select("doc_id", "lang")
+    graft.operators.Sampling.temperatureSample(docs, col("lang"), col("doc_id"))
+      .select("doc_id", "lang", "rate")
+  }
+
+  /** Twin: same min-anchored sqrt rate (correctly rounded in both engines,
+    * unlike pow), same 6-decimal rounding, same printf-hex threshold
+    * derivation, same `rate >= 1` full-keep guard.
+    */
+  private val q53Oracle: String =
+    s"""WITH t AS (SELECT doc_id, lang FROM documents),
+       |c AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+       |m AS (SELECT min(n) AS n_min FROM c),
+       |r AS (SELECT lang, round(sqrt(CAST(n_min AS DOUBLE) / n), 6) AS rate
+       |  FROM c CROSS JOIN m)
+       |SELECT t.doc_id, t.lang, r.rate FROM t JOIN r USING (lang)
+       |WHERE r.rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |  < printf('%08x', least(CAST(floor(rate * 4294967296.0) AS BIGINT),
+       |                         4294967295))""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1238,7 +1351,10 @@ object LlmQueries {
     "q47_interdoc_dup" -> ((s, d) => interDocDup(s, d)),
     "q48_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
     "q49_quality_floor" -> ((s, d) => qualityFloor(s, d)),
-    "q50_token_budget" -> ((s, d) => tokenBudget(s, d))
+    "q50_token_budget" -> ((s, d) => tokenBudget(s, d)),
+    "q51_line_dedup" -> ((s, d) => lineDedup(s, d)),
+    "q52_cluster_split" -> ((s, d) => clusterSplit(s, d)),
+    "q53_temp_sample" -> ((s, d) => tempSample(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1278,6 +1394,9 @@ object LlmQueries {
     "q47_interdoc_dup" -> q47Oracle,
     "q48_semantic_dedup" -> q48Oracle,
     "q49_quality_floor" -> q49Oracle,
-    "q50_token_budget" -> q50Oracle
+    "q50_token_budget" -> q50Oracle,
+    "q51_line_dedup" -> q51Oracle,
+    "q52_cluster_split" -> q52Oracle,
+    "q53_temp_sample" -> q53Oracle
   )
 }

@@ -30,4 +30,22 @@ object DocumentsFixture {
 
   def corpusSql(rel: String = "documents"): String =
     arms.map(_.replace("%s", rel)).mkString(" UNION ALL ")
+
+  /** The duplicate-injected corpus re-shaped into MULTI-LINE documents for
+    * the line-level operators: the synthetic texts carry no newlines, so
+    * every ` a ` separator becomes one (both `replace` and `chr` live in
+    * the shared Spark/DuckDB dialect). The injected duplicate docs then
+    * duplicate every one of their lines corpus-wide, and the word-soup
+    * chunks between separators supply natural repeats.
+    */
+  def linesCorpusSql(rel: String = "documents"): String =
+    s"SELECT doc_id, replace(text, ' a ', chr(10)) AS text, lang, source " +
+      s"FROM (${corpusSql(rel)})"
+
+  def linesCorpusDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.createOrReplaceTempView("__docs_fixture")
+    spark.sql(linesCorpusSql("__docs_fixture"))
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
 }

@@ -242,6 +242,44 @@ object TextStats {
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Corpus-level duplicate-LINE removal (the MassiveText/Gopher repetition
+    * filter's cross-document form): any line occurring at least `minOcc`
+    * times ACROSS the whole corpus — boilerplate, navigation chrome, license
+    * headers — is dropped from every document, and the survivors are
+    * re-joined in original order. Output per doc: line counts before/after
+    * and the cleaned text (empty string when nothing survives).
+    *
+    * Scale shape: lines explode once; the banned set is built by a
+    * partial-aggregated `groupBy(line)` — map-side combine absorbs the hot
+    * lines (an empty line or "home" appearing billions of times never
+    * concentrates on one reducer, which is why this is NOT a count-over-
+    * window on the line key), and the post-filter table holds only
+    * REPEATED lines, a tiny fraction of the corpus, so AQE broadcasts the
+    * left-outer membership probe. One more shuffle on the doc key
+    * re-assembles. Line order is restored by sorting the collected
+    * (pos, line) structs — never a global sort.
+    */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String, minOcc: Int): DataFrame = {
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val banned = lines.groupBy("line").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOcc)
+      .select(col("line"), lit(1).as("__banned"))
+    val keep = col("__banned").isNull
+    lines.join(banned, Seq("line"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns, written in the Java∩RE2 regex dialect so the same

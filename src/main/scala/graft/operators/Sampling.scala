@@ -79,4 +79,62 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Deterministic two-way split label over a unit key — the train/holdout
+    * assignment column. Same md5-prefix threshold as [[sampleByHash]], so
+    * the label is retry-stable, engine-portable, and a pure projection (no
+    * shuffle, no state).
+    *
+    * The KEY CHOICE is the leakage contract: splitting on doc_id leaks
+    * near-duplicates across the boundary (a train doc's near-twin lands in
+    * val and inflates eval), so callers splitting a deduped corpus must
+    * pass the dedup CLUSTER id — every member of a cluster hashes
+    * identically and lands on the same side.
+    */
+  def hashSplit(
+      keyCol: Column, trainRate: Double,
+      trainLabel: String = "train", holdoutLabel: String = "val"): Column = {
+    require(trainRate > 0 && trainRate < 1,
+      s"trainRate must be in (0,1), got $trainRate")
+    when(substring(md5(keyCol.cast("string")), 1, 8)
+        < lit(rateThresholdHex(trainRate)), trainLabel)
+      .otherwise(holdoutLabel)
+  }
+
+  /** Temperature-based group rebalancing at α = 0.5 (exponentiated
+    * smoothing, the multilingual-corpus mixing technique): the expected
+    * kept count per group is ∝ n_g^α, so high-resource groups are
+    * downsampled toward the small ones without ever upsampling. The keep
+    * rate is anchored at the SMALLEST group (rate = (n_min/n_g)^α — the
+    * smallest group keeps everything), and each row's keep decision is the
+    * [[sampleByHash]] md5-prefix draw at its group's rate.
+    *
+    * α is hard-wired to 0.5 because sqrt is CORRECTLY ROUNDED under IEEE
+    * 754 — identical in every engine — while pow(x, 0.3) is libm-dependent
+    * and can differ in the last ulp between JVM and C engines, flipping
+    * boundary rows. rate is rounded to 6 decimals before the threshold is
+    * derived, in both engines, for the same reason. No cross-group float
+    * SUM appears anywhere (summation order differs across engines), which
+    * is why the anchor is min-count, not a normalizing constant.
+    *
+    * Scale shape: one partial-aggregated shuffle builds the |groups|-row
+    * count table; the min anchors it; the tiny rate table BROADCASTS back
+    * onto the corpus where the keep decision is a map-side string compare.
+    * The corpus itself is never shuffled.
+    */
+  def temperatureSample(
+      df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val counts = df.groupBy(groupCol.as("__grp")).agg(count(lit(1)).as("__n"))
+    val anchored = counts.crossJoin(broadcast(counts.agg(min("__n").as("__n_min"))))
+    val rates = anchored
+      .select(col("__grp"),
+        round(sqrt(col("__n_min").cast("double") / col("__n")), 6).as("rate"))
+    val threshold = format_string("%08x",
+      least(floor(col("rate") * lit(4294967296.0)).cast("long"),
+        lit(4294967295L)))
+    df.join(broadcast(rates), groupCol === col("__grp"))
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(keyCol.cast("string")), 1, 8) < threshold)
+      .drop("__grp")
+  }
 }

@@ -128,4 +128,28 @@ class CleaningSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect()
     assert(soloOut.toSeq == Seq((1L, 1L, 0L, 0.0)), s"got ${soloOut.toSeq}")
   }
+
+  test("dedupLines: corpus-repeated lines vanish, order survives, empty result is ''") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep one\nboiler\nkeep two"),   // boiler appears in 3 docs
+      (2L, "boiler\nunique line"),
+      (3L, "boiler"),                        // nothing survives → ''
+      (4L, "self\nself\nother")              // within-doc repeat counts too
+    ).toDF("doc_id", "text")
+    val out = TextStats.dedupLines(docs, "doc_id", "text", minOcc = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out(1L) == ((3L, 2L, "keep one\nkeep two")), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, "unique line")))
+    assert(out(3L) == ((1L, 0L, "")), "all-banned doc must yield empty text, not null")
+    assert(out(4L) == ((3L, 1L, "other")),
+      "occurrence count is corpus-wide including within-doc repeats")
+    // determinism: line order is restored by position, not collection order
+    val wide = Seq((9L, (1 to 50).map(i => s"u$i").mkString("\n") + "\nboiler"))
+      .toDF("doc_id", "text")
+    val cleaned = TextStats.dedupLines(docs.union(wide), "doc_id", "text", 2)
+      .filter(col("doc_id") === 9L).select("clean_text").as[String].head()
+    assert(cleaned == (1 to 50).map(i => s"u$i").mkString("\n"))
+  }
 }

@@ -66,4 +66,42 @@ class SamplingSpec extends SparkTestBase {
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), s"rankedQuota must be group-limited:\n$p")
   }
+
+  test("hashSplit: deterministic labels, rate-tracking, and cluster co-assignment") {
+    val df = ids.withColumn("split", Sampling.hashSplit(col("id"), 0.9))
+    val a = df.as[(Long, String)].collect()
+    val b = ids.withColumn("split", Sampling.hashSplit(col("id"), 0.9))
+      .as[(Long, String)].collect()
+    assert(a.toSeq == b.toSeq, "split labels must be retry-stable")
+    val trainRate = a.count(_._2 == "train").toDouble / a.length
+    assert(trainRate > 0.85 && trainRate < 0.95, s"expected ~0.90 train, got $trainRate")
+    // the leakage contract: rows sharing a cluster key share a split label
+    val clustered = (1L to 300L).map(i => (i, i % 37)).toDF("id", "cluster")
+      .withColumn("split", Sampling.hashSplit(col("cluster"), 0.8))
+    val labelsPerCluster = clustered.groupBy("cluster")
+      .agg(countDistinct("split").as("n")).agg(max("n")).as[Long].head()
+    assert(labelsPerCluster == 1L, "a cluster must never straddle the split")
+  }
+
+  test("temperatureSample: smallest group keeps all, bigger groups thin toward sqrt, deterministic") {
+    // groups: g0 = 100 rows, g1 = 400, g2 = 1600 → rates 1.0, 0.5, 0.25
+    val df = ((1L to 100L).map(i => (i, "g0")) ++
+      (101L to 500L).map(i => (i, "g1")) ++
+      (501L to 2100L).map(i => (i, "g2"))).toDF("id", "grp")
+    val out = Sampling.temperatureSample(df, col("grp"), col("id"))
+    val again = Sampling.temperatureSample(df, col("grp"), col("id"))
+    assert(out.as[(Long, String, Double)].collect().toSet ==
+      again.as[(Long, String, Double)].collect().toSet, "draw must be deterministic")
+    val kept = out.groupBy("grp").agg(count(lit(1)).as("n"), first("rate").as("r"))
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(kept("g0") == ((100L, 1.0)), "min group keeps everything at rate 1.0")
+    assert(kept("g1")._2 == 0.5 && kept("g2")._2 == 0.25, s"sqrt anchor rates: $kept")
+    // md5 draw tracks the rate (±35% relative at these sizes)
+    assert(math.abs(kept("g1")._1 - 200.0) < 70, s"g1 kept ${kept("g1")._1}, expected ~200")
+    assert(math.abs(kept("g2")._1 - 400.0) < 140, s"g2 kept ${kept("g2")._1}, expected ~400")
+    // the corpus is never shuffled: rates arrive by broadcast join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast onto the corpus:\n$plan")
+  }
 }
