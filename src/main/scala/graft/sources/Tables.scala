@@ -36,9 +36,21 @@ object Tables {
   def partitionedRoot(spark: SparkSession, base: String): DataFrame =
     spark.read.option("basePath", base).parquet(base)
 
-  /** S2 — CSV with header + inferSchema (`event_verify.py:27-30`). */
+  /** S2 — CSV with header + inferSchema (`event_verify.py:27-30`),
+    * byte-for-byte the reference's read options.
+    */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** RFC 4180 CSV reader — the round-trip twin of [[Sinks.csvReport]]'s
+    * pinned quoting: doubled-quote escape and `multiLine` so quoted
+    * embedded newlines parse as values, not row breaks (multiLine makes a
+    * file non-splittable — one task per file — which is why it is NOT the
+    * default S2 reader; reports are small by construction).
+    */
+  def csvRfc(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("escape", "\"").option("multiLine", "true").csv(path)
 
   /** JSON-lines reader with an EXPLICIT schema — the standard raw-corpus
     * interchange format of LLM data pipelines. The schema is required, not
@@ -82,10 +94,21 @@ object Sinks {
     * (`event_verify.py:230-231`). `files = 1` reproduces the reference's
     * `coalesce(1)`; at 100 TB a single file is a scale ceiling, so the file
     * count is configurable and defaults to the natural partitioning.
+    *
+    * Quoting is pinned to RFC 4180: Spark's default escape is backslash
+    * (`"a\"b"`), which only Spark itself reads back — any embedded quote
+    * would silently corrupt the report for DuckDB/Excel/csv-module
+    * consumers. `escape = "` emits doubled quotes (`"a""b"`) instead, and
+    * is byte-identical to the default for values without quotes (quoting
+    * itself only triggers on delimiter/quote/newline), so clean reports —
+    * including the checked-in golden file — are unchanged. Round-trip
+    * readers need the same escape option plus `multiLine` for embedded
+    * newlines ([[Tables.csvRfc]]).
     */
   def csvReport(df: DataFrame, path: String, files: Int = 0): Unit = {
     val out = if (files > 0) df.coalesce(files) else df
-    out.write.mode("overwrite").option("header", "true").csv(path)
+    out.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(path)
   }
 
   def parquet(df: DataFrame, path: String): Unit =

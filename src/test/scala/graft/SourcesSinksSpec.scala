@@ -93,6 +93,33 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(back.count() == report.count())
   }
 
+  test("S4: hostile values (commas, quotes, newlines) round-trip as RFC 4180 doubled quotes") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-quoting").toFile
+    val outPath = s"${tmp.getAbsolutePath}/hostile"
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "says \"hi\" twice \"\""),
+      (4L, "line one\nline two"),
+      (5L, "all: \"a\",\nb"))
+    val df = rows.toDF("id", "v").repartition(1)
+    Sinks.csvReport(df, outPath, files = 1)
+
+    // bytes are RFC 4180: quotes double, no backslash escaping anywhere
+    val file = new java.io.File(outPath).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val bytes = new String(Files.readAllBytes(file.toPath), "UTF-8")
+    assert(bytes.contains("\"says \"\"hi\"\" twice \"\"\"\"\""),
+      s"embedded quotes must double, got:\n$bytes")
+    assert(!bytes.contains("\\\""), s"no backslash-escaped quotes allowed:\n$bytes")
+
+    // and the RFC reader restores every value exactly
+    val back = Tables.csvRfc(spark, outPath)
+      .as[(Long, String)].collect().toMap
+    assert(back == rows.toMap, s"round-trip drift: $back")
+  }
+
   test("JSONL: documents round-trip through the json-lines sink/source with explicit schema") {
     val tmp = Files.createTempDirectory("graft-jsonl").toFile
     val path = s"${tmp.getAbsolutePath}/docs"
