@@ -66,7 +66,9 @@ object CoreQueries {
     "q37_rollup" -> ((s, dir) => pricingRollup(s, dir)),
     "q38_pivot" -> ((s, dir) => pricingPivot(s, dir)),
     "q39_gapfill" -> ((s, dir) =>
-      graft.streaming.WindowedCounts.gapFilledCounts(Tables.events(s, dir), "1 hour"))
+      graft.streaming.WindowedCounts.gapFilledCounts(Tables.events(s, dir), "1 hour")),
+    "q54_cube" -> ((s, dir) => pricingCube(s, dir)),
+    "q55_moving_stats" -> ((s, dir) => movingStats(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -174,6 +176,50 @@ object CoreQueries {
         percentile(col("l_extendedprice"), lit(0.99)).as("price_p99"),
         percentile(col("l_quantity"), lit(0.5)).as("qty_p50"))
 
+  /** q54 — CUBE of the q25 pricing summary: every grouping-set combination
+    * (leaf, per-flag, per-status, grand total) in one pass, tagged by
+    * `grouping_id` like q37's rollup. Spark lowers cube to one Expand (×4
+    * map-side rows for 2 columns) + the same single shuffle as a flat
+    * groupBy — the 100 TB cost is the Expand fan-out, 2^k for k cube
+    * columns, which is why this stays at 2.
+    */
+  def pricingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        grouping_id().as("gid"))
+
+  /** q55 — event-time sequence analytics per user: `lag` inter-event gap
+    * plus a sliding 4-row moving sum of `value`. One shuffle on the user
+    * key; the two frames become two chained Window nodes, but the shared
+    * (partition, order) means the second reuses the first's exchange AND
+    * sort (audited), and per-user state is one frame, never the whole
+    * partition.
+    *
+    * The moving sum goes through DECIMAL(18,6): a bounded-frame DOUBLE sum
+    * is evaluation-ORDER-dependent, and engines disagree on that order
+    * (Spark folds the frame linearly; DuckDB aggregates sliding frames
+    * through a segment tree) — exact decimal addition is associative, so
+    * the cast makes the sum bit-stable in both, then one cast back.
+    * Ordering ties break on event_id (same ts can repeat within a user).
+    * Time is µs (`ts div 1000`), the q30/q31 convention — DuckDB reads
+    * this parquet's TIMESTAMP(NANOS) at µs precision.
+    */
+  def movingStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("value"))
+      .withColumn("gap_us", col("tus") - lag("tus", 1).over(w))
+      .withColumn("val_sum4",
+        sum(col("value").cast("decimal(18,6)"))
+          .over(w.rowsBetween(-3, Window.currentRow)).cast("double"))
+      .drop("value")
+  }
+
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->
       """WITH keys AS (
@@ -268,6 +314,21 @@ object CoreQueries {
         |  FROM s)
         |SELECT g.event_type, g.bucket_us, coalesce(c.n_events, 0) AS n_events
         |FROM g LEFT JOIN c ON g.event_type = c.event_type
-        |  AND g.bucket_us = c.bucket_us""".stripMargin
+        |  AND g.bucket_us = c.bucket_us""".stripMargin,
+    "q54_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS count_order,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q55_moving_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, value FROM events)
+        |SELECT event_id, user_id, tus,
+        |  tus - lag(tus, 1) OVER w AS gap_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_sum4
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin
   )
 }

@@ -125,7 +125,12 @@ object Sampling {
   def temperatureSample(
       df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
     val counts = df.groupBy(groupCol.as("__grp")).agg(count(lit(1)).as("__n"))
-    val anchored = counts.crossJoin(broadcast(counts.agg(min("__n").as("__n_min"))))
+    // min anchor via a global window over the |groups|-row count table —
+    // its SinglePartition pass is over groups, not rows, and it avoids the
+    // cross join the registry-wide plan audit bans (Catalyst folds any
+    // constant-key equi-join back into a nested-loop join)
+    val anchored = counts.withColumn("__n_min",
+      min("__n").over(Window.partitionBy()))
     val rates = anchored
       .select(col("__grp"),
         round(sqrt(col("__n_min").cast("double") / col("__n")), 6).as("rate"))

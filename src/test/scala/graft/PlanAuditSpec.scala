@@ -170,4 +170,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"),
       s"a global sort would serialize the corpus through one range shuffle:\n$p")
   }
+
+  test("q54 cube: Expand feeds ONE partial-aggregated shuffle, like q37's rollup") {
+    val p = plan(CoreQueries.pricingCube(spark, dir))
+    assert(p.contains("Expand"), s"cube must lower to Expand:\n$p")
+    assert(p.split("Exchange").length - 1 == 1,
+      s"cube must cost exactly one shuffle:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"aggregation must partial-aggregate the Expand output map-side:\n$p")
+  }
+
+  test("q55 moving stats: lag and the sliding sum share one shuffle and one sort") {
+    // different frames (lag is [-1,-1], the sum [-3,0]) mean two chained
+    // Window nodes — but the shared (partition, order) means the second
+    // must reuse the first's exchange and sort, never re-shuffle
+    val p = plan(CoreQueries.movingStats(spark, dir))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window must shuffle on the user key:\n$p")
+    assert(p.split("Exchange").length - 1 == 1,
+      s"both window functions must ride ONE user-key shuffle:\n$p")
+    assert(p.split("\\+- Sort ").length - 1 == 1,
+      s"the second Window must reuse the first's sort:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort for a per-user window:\n$p")
+  }
 }
