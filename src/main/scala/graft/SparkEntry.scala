@@ -68,7 +68,10 @@ object CoreQueries {
     "q39_gapfill" -> ((s, dir) =>
       graft.streaming.WindowedCounts.gapFilledCounts(Tables.events(s, dir), "1 hour")),
     "q54_cube" -> ((s, dir) => pricingCube(s, dir)),
-    "q55_moving_stats" -> ((s, dir) => movingStats(s, dir))
+    "q55_moving_stats" -> ((s, dir) => movingStats(s, dir)),
+    "q56_funnel" -> ((s, dir) => funnel(s, dir)),
+    "q57_retention" -> ((s, dir) => retention(s, dir)),
+    "q58_histogram" -> ((s, dir) => priceHistogram(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -220,6 +223,38 @@ object CoreQueries {
       .drop("value")
   }
 
+  /** q56 — strictly-ordered signup→view→purchase funnel over `events`
+    * ([[graft.operators.Cohorts.funnel]]): one row of per-stage user
+    * counts + conversion ratios vs the signup anchor. Time is µs
+    * (`ts div 1000`), the q30/q31/q55 convention.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.funnel(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus")),
+      "user_id", "event_type", "tus", Seq("signup", "view", "purchase"))
+
+  /** q57 — weekly cohort retention over `events`
+    * ([[graft.operators.Cohorts.retention]]): users cohorted by first-seen
+    * week (epoch-µs week number), distinct-user count per
+    * (cohort_week, week_offset) cell.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.retention(
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus")),
+      "user_id", "tus", 604800000000L)
+      .withColumnRenamed("cohort_period", "cohort_week")
+      .withColumnRenamed("period_offset", "week_offset")
+
+  /** q58 — fixed-width histogram of `l_extendedprice`
+    * ([[graft.operators.Profile.histogram]], width 1000): the distribution
+    * view next to q27's profile and q36's quantiles.
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(
+      Tables.lineitem(spark, dir), "l_extendedprice", 1000.0)
+
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->
       """WITH keys AS (
@@ -329,6 +364,40 @@ object CoreQueries {
         |    PARTITION BY user_id ORDER BY tus, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_sum4
         |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin,
+    "q56_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |u AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN tus END) AS t0
+        |  FROM e GROUP BY 1),
+        |v AS (SELECT e.user_id, min(e.tus) AS t1
+        |  FROM e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'view' AND e.tus > u.t0 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.tus) AS t2
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > v.t1 GROUP BY 1)
+        |SELECT
+        |  count(u.t0) AS n_signup,
+        |  count(v.t1) AS n_view,
+        |  count(p.t2) AS n_purchase,
+        |  round(CAST(count(v.t1) AS DOUBLE) / count(u.t0), 6) AS conv_view,
+        |  round(CAST(count(p.t2) AS DOUBLE) / count(u.t0), 6) AS conv_purchase
+        |FROM u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+    "q57_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000) // 604800000000 AS period FROM events),
+        |f AS (SELECT user_id, min(period) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week, period - cohort_week AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q58_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+        |  CAST(CAST(floor(l_extendedprice / 1000) AS BIGINT) * 1000 AS DOUBLE) AS lo,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
   )
 }

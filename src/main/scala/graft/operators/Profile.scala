@@ -40,4 +40,26 @@ object Profile {
       .withColumn("null_pct",
         (col("total") - col("non_null")) * 100.0 / col("total"))
   }
+
+  /** Fixed-width histogram of a numeric column — the distribution view
+    * next to [[profile]]'s counts and the q36 quantiles: bucket
+    * `floor(value / width)`, plus its inclusive lower bound and the row
+    * count. Empty buckets are absent (a dense grid would join a generated
+    * series, the q39 gap-fill shape, when a consumer needs it).
+    *
+    * `floor` of an IEEE division is a per-row scalar both engines compute
+    * identically, so the doubles are oracle-safe (the q36 argument — no
+    * aggregation-order dependence). One shuffle on the bucket key, counts
+    * partial-aggregate map-side; output is |buckets| rows, bounded by the
+    * value range, never data volume. Nulls drop (no bucket).
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    df.select(floor(col(valueCol) / width).cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", (col("bucket") * width).cast("double"))
+      .select("bucket", "lo", "n")
+  }
 }

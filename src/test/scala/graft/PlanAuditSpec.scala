@@ -180,6 +180,38 @@ class PlanAuditSpec extends SparkTestBase {
       s"aggregation must partial-aggregate the Expand output map-side:\n$p")
   }
 
+  test("q56 funnel: stage windows + per-user reduce share one user-key shuffle, final agg is one row per task") {
+    val p = plan(CoreQueries.funnel(spark, dir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"all funnel stages must ride ONE user-key exchange:\n$p")
+    assert(p.contains("Exchange SinglePartition") && p.contains("partial_count"),
+      s"the global stage-count aggregate must partial-aggregate before its 1-row shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the window form must not plan per-stage joins:\n$p")
+  }
+
+  test("q57 retention: cohort window shuffles on the user key, never a global sort") {
+    val p = plan(CoreQueries.retention(spark, dir))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"cohort window must shuffle on the user key:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort in a retention matrix:\n$p")
+    assert(p.contains("partial_count"),
+      s"the distinct-user count must partial-aggregate map-side:\n$p")
+  }
+
+  test("q58 histogram: single-shuffle aggregation, counts partial-aggregate map-side") {
+    val p = plan(CoreQueries.priceHistogram(spark, dir))
+    assert(p.split("Exchange").length - 1 == 1,
+      s"a fixed-width histogram is one bucket-key shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts must partial-aggregate map-side:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("Scan parquet"))
+    assert(scanLine.isDefined && scanLine.get.contains("l_extendedprice") &&
+      !scanLine.get.contains("l_orderkey"),
+      s"scan must prune to the histogram column:\n${scanLine.getOrElse("")}")
+  }
+
   test("q55 moving stats: lag and the sliding sum share one shuffle and one sort") {
     // different frames (lag is [-1,-1], the sum [-3,0]) mean two chained
     // Window nodes — but the shared (partition, order) means the second

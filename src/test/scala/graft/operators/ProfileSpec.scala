@@ -30,6 +30,19 @@ class ProfileSpec extends SparkTestBase {
     assert(out("it's") == ((2L, 2L, 2L, 0.0)))
   }
 
+  test("histogram: floor-division buckets with inclusive lower bounds, nulls dropped") {
+    val df = Seq(Some(0.5), Some(1.5), Some(2.5), Some(999.0), Some(1000.0),
+      Some(2500.0), None).toDF("v")
+    val out = Profile.histogram(df, "v", 1000.0)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(0L -> ((0.0, 4L)), 1L -> ((1000.0, 1L)), 2L -> ((2000.0, 1L))))
+  }
+
+  test("histogram: width must be positive") {
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException] { Profile.histogram(df, "v", 0.0) }
+  }
+
   test("profile plan: one shuffle, partial aggregation before it") {
     val df = Seq((1L, "a")).toDF("id", "s")
     val p = Profile.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
