@@ -11,12 +11,15 @@ case class MediaRecord(id: Long, kind: String, media: Array[Byte], declaredBytes
 
 /** Features extracted per record by the batched decode path. The byte
   * statistics (nBytes/meanByte/headHex) exist for every payload; the image
-  * fields are populated only when the payload actually decodes as an image
-  * (None for audio/video kinds and for corrupt or unsupported bytes).
+  * fields are populated only when the payload actually decodes as an image,
+  * the audio fields only when it parses as RIFF/WAVE PCM (None otherwise —
+  * wrong kind, corrupt bytes, unsupported codec).
   */
 case class MediaFeatures(
     id: Long, kind: String, nBytes: Long, meanByte: Double, headHex: String,
-    width: Option[Int], height: Option[Int], meanLuma: Option[Double])
+    width: Option[Int], height: Option[Int], meanLuma: Option[Double],
+    sampleRate: Option[Int], channels: Option[Int], durationMs: Option[Double],
+    rms: Option[Double])
 
 /** One sampled frame of a media payload: 1-row-in → N-rows-out shape. */
 case class MediaFrame(id: Long, kind: String, frameIdx: Int, frame: Array[Byte])
@@ -30,12 +33,14 @@ case class MediaFrame(id: Long, kind: String, frameIdx: Int, frame: Array[Byte])
   * readers (PNG/BMP/GIF/JPEG/WBMP ship with every JRE — zero external
   * dependencies), yielding width/height/mean-luminance, behind a
   * header-dimension pixel-budget guard ([[readImageGuarded]]) so hostile
-  * payloads can't OOM an executor. Payloads no reader accepts — and
-  * non-image kinds, which never attempt a decode — fall back
-  * to the byte-statistics features only ([[decodeStub]], also the stand-in
-  * for audio/video codecs this container lacks). The resize/frame-sample
-  * payload transforms keep deterministic stubs ([[resizeStub]]) with the
-  * real Spark-side shape.
+  * payloads can't OOM an executor. AUDIO DECODE IS REAL for RIFF/WAVE PCM:
+  * [[decodeWav]] parses the container bytes directly (sample rate,
+  * channels, duration, RMS — no codec library, no allocation beyond the
+  * payload). Payloads neither path accepts — and kinds needing codecs this
+  * container lacks (compressed audio, video) — fall back to the
+  * byte-statistics features only ([[decodeStub]]). The frame-sample
+  * payload transform keeps a deterministic stub ([[resizeStub]] /
+  * [[sampleFrames]]) with the real Spark-side shape.
   */
 object Multimodal {
 
@@ -143,12 +148,72 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode for RIFF/WAVE PCM — a pure header-plus-samples byte
+    * parse (the WAV container is public-spec plain bytes; no codec library
+    * involved), yielding (sampleRate, channels, duration ms, RMS of the
+    * normalized signal). None for anything that isn't well-formed PCM WAV:
+    * wrong magic, truncated chunks, compressed `fmt ` codes, or bit depths
+    * other than 8/16.
+    *
+    * Bomb-safety mirrors [[readImageGuarded]]'s stance but needs no pixel
+    * budget: the parse only ever walks bytes ALREADY in the payload array
+    * (a declared `data` size is clamped to what is physically present), so
+    * a hostile header can overstate sizes without forcing any allocation.
+    */
+  private[llm] def decodeWav(media: Array[Byte]): Option[(Int, Int, Double, Double)] = {
+    def u16(i: Int): Int = (media(i) & 0xff) | ((media(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String = new String(media.slice(i, i + 4), "US-ASCII")
+    try {
+      if (media.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+      var data: Option[(Int, Int)] = None // (offset, length clamped to payload)
+      while (pos + 8 <= media.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(pos)
+        val declared = u32(pos + 4)
+        val len = math.min(declared, (media.length - pos - 8).toLong).toInt
+        if (id == "fmt " && len >= 16) {
+          val audioFormat = u16(pos + 8)
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+        } else if (id == "data") {
+          data = Some((pos + 8, len))
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      for {
+        (channels, sampleRate, bits) <- fmt
+        (off, len) <- data
+        if channels > 0 && sampleRate > 0 && (bits == 8 || bits == 16)
+      } yield {
+        val bytesPerSample = bits / 8
+        val nSamples = len / bytesPerSample
+        val nFrames = nSamples / channels
+        var sumSq = 0.0
+        var i = 0
+        while (i < nSamples) {
+          val v =
+            if (bits == 16) u16(off + i * 2).toShort / 32768.0
+            else ((media(off + i) & 0xff) - 128) / 128.0
+          sumSq += v * v
+          i += 1
+        }
+        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+        (sampleRate, channels, nFrames * 1000.0 / sampleRate, rms)
+      }
+    } catch {
+      case _: Exception => None // malformed container: byte-stats only
+    }
+  }
+
   /** Batched feature extraction: mapPartitions with an explicit batch size,
     * so per-batch setup cost (a real decoder's context, a model handle)
     * amortizes — the exact shape a mapInPandas/Arrow batch UDF gives
     * Python, here with JVM encoders instead of Arrow. Image-kind payloads
-    * get the real [[decodeImage]] pass; everything else (and anything
-    * unreadable) carries byte statistics only.
+    * get the real [[decodeImage]] pass, audio-kind payloads the real
+    * [[decodeWav]] parse; everything else (and anything unreadable)
+    * carries byte statistics only.
     */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] =
     ds.mapPartitions { it =>
@@ -157,8 +222,10 @@ object Multimodal {
         batch.iterator.map { r =>
           val (mean, head) = decodeStub(r.media)
           val img = if (r.kind == "image") decodeImage(r.media) else None
+          val wav = if (r.kind == "audio") decodeWav(r.media) else None
           MediaFeatures(r.id, r.kind, r.media.length.toLong, mean, head,
-            img.map(_._1), img.map(_._2), img.map(_._3))
+            img.map(_._1), img.map(_._2), img.map(_._3),
+            wav.map(_._1), wav.map(_._2), wav.map(_._3), wav.map(_._4))
         }
       }
     }(Encoders.product[MediaFeatures])

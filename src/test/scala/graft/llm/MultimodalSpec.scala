@@ -138,6 +138,74 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.readImageGuarded(out.toByteArray, maxPixels = 32L).isDefined)
   }
 
+  /** A well-formed 16-bit PCM WAV, built through the JDK's own writer so
+    * the container layout is authoritative, not hand-rolled.
+    */
+  private def wav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      bytes(i * 2) = (samples(i) & 0xff).toByte
+      bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("extractFeatures: real WAV payloads parse to true rate/channels/duration/RMS") {
+    import spark.implicits._
+    // 1000 frames of a full-scale square wave at 8 kHz mono: duration is
+    // exactly 125 ms and RMS of ±0.5 is exactly 0.5
+    val square = Array.tabulate[Short](1000)(i => if (i % 2 == 0) 16384 else -16384)
+    val stereo = Array.tabulate[Short](2000)(i => if (i % 2 == 0) 16384 else -16384)
+    val media = Seq(
+      MediaRecord(1L, "audio", wav(8000, 1, square), 0L),
+      MediaRecord(2L, "audio", wav(16000, 2, stereo), 0L),
+      MediaRecord(3L, "audio", "not audio".getBytes("UTF-8"), 0L), // unreadable
+      MediaRecord(4L, "image", wav(8000, 1, square), 0L) // wrong kind: no parse
+    ).toDS()
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.id -> f).toMap
+    assert(out(1L).sampleRate.contains(8000) && out(1L).channels.contains(1))
+    assert(math.abs(out(1L).durationMs.get - 125.0) < 1e-9)
+    assert(math.abs(out(1L).rms.get - 0.5) < 1e-9, s"square-wave RMS: ${out(1L).rms}")
+    assert(out(2L).sampleRate.contains(16000) && out(2L).channels.contains(2))
+    assert(math.abs(out(2L).durationMs.get - 62.5) < 1e-9, "1000 stereo frames at 16 kHz")
+    assert(out(3L).sampleRate.isEmpty, "non-WAV bytes stay byte-stats-only")
+    assert(out(4L).sampleRate.isEmpty, "non-audio kinds never parse")
+    assert(out(1L).width.isEmpty, "audio rows carry no image fields")
+  }
+
+  test("decodeWav: hostile declared sizes clamp to physical bytes — no allocation, no throw") {
+    val good = wav(8000, 1, Array.tabulate[Short](100)(_ => 1000))
+    // patch the data chunk's declared length to ~4 GB: features must still
+    // come from the bytes actually present
+    val patched = good.clone()
+    val dataAt = {
+      def tag(i: Int) = new String(patched.slice(i, i + 4), "US-ASCII")
+      Iterator.from(12).find(i => tag(i) == "data").get
+    }
+    patched(dataAt + 4) = 0xff.toByte; patched(dataAt + 5) = 0xff.toByte
+    patched(dataAt + 6) = 0xff.toByte; patched(dataAt + 7) = 0x7f.toByte
+    val f = Multimodal.decodeWav(patched)
+    assert(f.isDefined, "clamped parse must still succeed")
+    assert(f.get._1 == 8000 && f.get._2 == 1)
+    assert(math.abs(f.get._3 - Multimodal.decodeWav(good).get._3) < 1e-9,
+      "duration must derive from physical bytes, not the declared size")
+    // truncated mid-header and an empty payload both refuse cleanly
+    assert(Multimodal.decodeWav(good.take(20)).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    // non-PCM format code refuses (patch audioFormat in `fmt `)
+    val nonPcm = good.clone()
+    val fmtAt = Iterator.from(12).find(i =>
+      new String(nonPcm.slice(i, i + 4), "US-ASCII") == "fmt ").get
+    nonPcm(fmtAt + 8) = 3 // IEEE float
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()
