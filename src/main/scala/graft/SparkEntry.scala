@@ -71,7 +71,8 @@ object CoreQueries {
     "q55_moving_stats" -> ((s, dir) => movingStats(s, dir)),
     "q56_funnel" -> ((s, dir) => funnel(s, dir)),
     "q57_retention" -> ((s, dir) => retention(s, dir)),
-    "q58_histogram" -> ((s, dir) => priceHistogram(s, dir))
+    "q58_histogram" -> ((s, dir) => priceHistogram(s, dir)),
+    "q59_transitions" -> ((s, dir) => transitions(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -247,6 +248,18 @@ object CoreQueries {
       .withColumnRenamed("cohort_period", "cohort_week")
       .withColumnRenamed("period_offset", "week_offset")
 
+  /** q59 — event-type transition matrix over `events`
+    * ([[graft.operators.Cohorts.transitions]]): per-user ordered pairs via
+    * `lead`, (from, to) counts + row-normalized probabilities. Ties break
+    * on event_id, time is µs — the q55 conventions.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.transitions(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("tus")),
+      "user_id", "event_type", "tus", "event_id")
+
   /** q58 — fixed-width histogram of `l_extendedprice`
     * ([[graft.operators.Profile.histogram]], width 1000): the distribution
     * view next to q27's profile and q36's quantiles.
@@ -398,6 +411,18 @@ object CoreQueries {
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_extendedprice IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q59_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_ns(ts) // 1000 AS tus FROM events),
+        |o AS (SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id) AS to_type
+        |  FROM e),
+        |m AS (SELECT from_type, to_type, count(*) AS n
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m""".stripMargin
   )
 }

@@ -67,6 +67,38 @@ object Cohorts {
     }
   }
 
+  /** Event-type transition matrix (first-order Markov view of user
+    * behavior): for each ordered per-user event pair, count (from_type →
+    * to_type) occurrences and the transition probability among all
+    * transitions leaving `from_type`. Each user's LAST event has no
+    * successor and drops; ties order on `tieCol` (the q55 convention —
+    * same-timestamp events need a total order for `lead` to be
+    * deterministic).
+    *
+    * One user-key exchange feeds the `lead` window; the pair counts then
+    * partial-aggregate map-side before their (from, to) shuffle — at most
+    * |types|² rows move. The probability denominator is a window sum OVER
+    * THE AGGREGATED MATRIX (|types|² rows), so normalization costs nothing
+    * at any corpus size. Counts are exact integers; the one division
+    * rounds to 6 (the repo determinism rule).
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      timeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(timeCol), col(tieCol))
+    events
+      .select(col(userCol), col(typeCol), col(timeCol), col(tieCol))
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")), 6))
+  }
+
   /** Cohort retention: bucket event time into fixed `periodUs` periods,
     * cohort each user by their FIRST period, and count distinct users per
     * (cohort_period, period_offset) cell — the retention matrix, in

@@ -212,6 +212,16 @@ class PlanAuditSpec extends SparkTestBase {
       s"scan must prune to the histogram column:\n${scanLine.getOrElse("")}")
   }
 
+  test("q59 transitions: one user-key exchange for lead, matrix normalization moves only aggregated rows") {
+    val p = plan(CoreQueries.transitions(spark, dir))
+    assert(p.split("Exchange hashpartitioning\\(user_id").length - 1 == 1,
+      s"lead must ride one user-key exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must partial-aggregate before the (from, to) shuffle:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort anywhere in the matrix:\n$p")
+  }
+
   test("q55 moving stats: lag and the sliding sum share one shuffle and one sort") {
     // different frames (lag is [-1,-1], the sum [-3,0]) mean two chained
     // Window nodes — but the shared (partition, order) means the second

@@ -63,6 +63,28 @@ class CohortsSpec extends SparkTestBase {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("transitions: lead pairs per user, row-normalized probabilities, last events drop") {
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (2L, "a", 10L, 4L), (2L, "a", 20L, 5L),
+      (3L, "c", 10L, 6L) // single event: no transition
+    ).toDF("user_id", "event_type", "tus", "event_id")
+    val out = Cohorts.transitions(ev, "user_id", "event_type", "tus", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "a") -> ((1L, 0.5)), ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("transitions: same-timestamp events order on the tie column") {
+    val ev = Seq(
+      (1L, "x", 10L, 2L), (1L, "y", 10L, 1L) // y first by event_id
+    ).toDF("user_id", "event_type", "tus", "event_id")
+    val out = Cohorts.transitions(ev, "user_id", "event_type", "tus", "event_id")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("y", "x", 1L, 1.0)))
+  }
+
   test("retention: period must be positive") {
     intercept[IllegalArgumentException] {
       Cohorts.retention(events, "user_id", "tus", 0L)
