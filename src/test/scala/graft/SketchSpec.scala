@@ -32,6 +32,36 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("HLL sketches: per-batch sketch + merge equals sketching everything at once, near exact") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, dir)
+    // split the stream into three disjoint "days" and sketch each
+    // independently — the persisted-increment shape
+    val batches = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    val sketches = batches.map(b =>
+      Sketches.distinctSketch(b, Seq("event_type"), "user_id")).reduce(_ unionAll _)
+    val merged = Sketches.mergeEstimate(sketches, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merging batch sketches must equal the single-pass sketch bit-for-bit
+    // (HLL union of same-lgK sketches loses nothing vs sketching the union)
+    val onePass = Sketches.mergeEstimate(
+      Sketches.distinctSketch(ev, Seq("event_type"), "user_id"),
+      Seq("event_type")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == onePass, "batch-merged and one-pass sketch estimates diverged")
+    // replayed batch folds in idempotently (register max)
+    val replayed = Sketches.mergeEstimate(sketches.unionAll(
+      Sketches.distinctSketch(batches.head, Seq("event_type"), "user_id")),
+      Seq("event_type")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replayed == merged, "re-unioning a batch sketch must not move the estimate")
+    // and the estimate tracks the exact distinct within the lgK error bar
+    val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(merged(k) - e).toDouble / e <= 0.10,
+        s"$k: estimate ${merged(k)} vs exact $e beyond 4x the lgK=12 rsd")
+    }
+  }
+
   test("approx_percentile: within accuracy bound of the exact interpolated percentile") {
     val li = Tables.lineitem(spark, dir)
     val row = li.select(
