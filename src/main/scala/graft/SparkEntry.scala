@@ -72,7 +72,8 @@ object CoreQueries {
     "q56_funnel" -> ((s, dir) => funnel(s, dir)),
     "q57_retention" -> ((s, dir) => retention(s, dir)),
     "q58_histogram" -> ((s, dir) => priceHistogram(s, dir)),
-    "q59_transitions" -> ((s, dir) => transitions(s, dir))
+    "q59_transitions" -> ((s, dir) => transitions(s, dir)),
+    "q60_winsorize" -> ((s, dir) => winsorizePrices(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -260,6 +261,17 @@ object CoreQueries {
           expr("ts div 1000").as("tus")),
       "user_id", "event_type", "tus", "event_id")
 
+  /** q60 — per-flag winsorization of `l_extendedprice` at [p01, p99]
+    * ([[graft.operators.Profile.winsorize]]): the outlier-clipping
+    * transform over the same quantile machinery as q36.
+    */
+  def winsorizePrices(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.winsorize(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", 0.01, 0.99)
+
   /** q58 — fixed-width histogram of `l_extendedprice`
     * ([[graft.operators.Profile.histogram]], width 1000): the distribution
     * view next to q27's profile and q36's quantiles.
@@ -423,6 +435,14 @@ object CoreQueries {
         |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q60_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  least(greatest(l_extendedprice, lo), hi) AS clipped
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin
   )
 }

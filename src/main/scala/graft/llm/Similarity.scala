@@ -109,6 +109,46 @@ object Similarity {
       .select(col("id"), col("emb"), col("c_id").as("bucket"))
   }
 
+  /** One distributed Lloyd refinement of the IVF centroid set: assign
+    * every vector to its nearest current centroid ([[ivfAssign]] — the
+    * same scoring the search path uses, so training and probing can never
+    * disagree), then recompute each bucket's centroid as the element-wise
+    * mean of its members. For cosine scoring the mean's DIRECTION is the
+    * spherical-k-means optimum (the normalized mean maximizes the summed
+    * cosine, and `cosine_sim` is scale-invariant), so iterating this
+    * monotonically improves mean member→centroid similarity — the property
+    * the spec pins. Centroids that attract no members drop out (standard
+    * Lloyd dead-centroid behavior; callers re-seed if they care).
+    *
+    * Scale shape: assignment is the broadcast-centroids row-local pass;
+    * the mean is a `posexplode` to (bucket, dim) partial-aggregated
+    * averages — d×N exploded rows NEVER shuffle raw, map-side combine
+    * reduces them to |buckets|×d before the exchange (the aggregation-tree
+    * shape distributed k-means uses) — then collect_list of exactly d rows
+    * per bucket rebuilds the vector. Output: (bucket, emb), one row per
+    * surviving centroid.
+    */
+  def refineCentroids(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      centroidFilter: Column): DataFrame = {
+    val n = vectors(vectorsDf, idCol, embCol)
+    refineCentroidsFrom(n, n.filter(centroidFilter))
+  }
+
+  /** [[refineCentroids]] with an explicit centroid set — both frames in
+    * the normalized (id, emb: array<double>) shape — so callers can
+    * iterate Lloyd steps: feed the output back with `bucket` renamed to
+    * `id`.
+    */
+  def refineCentroidsFrom(n: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(n, centroids)
+      .select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("bucket", "pos").agg(avg("v").as("m"))
+      .groupBy("bucket")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("emb"))
+
   /** The `nprobe` nearest centroid buckets per query vector (same scoring
     * and tie-break as [[ivfAssign]], so nprobe=1 probes exactly the query's
     * own bucket). Output: (query_id, q_emb, bucket) — one row per probed

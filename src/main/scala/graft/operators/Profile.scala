@@ -53,6 +53,33 @@ object Profile {
     * partial-aggregate map-side; output is |buckets| rows, bounded by the
     * value range, never data volume. Nulls drop (no bucket).
     */
+  /** Per-group winsorization: clip a numeric column to its group's
+    * [pLo, pHi] exact interpolated percentiles — the outlier-taming
+    * transform (fat-finger prices, runaway quality scores) that profiling
+    * and quantiles feed. Output: the input columns plus `clipped`.
+    *
+    * The corpus-statistic-filter pattern as a TRANSFORM: one corpus
+    * shuffle computes the |groups|-row bounds table, which then broadcasts
+    * back onto the corpus (never a second corpus-wide shuffle — audited).
+    * `least`/`greatest` over doubles are per-row order statements, and the
+    * interpolated percentile is oracle-safe (the q36 argument), so the
+    * result is bit-deterministic. Percentile memory is O(distinct values
+    * per group) — at unbounded cardinality the documented switch is
+    * `approx_percentile`, same plan shape.
+    */
+  def winsorize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 1, "need 0 <= pLo <= pHi <= 1")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(pLo)).as("__lo"),
+      percentile(col(valueCol), lit(pHi)).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
     require(width > 0, "width must be positive")
     df.select(floor(col(valueCol) / width).cast("long").as("bucket"))

@@ -222,6 +222,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"no global sort anywhere in the matrix:\n$p")
   }
 
+  test("q60 winsorize: the bounds table broadcasts back onto the corpus (no second corpus shuffle)") {
+    val p = plan(CoreQueries.winsorizePrices(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the clip join must not shuffle the corpus again:\n$p")
+  }
+
   test("q55 moving stats: lag and the sliding sum share one shuffle and one sort") {
     // different frames (lag is [-1,-1], the sum [-3,0]) mean two chained
     // Window nodes — but the shared (partition, order) means the second

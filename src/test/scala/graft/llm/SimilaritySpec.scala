@@ -159,6 +159,29 @@ class SimilaritySpec extends SparkTestBase {
       "a candidate reached one query through two probe buckets")
   }
 
+  test("refineCentroids: Lloyd steps monotonically improve mean member->centroid cosine") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    def meanCos(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(n, cents)
+        .join(cents.select(col("id").as("bucket"), col("emb").as("c_emb")), "bucket")
+        .select(avg(Similarity.fusedCosine(col("emb"), col("c_emb"))))
+        .head().getDouble(0)
+    val c0 = n.filter(col("id") % 50 === 0)
+    val c1 = Similarity.refineCentroidsFrom(n, c0)
+      .select(col("bucket").as("id"), col("emb"))
+    val c2 = Similarity.refineCentroidsFrom(n, c1)
+      .select(col("bucket").as("id"), col("emb"))
+    val (m0, m1, m2) = (meanCos(c0), meanCos(c1), meanCos(c2))
+    assert(m1 >= m0 - 1e-9, s"first Lloyd step regressed: $m0 -> $m1")
+    assert(m2 >= m1 - 1e-9, s"second Lloyd step regressed: $m1 -> $m2")
+    assert(m1 > m0, "seeded-on-data centroids should strictly improve here")
+    // dimensions survive the explode/rebuild round-trip
+    val d0 = n.select(size(col("emb"))).head().getInt(0)
+    assert(c1.select(size(col("emb"))).distinct().as[Int].collect().toSeq == Seq(d0))
+  }
+
   test("nearestInBlock: salted shuffle path is output-identical to broadcast path") {
     val emb = Tables.embeddings(spark, dir)
     val viaBroadcast = Similarity.nearestInBlock(emb, "vec_id", "embedding", col("label"))

@@ -43,6 +43,27 @@ class ProfileSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Profile.histogram(df, "v", 0.0) }
   }
 
+  test("winsorize: clips to the group's exact percentiles, interior values untouched") {
+    // group "a": 1..10 — p0=1, p1=10 with pLo=0, pHi=1 leaves all as-is;
+    // with [0.25, 0.75]: lo = 3.25, hi = 7.75 (index p*(n-1), interpolated)
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val out = Profile.winsorize(df, "g", "v", 0.25, 0.75)
+      .select("v", "clipped").as[(Double, Double)].collect().toMap
+    assert(out(1.0) == 3.25 && out(2.0) == 3.25 && out(3.0) == 3.25)
+    assert(out(5.0) == 5.0 && out(7.0) == 7.0, "interior values pass through")
+    assert(out(8.0) == 7.75 && out(10.0) == 7.75)
+  }
+
+  test("winsorize: bounds are per group, not global") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 100.0), ("b", 200.0))
+      .toDF("g", "v")
+    val out = Profile.winsorize(df, "g", "v", 0.0, 1.0)
+      .select("g", "v", "clipped").as[(String, Double, Double)].collect()
+    assert(out.forall { case (_, v, c) => v == c },
+      "pLo=0/pHi=1 must clip nothing in either group")
+    intercept[IllegalArgumentException] { Profile.winsorize(df, "g", "v", 0.9, 0.1) }
+  }
+
   test("profile plan: one shuffle, partial aggregation before it") {
     val df = Seq((1L, "a")).toDF("id", "s")
     val p = Profile.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
