@@ -128,6 +128,20 @@ object Sinks {
     */
   def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Dynamic partition overwrite: replace ONLY the hive partitions the
+    * incoming frame actually contains, leaving every other partition's
+    * files untouched — the idempotent daily-reprocess primitive (re-run
+    * `process_date=2024-01-02` without clobbering the rest of the year).
+    * Plain `mode("overwrite")+partitionBy` deletes the ENTIRE root first
+    * (Spark's static overwrite default) — at 100 TB that difference is the
+    * whole table. Session-level `spark.sql.sources.partitionOverwriteMode`
+    * stays untouched: the option form scopes the behavior to this write.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
 }
 
 /** Small-file compaction — the table-maintenance half of the partitioned

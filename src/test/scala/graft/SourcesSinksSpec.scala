@@ -80,6 +80,30 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(back.count() == events.count(), "no rows lost across the partitioned write")
   }
 
+  test("dynamic partition overwrite: replaces only the partitions present in the write") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dynpart").toFile
+    val outPath = s"${tmp.getAbsolutePath}/t"
+    val day1 = Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day")
+    Sinks.partitionedParquet(day1, outPath, Seq("day"))
+    // reprocess ONLY day=d1 with corrected rows
+    val fix = Seq((10L, "d1")).toDF("id", "day")
+    Sinks.overwritePartitions(fix, outPath, Seq("day"))
+    val back = Tables.partitionedRoot(spark, outPath)
+      .select("id", "day").as[(Long, String)].collect().toSet
+    assert(back == Set((10L, "d1"), (3L, "d2")),
+      s"d1 must be replaced, d2 untouched; got $back")
+    // the static default would have dropped d2 entirely — pin the contrast
+    // so a Spark default change can't silently weaken the sink
+    Sinks.partitionedParquet(fix, outPath, Seq("day"))
+    val after = Tables.partitionedRoot(spark, outPath)
+      .select("id", "day").as[(Long, String)].collect().toSet
+    assert(after == Set((10L, "d1")), "static overwrite clears the whole root")
+    // session conf was never flipped by the option-scoped write
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
+  }
+
   test("S4: single-file CSV report round-trips the 13-column output") {
     val tmp = Files.createTempDirectory("graft-report").toFile
     val outPath = s"${tmp.getAbsolutePath}/report"
