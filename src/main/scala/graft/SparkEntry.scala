@@ -73,7 +73,8 @@ object CoreQueries {
     "q57_retention" -> ((s, dir) => retention(s, dir)),
     "q58_histogram" -> ((s, dir) => priceHistogram(s, dir)),
     "q59_transitions" -> ((s, dir) => transitions(s, dir)),
-    "q60_winsorize" -> ((s, dir) => winsorizePrices(s, dir))
+    "q60_winsorize" -> ((s, dir) => winsorizePrices(s, dir)),
+    "q61_correlation" -> ((s, dir) => priceQtyCorrelation(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -261,6 +262,14 @@ object CoreQueries {
           expr("ts div 1000").as("tus")),
       "user_id", "event_type", "tus", "event_id")
 
+  /** q61 — per-flag Pearson correlation + sample covariance of
+    * (l_quantity, l_extendedprice) ([[graft.operators.Profile.correlation]],
+    * exact-DECIMAL co-moments so the doubles are oracle-safe).
+    */
+  def priceQtyCorrelation(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.correlation(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_quantity", "l_extendedprice")
+
   /** q60 — per-flag winsorization of `l_extendedprice` at [p01, p99]
     * ([[graft.operators.Profile.winsorize]]): the outlier-clipping
     * transform over the same quantile machinery as q36.
@@ -443,6 +452,27 @@ object CoreQueries {
         |  FROM lineitem GROUP BY 1)
         |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         |  least(greatest(l_extendedprice, lo), hi) AS clipped
-        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin,
+    "q61_correlation" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS dsx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS dsy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
+        |             CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS dsxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
+        |             CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS dsxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |             CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS dsyy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(dsx AS DOUBLE) AS sx,
+        |    CAST(dsy AS DOUBLE) AS sy, CAST(dsxy AS DOUBLE) AS sxy,
+        |    CAST(dsxx AS DOUBLE) AS sxx, CAST(dsyy AS DOUBLE) AS syy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  round((nd * sxy - sx * sy) /
+        |    sqrt(nullif((nd * sxx - sx * sx) * (nd * syy - sy * sy), 0.0)), 6) AS corr,
+        |  round((nd * sxy - sx * sy) / nullif(nd * (nd - 1), 0.0), 6) AS covar_samp
+        |FROM d""".stripMargin
   )
 }

@@ -41,6 +41,50 @@ object Profile {
         (col("total") - col("non_null")) * 100.0 / col("total"))
   }
 
+  /** Per-group Pearson correlation and sample covariance, EXACT-co-moment
+    * form: built-in `corr`/`covar_samp` accumulate double co-moments in
+    * shuffle order, so no oracle can match them bit-for-bit at any
+    * parallelism — instead the five sums (n, Σx, Σy, Σxy, Σx², Σy²) run
+    * through exact DECIMAL aggregation (order-independent), and the
+    * textbook closed forms evaluate per-row in doubles: identical inputs →
+    * identical IEEE operations → identical bits, both engines. The same
+    * move as the q25 DECIMAL money sums, one moment higher.
+    *
+    * Inputs go through DECIMAL(12,4) — values up to 10^8 at 4 decimals,
+    * products DECIMAL(25,8) with ten orders of row-count headroom, and
+    * every product stays under Spark's 38-digit cap (no silent
+    * allowPrecisionLoss truncation). The DuckDB twin declares
+    * DECIMAL(19,4) instead: DuckDB executes a decimal multiply in the
+    * OPERANDS' physical domain and demands the product fit it, so
+    * int64-backed inputs overflow on an 18-digit-plus product — 19 digits
+    * forces the int128 path. Same exact scale-4 values either way; only
+    * the representation differs. One shuffle, partial-aggregated; output
+    * one row per group. Degenerate groups (n < 2 or zero variance) yield
+    * null corr/covar via the nullif guards.
+    */
+  def correlation(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(12,4)")
+    val y = col(yCol).cast("decimal(12,4)")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).cast("decimal(38,8)").as("sxy"),
+      sum(x * x).cast("decimal(38,8)").as("sxx"),
+      sum(y * y).cast("decimal(38,8)").as("syy"))
+    val n = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxy, sxx, syy) =
+      (col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val cxy = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    agg.select(
+      col(groupCol), col("n"),
+      round(cxy / sqrt(nullif(vx * vy, lit(0.0))), 6).as("corr"),
+      round(cxy / nullif(n * (n - 1), lit(0.0)), 6).as("covar_samp"))
+  }
+
   /** Fixed-width histogram of a numeric column — the distribution view
     * next to [[profile]]'s counts and the q36 quantiles: bucket
     * `floor(value / width)`, plus its inclusive lower bound and the row

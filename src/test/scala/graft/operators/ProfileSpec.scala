@@ -64,6 +64,22 @@ class ProfileSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Profile.winsorize(df, "g", "v", 0.9, 0.1) }
   }
 
+  test("correlation: exact co-moments give textbook corr/covar; degenerate groups yield null") {
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0), // perfectly linear
+      ("b", 1.0, 5.0), ("b", 2.0, 5.0), // constant y: zero variance
+      ("c", 7.0, 7.0) // single row
+    ).toDF("g", "x", "y")
+    val out = Profile.correlation(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("a") == ((3L, Some(1.0), Some(2.0))))
+    assert(out("b")._2.isEmpty, "zero variance must null corr, not divide by zero")
+    assert(out("b")._3.contains(0.0), "constant y has zero covariance")
+    assert(out("c") == ((1L, None, None)), "n=1 nulls both")
+  }
+
   test("profile plan: one shuffle, partial aggregation before it") {
     val df = Seq((1L, "a")).toDF("id", "s")
     val p = Profile.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
