@@ -229,6 +229,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"the clip join must not shuffle the corpus again:\n$p")
   }
 
+  test("q61 correlation: one partial-aggregated shuffle, closed forms evaluated post-agg") {
+    val p = plan(CoreQueries.priceQtyCorrelation(spark, dir))
+    assert(p.split("Exchange").length - 1 == 1,
+      s"the co-moment aggregation is one group-key shuffle:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"co-moments must partial-aggregate map-side:\n$p")
+  }
+
   test("q55 moving stats: lag and the sliding sum share one shuffle and one sort") {
     // different frames (lag is [-1,-1], the sum [-3,0]) mean two chained
     // Window nodes — but the shared (partition, order) means the second

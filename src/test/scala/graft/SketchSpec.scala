@@ -62,6 +62,22 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("freqItems: single-pass heavy hitters never miss an item above the support threshold") {
+    // Karp-Papadimitriou-Shenker guarantee: every value with frequency
+    // > support·n is IN the result (false positives allowed, misses not) —
+    // the one-pass top-of-distribution triage before an exact count
+    val ev = Tables.events(spark, dir)
+    val support = 0.1
+    val hits = ev.stat.freqItems(Array("event_type"), support)
+      .head().getSeq[String](0).toSet
+    val n = ev.count()
+    val above = ev.groupBy("event_type").count()
+      .filter(col("count") > support * n)
+      .select("event_type").collect().map(_.getString(0)).toSet
+    assert(above.subsetOf(hits),
+      s"items above threshold $above must all be reported; got $hits")
+  }
+
   test("approx_percentile: within accuracy bound of the exact interpolated percentile") {
     val li = Tables.lineitem(spark, dir)
     val row = li.select(
