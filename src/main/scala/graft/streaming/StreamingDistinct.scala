@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Sketches
+
+/** The OPERATIONAL form of the mergeable distinct-count sketches
+  * ([[graft.operators.Sketches]]): a `foreachBatch` ingest loop that
+  * reduces every arriving micro-batch to one HLL sketch row per group,
+  * appends it to a persisted parquet sketch table, and reads the
+  * distinct-to-date estimate back by merging — raw rows are touched
+  * exactly once, at arrival.
+  *
+  * This is the distinct-count member of the persisted-artifact family
+  * ([[StreamingNearDedup]]'s band/shingle index, [[StreamingSemanticDedup]]'s
+  * vector index): the state that crosses triggers is |groups| × ~4 KB per
+  * batch, never data-sized, and any batch job can read the same table.
+  *
+  * Failure semantics: `foreachBatch` is at-least-once, and HLL register-max
+  * absorbs replay — re-appending the SAME batch sketch cannot move any
+  * estimate (pinned in SketchSpec), so the appended sketch log needs no
+  * reader-side dedup at all, unlike the near-dup pair log. A batch whose
+  * raw rows overlap a previous batch is also safe for the same reason.
+  */
+object StreamingDistinct {
+
+  /** Reduce one batch to per-group sketch rows and append them to
+    * `sketchDir`. Returns the number of groups the batch touched (the
+    * bounded per-trigger monitor value).
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      sketchDir: String,
+      lgK: Int = 12): Long = {
+    val sk = Sketches.distinctSketch(batch, groupCols, valueCol, lgK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sk.count()
+    sk.write.mode("append").parquet(sketchDir)
+    sk.unpersist(false)
+    n
+  }
+
+  /** The `foreachBatch` function: `stream.writeStream.foreachBatch(
+    * StreamingDistinct.sketchSink(...)).start()`.
+    */
+  def sketchSink(
+      groupCols: Seq[String],
+      valueCol: String,
+      sketchDir: String,
+      lgK: Int = 12): (DataFrame, Long) => Unit =
+    (batch, _) => { ingestBatch(batch, groupCols, valueCol, sketchDir, lgK); () }
+
+  /** Distinct-to-date estimates per group from the persisted sketch table:
+    * one scan over |groups| × |batches| sketch rows, one merge shuffle.
+    */
+  def estimates(
+      spark: org.apache.spark.sql.SparkSession,
+      sketchDir: String,
+      groupCols: Seq[String]): DataFrame =
+    Sketches.mergeEstimate(spark.read.parquet(sketchDir), groupCols)
+}
