@@ -1130,8 +1130,13 @@ object LlmQueries {
   def qualityFloor(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+    // scored feeds BOTH the floor aggregate and the join probe: persist or
+    // the whole tokenize+score pipeline scans the corpus twice (the
+    // tfidf/rareTokenStats convention — caller-owned lifecycle, dropped by
+    // Bench/Verify's clearCache between queries)
     val scored = docs.select(col("doc_id"), col("lang"),
       TextStats.qualityScore(col("text")).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val floors = scored.groupBy("lang")
       .agg(round(percentile(col("quality"), lit(FloorQuantile)), 6).as("q_floor"))
     scored.join(broadcast(floors), "lang")
@@ -1221,7 +1226,7 @@ object LlmQueries {
     */
   private val q51Oracle: String =
     s"""WITH corpus AS (${graft.fixtures.DocumentsFixture.linesCorpusSql()}),
-       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+       |ls AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines FROM corpus),
        |long AS (SELECT doc_id, unnest(lines) AS line FROM ls),
        |freq AS (SELECT line FROM long GROUP BY line HAVING count(*) >= $LineDupMin),
        |b AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS banned FROM freq)

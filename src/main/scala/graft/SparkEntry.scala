@@ -452,18 +452,22 @@ object CoreQueries {
         |  FROM lineitem GROUP BY 1)
         |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         |  least(greatest(l_extendedprice, lo), hi) AS clipped
-        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin,
+        |FROM lineitem l
+        |JOIN b ON l.l_returnflag IS NOT DISTINCT FROM b.l_returnflag""".stripMargin,
     "q61_correlation" ->
-      """WITH a AS (SELECT l_returnflag, count(*) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS dsx,
-        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS dsy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
-        |             CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS dsxy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
-        |             CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS dsxx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) *
-        |             CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS dsyy
-        |  FROM lineitem GROUP BY 1),
+      """WITH c AS (SELECT l_returnflag,
+        |    CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |      THEN CAST(l_quantity AS DECIMAL(19,4)) END AS xv,
+        |    CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |      THEN CAST(l_extendedprice AS DECIMAL(19,4)) END AS yv
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(xv) AS n,
+        |    sum(xv) AS dsx,
+        |    sum(yv) AS dsy,
+        |    CAST(sum(xv * yv) AS DECIMAL(38,8)) AS dsxy,
+        |    CAST(sum(xv * xv) AS DECIMAL(38,8)) AS dsxx,
+        |    CAST(sum(yv * yv) AS DECIMAL(38,8)) AS dsyy
+        |  FROM c GROUP BY 1),
         |d AS (SELECT l_returnflag, n,
         |    CAST(n AS DOUBLE) AS nd, CAST(dsx AS DOUBLE) AS sx,
         |    CAST(dsy AS DOUBLE) AS sy, CAST(dsxy AS DOUBLE) AS sxy,

@@ -70,8 +70,15 @@ object Contamination {
     val bf = shingled.filter(benchFilter)
       .select(explode(col("shingles")).as("s"))
       .stat.bloomFilter("s", expectedItems, fpp)
+    // Broadcast lifecycle: the UDF closure is the only reference, so the
+    // ContextCleaner reclaims the blocks once the returned frame becomes
+    // unreachable — no caller-side destroy() to get wrong.
     val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
-    val flagged = udf((ss: Seq[String]) => ss.count(bfBc.value.mightContainString))
+    // null-tolerant: a NULL text shingles to a NULL array, and one such
+    // row must not NPE the whole decontamination pass (the untrusted-
+    // corpus stance of Multimodal's guards)
+    val flagged = udf((ss: Seq[String]) =>
+      if (ss == null) 0 else ss.count(bfBc.value.mightContainString))
     shingled.filter(!benchFilter)
       .withColumn("n_flagged_shingles", flagged(col("shingles")))
       .filter(col("n_flagged_shingles") >= 1)

@@ -262,8 +262,12 @@ object TextStats {
   def dedupLines(
       df: DataFrame, idCol: String, textCol: String, minOcc: Int): DataFrame = {
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    // coalesce before split: a NULL text splits to a NULL array, whose
+    // posexplode yields NO rows — the doc would silently vanish from the
+    // per-doc output instead of reporting as a one-empty-line document
+    // (the oracle twin coalesces identically)
     val lines = df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
     val banned = lines.groupBy("line").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOcc)
       .select(col("line"), lit(1).as("__banned"))

@@ -61,13 +61,22 @@ object Profile {
     * the representation differs. One shuffle, partial-aggregated; output
     * one row per group. Degenerate groups (n < 2 or zero variance) yield
     * null corr/covar via the nullif guards.
+    *
+    * COMPLETE-CASE semantics, like the built-ins: a row contributes only
+    * when BOTH values are non-null after the cast — `n` and every sum see
+    * the same row set, so a null x (or a value beyond the DECIMAL domain,
+    * which Spark's non-ANSI cast nulls) excludes the whole pair instead of
+    * silently corrupting the co-moments with a mismatched count.
     */
   def correlation(
       df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
-    val x = col(xCol).cast("decimal(12,4)")
-    val y = col(yCol).cast("decimal(12,4)")
+    val bothPresent =
+      col(xCol).cast("decimal(12,4)").isNotNull &&
+        col(yCol).cast("decimal(12,4)").isNotNull
+    val x = when(bothPresent, col(xCol)).cast("decimal(12,4)")
+    val y = when(bothPresent, col(yCol)).cast("decimal(12,4)")
     val agg = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("n"),
+      count(x).as("n"),
       sum(x).as("sx"), sum(y).as("sy"),
       sum(x * y).cast("decimal(38,8)").as("sxy"),
       sum(x * x).cast("decimal(38,8)").as("sxx"),
@@ -85,18 +94,6 @@ object Profile {
       round(cxy / nullif(n * (n - 1), lit(0.0)), 6).as("covar_samp"))
   }
 
-  /** Fixed-width histogram of a numeric column — the distribution view
-    * next to [[profile]]'s counts and the q36 quantiles: bucket
-    * `floor(value / width)`, plus its inclusive lower bound and the row
-    * count. Empty buckets are absent (a dense grid would join a generated
-    * series, the q39 gap-fill shape, when a consumer needs it).
-    *
-    * `floor` of an IEEE division is a per-row scalar both engines compute
-    * identically, so the doubles are oracle-safe (the q36 argument — no
-    * aggregation-order dependence). One shuffle on the bucket key, counts
-    * partial-aggregate map-side; output is |buckets| rows, bounded by the
-    * value range, never data volume. Nulls drop (no bucket).
-    */
   /** Per-group winsorization: clip a numeric column to its group's
     * [pLo, pHi] exact interpolated percentiles — the outlier-taming
     * transform (fat-finger prices, runaway quality scores) that profiling
@@ -110,6 +107,11 @@ object Profile {
     * result is bit-deterministic. Percentile memory is O(distinct values
     * per group) — at unbounded cardinality the documented switch is
     * `approx_percentile`, same plan shape.
+    *
+    * The bounds join is NULL-SAFE (`<=>`): groupBy produces a bounds row
+    * for the null group, and a transform has no business deleting rows —
+    * a plain equi-join would silently drop every null-group row. (The
+    * DuckDB twin mirrors with IS NOT DISTINCT FROM.)
     */
   def winsorize(
       df: DataFrame, groupCol: String, valueCol: String,
@@ -118,12 +120,25 @@ object Profile {
     val bounds = df.groupBy(col(groupCol)).agg(
       percentile(col(valueCol), lit(pLo)).as("__lo"),
       percentile(col(valueCol), lit(pHi)).as("__hi"))
-    df.join(broadcast(bounds), groupCol)
+      .withColumnRenamed(groupCol, "__grp")
+    df.join(broadcast(bounds), col(groupCol) <=> col("__grp"))
       .withColumn("clipped",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop("__grp", "__lo", "__hi")
   }
 
+  /** Fixed-width histogram of a numeric column — the distribution view
+    * next to [[profile]]'s counts and the q36 quantiles: bucket
+    * `floor(value / width)`, plus its inclusive lower bound and the row
+    * count. Empty buckets are absent (a dense grid would join a generated
+    * series, the q39 gap-fill shape, when a consumer needs it).
+    *
+    * `floor` of an IEEE division is a per-row scalar both engines compute
+    * identically, so the doubles are oracle-safe (the q36 argument — no
+    * aggregation-order dependence). One shuffle on the bucket key, counts
+    * partial-aggregate map-side; output is |buckets| rows, bounded by the
+    * value range, never data volume. Nulls drop (no bucket).
+    */
   def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
     require(width > 0, "width must be positive")
     df.select(floor(col(valueCol) / width).cast("long").as("bucket"))

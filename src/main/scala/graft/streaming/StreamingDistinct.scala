@@ -52,8 +52,23 @@ object StreamingDistinct {
       lgK: Int = 12): (DataFrame, Long) => Unit =
     (batch, _) => { ingestBatch(batch, groupCols, valueCol, sketchDir, lgK); () }
 
+  /** True once at least one trigger has committed sketch rows. Monitors
+    * racing the first trigger (or a fresh deploy) guard [[estimates]] with
+    * this instead of catching the reader's PATH_NOT_FOUND — the sketch
+    * table's group-column types live in the data, so there is no honest
+    * empty frame to fabricate before one exists.
+    */
+  def hasSketches(
+      spark: org.apache.spark.sql.SparkSession, sketchDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
   /** Distinct-to-date estimates per group from the persisted sketch table:
     * one scan over |groups| × |batches| sketch rows, one merge shuffle.
+    * Precondition: [[hasSketches]] — before the first committed trigger
+    * the table does not exist and the read throws.
     */
   def estimates(
       spark: org.apache.spark.sql.SparkSession,

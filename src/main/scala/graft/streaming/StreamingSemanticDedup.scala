@@ -64,12 +64,10 @@ object StreamingSemanticDedup {
     }
     val index = readOrEmpty(vectorsPath, b)
 
-    val within = b.as("a")
-      .join(b.as("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("score", round(Similarity.fusedCosine(col("a.emb"), col("b.emb")), 6))
-      .filter(col("score") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+    // within-batch pairs ARE the q48 batch operator on the batch frame —
+    // one implementation, so the rounding/threshold convention can never
+    // drift between the batch and streaming paths
+    val within = Similarity.cosinePairs(b, "id", "emb", col("block"), threshold)
     // id inequality: a replayed vector's copy already sits in the index
     // (the at-least-once case) and must not pair with itself
     val cross = b.as("n")

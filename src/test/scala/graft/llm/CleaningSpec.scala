@@ -129,6 +129,23 @@ class CleaningSpec extends SparkTestBase {
     assert(soloOut.toSeq == Seq((1L, 1L, 0L, 0.0)), s"got ${soloOut.toSeq}")
   }
 
+  test("null-text rows: overlapBloom probes 0 instead of NPE-ing; dedupLines keeps the doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Some("the quick brown fox jumps")), // bench
+      (1L, Some("the quick brown fox wanders")),
+      (2L, None) // the DoS row: one null text in an untrusted corpus
+    ).toDF("doc_id", "text")
+    val bloom = Contamination.overlapBloom(docs, "doc_id", "text",
+      col("doc_id") === 0, expectedItems = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom.keySet == Set(1L), s"null-text doc must probe 0, job must survive: $bloom")
+    val lines = TextStats.dedupLines(docs, "doc_id", "text", minOcc = 2)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(lines.contains(2L), "null-text doc must not vanish from the per-doc output")
+    assert(lines(2L) == ((1L, 1L, "")), "null text reports as one empty line")
+  }
+
   test("dedupLines: corpus-repeated lines vanish, order survives, empty result is ''") {
     import spark.implicits._
     val docs = Seq(

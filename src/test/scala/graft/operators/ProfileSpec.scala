@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 class ProfileSpec extends SparkTestBase {
@@ -62,6 +64,29 @@ class ProfileSpec extends SparkTestBase {
     assert(out.forall { case (_, v, c) => v == c },
       "pLo=0/pHi=1 must clip nothing in either group")
     intercept[IllegalArgumentException] { Profile.winsorize(df, "g", "v", 0.9, 0.1) }
+  }
+
+  test("winsorize: null-group rows pass through clipped, never dropped") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 20.0))
+      .toDF("g", "v")
+    val out = Profile.winsorize(df, "g", "v", 0.0, 1.0)
+    assert(out.count() == 4, "a transform must not delete null-group rows")
+    val nullG = out.filter(col("g").isNull).select("v", "clipped")
+      .as[(Double, Double)].collect().toMap
+    assert(nullG == Map(10.0 -> 10.0, 20.0 -> 20.0))
+  }
+
+  test("correlation: complete-case — a half-null pair drops from n AND every sum") {
+    // group "a" with a (null, 8.0) row: complete-case must reduce to the
+    // two full pairs, exactly what built-in corr does
+    val df = Seq(
+      ("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(4.0)),
+      ("a", None, Some(8.0))
+    ).toDF("g", "x", "y")
+    val r = Profile.correlation(df, "g", "x", "y").head()
+    assert(r.getLong(1) == 2L, "n must count complete pairs only")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0,
+      s"two perfectly linear pairs: corr 1, covar 1; got $r")
   }
 
   test("correlation: exact co-moments give textbook corr/covar; degenerate groups yield null") {

@@ -18,6 +18,8 @@ class StreamingDistinctSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-hll").toFile.getAbsolutePath
     val sketchDir = s"$dir/sketches"
     val ms = MemoryStream[Seen]
+    assert(!StreamingDistinct.hasSketches(spark, sketchDir),
+      "monitors must be able to detect the pre-first-trigger state")
     val query = ms.toDS().toDF().writeStream
       .foreachBatch(StreamingDistinct.sketchSink(Seq("group"), "user", sketchDir))
       .option("checkpointLocation", s"$dir/ckpt").start()
@@ -25,6 +27,7 @@ class StreamingDistinctSpec extends SparkTestBase {
       val batch1 = (1L to 40L).map(u => Seen("a", u)) ++ (1L to 10L).map(u => Seen("b", u))
       ms.addData(batch1: _*)
       query.processAllAvailable()
+      assert(StreamingDistinct.hasSketches(spark, sketchDir))
       // batch 2 overlaps batch 1 (users 30..50): overlap must not inflate
       val batch2 = (30L to 50L).map(u => Seen("a", u))
       ms.addData(batch2: _*)
