@@ -206,6 +206,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeWav(nonPcm).isEmpty)
   }
 
+  test("decoder fuzz: arbitrary and RIFF-prefixed random bytes never throw, only None/features") {
+    // the untrusted-corpus contract: no payload may kill an executor.
+    // Seeded PRNG (deterministic run-to-run); RIFF/WAVE-prefixed tails
+    // steer half the inputs into the WAV chunk walker's deeper paths
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { i =>
+      val len = rnd.nextInt(200)
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (i % 2 == 1 && len >= 12) {
+        Array[Byte]('R', 'I', 'F', 'F').copyToArray(bytes, 0)
+        Array[Byte]('W', 'A', 'V', 'E').copyToArray(bytes, 8)
+      }
+      // must not throw; any Option result is acceptable
+      Multimodal.decodeWav(bytes)
+      Multimodal.decodeImage(bytes)
+      Multimodal.readImageGuarded(bytes)
+    }
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()
