@@ -475,7 +475,8 @@ object CoreQueries {
         |  FROM a)
         |SELECT l_returnflag, n,
         |  round((nd * sxy - sx * sy) /
-        |    sqrt(nullif((nd * sxx - sx * sx) * (nd * syy - sy * sy), 0.0)), 6) AS corr,
+        |    sqrt(nullif(greatest(
+        |      (nd * sxx - sx * sx) * (nd * syy - sy * sy), 0.0), 0.0)), 6) AS corr,
         |  round((nd * sxy - sx * sy) / nullif(nd * (nd - 1), 0.0), 6) AS covar_samp
         |FROM d""".stripMargin
   )

@@ -139,6 +139,16 @@ object Similarity {
     * the normalized (id, emb: array<double>) shape — so callers can
     * iterate Lloyd steps: feed the output back with `bucket` renamed to
     * `id`.
+    *
+    * NOT bit-reproducible across runs — a documented deviation from the
+    * repo's determinism convention: the per-dimension `avg` accumulates
+    * doubles in partial-aggregation order, which varies with scheduling,
+    * so refined centroids (and downstream IVF bucket assignments) can
+    * differ in the last ulps between runs. That is why no oracle-checked
+    * query consumes a refined centroid set (q16/q16b seed centroids
+    * deterministically); the spec pins only the order-independent property
+    * (mean member→centroid similarity improves). If bit-stable centroids
+    * are ever needed, aggregate in DECIMAL like the q61 co-moments.
     */
   def refineCentroidsFrom(n: DataFrame, centroids: DataFrame): DataFrame =
     ivfAssign(n, centroids)

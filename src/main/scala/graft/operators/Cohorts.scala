@@ -121,8 +121,16 @@ object Cohorts {
       periodUs: Long): DataFrame = {
     require(periodUs > 0, "periodUs must be positive")
     val w = Window.partitionBy(userCol)
+    // FLOOR division, not `div`: `div` truncates toward zero, so a
+    // pre-epoch timestamp of -1 µs would land in period 0 with its
+    // positive neighbors while DuckDB's `//` (floor) puts it in -1 —
+    // `(t - pmod(t, p)) div p` is exact floor for any long, matching the
+    // oracle's `//` on negative time values too. (pmod is non-negative,
+    // so the numerator is always an exact multiple of p.)
     events
-      .select(col(userCol), expr(s"$timeCol div ${periodUs}L").as("period"))
+      .select(col(userCol), expr(
+        s"(($timeCol) - pmod($timeCol, ${periodUs}L)) div ${periodUs}L")
+        .as("period"))
       .withColumn("cohort_period", min("period").over(w))
       .groupBy(col("cohort_period"),
         (col("period") - col("cohort_period")).as("period_offset"))

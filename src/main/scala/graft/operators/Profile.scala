@@ -88,9 +88,15 @@ object Profile {
     val cxy = n * sxy - sx * sy
     val vx = n * sxx - sx * sx
     val vy = n * syy - sy * sy
+    // greatest(·, 0) before nullif: the closed-form variances are exact in
+    // DECIMAL, but the double round-off of vx/vy can turn a near-constant
+    // group's product slightly NEGATIVE, and sqrt(negative) is NaN — the
+    // clamp folds that case into the documented null contract instead.
+    // (The DuckDB twin applies the identical greatest/nullif chain.)
     agg.select(
       col(groupCol), col("n"),
-      round(cxy / sqrt(nullif(vx * vy, lit(0.0))), 6).as("corr"),
+      round(cxy / sqrt(nullif(greatest(vx * vy, lit(0.0)), lit(0.0))), 6)
+        .as("corr"),
       round(cxy / nullif(n * (n - 1), lit(0.0)), 6).as("covar_samp"))
   }
 

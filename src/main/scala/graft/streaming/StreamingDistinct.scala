@@ -57,12 +57,29 @@ object StreamingDistinct {
     * this instead of catching the reader's PATH_NOT_FOUND — the sketch
     * table's group-column types live in the data, so there is no honest
     * empty frame to fabricate before one exists.
+    *
+    * "Committed" means a schema-bearing `part-*.parquet` data file is
+    * visible, not merely the directory: plain parquet append is
+    * non-transactional, so the dir can exist while the first write is
+    * still in flight (only `_temporary/`) or after an aborted/empty batch
+    * left no data file — in both states [[estimates]] would still throw on
+    * schema inference. A racing reader may also see a partially-written
+    * part file; callers needing strict isolation sequence after a
+    * completed trigger (the spec does), this guard only rules out the
+    * no-schema states.
     */
   def hasSketches(
       spark: org.apache.spark.sql.SparkSession, sketchDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(sketchDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
+    fs.exists(p) && {
+      val it = fs.listStatus(p).iterator
+      it.exists { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("part-") && n.endsWith(".parquet") &&
+          st.getLen > 0
+      }
+    }
   }
 
   /** Distinct-to-date estimates per group from the persisted sketch table:
