@@ -676,17 +676,46 @@ object LlmQueries {
 
   // ---- q32: near-dup clusters (connected components) -------------------
 
+  /** Per-JVM registry of PERSISTED (doc_id, cluster) artifacts, keyed by
+    * data dir. Cluster resolution is the expensive, cadence-driven job of
+    * a dedup pipeline (nightly, not per-consumer), so its output is a
+    * first-class persisted artifact: whichever query first needs clusters
+    * builds the minhash→CC chain ONCE, parquets the (doc_id, cluster)
+    * frame to a JVM-temp dir (the stand-in for a warehouse path — the
+    * q40/q41 artifact convention), and every later consumer reads the
+    * parquet. In registry order q32 is the builder and q52b the pure
+    * consumer; run standalone, either one builds on first touch, so the
+    * result never depends on run order.
+    */
+  private val ccArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def clusterArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val path = ccArtifacts.getOrElseUpdate(dir, {
+      val corpus = DocumentsFixture.corpusDf(spark, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
+      val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+      val out = java.nio.file.Files.createTempDirectory("graft-cc-")
+        .resolve("clusters").toString
+      cc.write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
+
   /** The dedup end-game over q12's verified pairs: transitive closure into
     * clusters, one deterministic canonical keep per cluster (the min
     * doc_id). Every corpus doc appears once — docs in no pair are their own
     * singleton cluster. `keep` is 1 for the canonical member, as INT so the
-    * cross-engine compare never sees a boolean.
+    * cross-engine compare never sees a boolean. As of round 10 this is the
+    * ARTIFACT BUILDER: the (doc_id, cluster) closure is parquet'd via
+    * [[clusterArtifact]] so downstream consumers (q52b) read it instead of
+    * re-deriving the minhash→CC chain.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DocumentsFixture.corpusDf(spark, dir)
-    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-      ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
-    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val cc = clusterArtifact(spark, dir)
     corpus.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .select(
@@ -1245,6 +1274,13 @@ object LlmQueries {
     * id): a doc and its near-twin can never straddle the boundary, the
     * leakage guard every eval-honest corpus release needs. Split on doc_id
     * and the injected duplicates put one copy in train and one in val.
+    *
+    * This registered form is the ONE-SHOT chain — minhash → CC → split in
+    * a single plan, the shape you run when no cluster artifact exists yet.
+    * It is deliberately NOT the 100 TB path: re-deriving clusters per
+    * split assignment is the recompute q52b exists to avoid
+    * ([[Dedup.clusterSplitFrom]] over the [[clusterArtifact]] parquet,
+    * same oracle). The q06/q07 twin convention, applied to dedup.
     */
   def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DocumentsFixture.corpusDf(spark, dir)
@@ -1258,6 +1294,19 @@ object LlmQueries {
         graft.operators.Sampling.hashSplit(col("cluster"), TrainRate))
       .select("doc_id", "cluster", "split")
   }
+
+  /** q52b — the PERSISTED-ARTIFACT form of the cluster split: identical
+    * output (and oracle) to q52, but the clusters come from the
+    * [[clusterArtifact]] parquet that q32's resolution run persisted, so
+    * the whole query is one small-side join plus a hash label
+    * ([[Dedup.clusterSplitFrom]]). This is the shape that survives 100 TB:
+    * cluster resolution runs on its own cadence, split assignment consumes
+    * the artifact.
+    */
+  def clusterSplitFromArtifact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSplitFrom(
+      DocumentsFixture.corpusDf(spark, dir).select("doc_id"),
+      "doc_id", clusterArtifact(spark, dir), TrainRate)
 
   /** Twin: q32's recursive-CTE closure plus the same md5-prefix threshold
     * (the hex literal comes from the one Scala implementation,
@@ -1359,6 +1408,7 @@ object LlmQueries {
     "q50_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q51_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q52_cluster_split" -> ((s, d) => clusterSplit(s, d)),
+    "q52b_cluster_split_artifact" -> ((s, d) => clusterSplitFromArtifact(s, d)),
     "q53_temp_sample" -> ((s, d) => tempSample(s, d))
   )
 
@@ -1402,6 +1452,9 @@ object LlmQueries {
     "q50_token_budget" -> q50Oracle,
     "q51_line_dedup" -> q51Oracle,
     "q52_cluster_split" -> q52Oracle,
+    // q52b: identical semantics, identical twin — the artifact path must
+    // reproduce the one-shot chain bit-for-bit or it is not a valid reuse.
+    "q52b_cluster_split_artifact" -> q52Oracle,
     "q53_temp_sample" -> q53Oracle
   )
 }

@@ -358,6 +358,38 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Leakage-free train/val split CONSUMING a persisted cluster artifact —
+    * the 100 TB form of cluster-keyed splitting: `cc` is a (idCol, cluster)
+    * frame some earlier cluster-resolution run persisted
+    * ([[connectedComponents]] output, parquet'd), and this operator only
+    * joins it back and assigns the deterministic
+    * [[graft.operators.Sampling.hashSplit]] label on the cluster id. Docs
+    * absent from the artifact (never in any near-dup pair) are their own
+    * singleton cluster via the coalesce. Nothing here re-derives
+    * signatures, candidate pairs, or components — at 100 TB you re-cluster
+    * on the artifact's cadence (nightly), not per split assignment.
+    *
+    * Plan shape: ONE join. The artifact holds only docs that appear in a
+    * near-dup pair — usually orders of magnitude below corpus size, so the
+    * optimizer broadcasts it and the corpus never shuffles; if a
+    * pathological corpus makes the artifact data-sized, the join degrades
+    * to a shuffle join on the id, which is still the minimal plan (no
+    * hard broadcast hint for exactly that reason).
+    */
+  def clusterSplitFrom(
+      corpusIds: DataFrame,
+      idCol: String,
+      cc: DataFrame,
+      trainRate: Double): DataFrame = {
+    val cluster = coalesce(col("cluster"), col(idCol))
+    corpusIds.select(idCol)
+      .join(cc.select(col(idCol), col("cluster")), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        cluster.as("cluster"),
+        graft.operators.Sampling.hashSplit(cluster, trainRate).as("split"))
+  }
+
   /** Blocked n-gram Jaccard via shingle co-occurrence: explode shingles,
     * self-join on (block, shingle) — a bucketed equi-join — and count
     * common shingles per pair; Jaccard follows from

@@ -251,4 +251,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"),
       s"no global sort for a per-user window:\n$p")
   }
+
+  test("q52b artifact split: one broadcast join over the persisted clusters, zero aggregates") {
+    // the whole point of the artifact path: no minhash, no CC iteration —
+    // the plan is a corpus scan joined to the (small) artifact scan plus a
+    // per-row hash label. Any aggregate or window in the plan means the
+    // chain is being re-derived.
+    val p = plan(LlmQueries.clusterSplitFromArtifact(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster artifact must broadcast onto the corpus:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"artifact path must not re-derive clusters (no aggregates):\n$p")
+    assert(!p.contains("Window"), s"no window in the artifact path:\n$p")
+    // corpus fixture = 3 union arms over documents + 1 artifact scan; a
+    // re-derivation would add scans (shingle/band passes re-read the corpus)
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet"))
+    assert(scans == 4, s"expected 3 corpus-arm scans + 1 artifact scan, got $scans:\n$p")
+  }
 }

@@ -222,6 +222,31 @@ class DedupSpec extends SparkTestBase {
       "every doc must keep at least one pair with a representative")
   }
 
+  test("clusterSplitFrom: artifact path equals the one-shot chain, singletons self-cluster") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    // the "artifact": round-trip the closure through parquet, as q32 persists it
+    val dir = java.nio.file.Files.createTempDirectory("cc-artifact-").toString
+    cc.write.mode("overwrite").parquet(dir)
+    val artifact = spark.read.parquet(dir)
+    val out = Dedup.clusterSplitFrom(docs.select("doc_id"), "doc_id", artifact, 0.9)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // every corpus doc labeled exactly once
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // one-shot equivalent: join + coalesce + hashSplit inline
+    val oneShot = docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        graft.operators.Sampling.hashSplit(col("cluster"), 0.9))
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == oneShot, "artifact path must be bit-identical to the one-shot chain")
+    // near-dup family {1,2,3} shares a cluster AND a split (the leakage guard);
+    // 4 never pairs, so it is its own singleton cluster
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L)._1 == 4L)
+  }
+
   test("simhash: identical text -> identical sketch; near dup -> small hamming; 16-bit range") {
     val out = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
       .as[(Long, Long)].collect().toMap
