@@ -60,6 +60,33 @@ object Bench {
     try spark.read.parquet(s"$sfDir/events.parquet").count()
     catch { case _: Throwable => () }
 
+    // Pre-JIT the shared JSON-shred kernel with DIRECT static calls — no
+    // Spark plan, so no extra generated classes and no megamorphic
+    // poisoning (the failure mode of the per-query warmup above). The
+    // kernel's static call sites (shred → handleValue → scanInner →
+    // captureRaw) are exactly what every q03–q08 generated class invokes;
+    // reaching C2 before the first timed iteration removes the
+    // 1.4–3.6× first-queries JIT tax the r8/r9 driver rounds kept landing
+    // on the JSON-heavy queries (BENCH_r09 vs bench_records/r9_run*).
+    // ~30k calls x ~2 µs ≈ well past the C2 invocation threshold, <100 ms.
+    {
+      val spec = new graft.functions.ShredSpec(
+        true,
+        Array("organisation_id", "traits.organisation_id", "traits.project_id",
+          "app.version", "plan", "org_id"),
+        Array("traits", "app"))
+      val payloads = Array(
+        """{"organisation_id":"org-1","traits":{"organisation_id":"o2","project_id":"p1","x":1},"app":{"version":"1.2.3"},"plan":"pro","k":[1,2]}""",
+        """{"traits":{"project_id":null},"app":{},"other":{"deep":{"a":1}},"arr":[{"b":2}]}""",
+        """not json at all""")
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      var i = 0
+      while (i < 30000) {
+        graft.functions.JsonShredRuntime.shred(payloads(i % payloads.length), spec)
+        i += 1
+      }
+    }
+
     // Median of 5 timed iterations per query: single-shot timings swing up
     // to 10x run-to-run from JIT/deopt state (BENCH_r03 90.6s vs a 33.0s
     // rerun of the same commit), and median-of-3 proved robust to only ONE
