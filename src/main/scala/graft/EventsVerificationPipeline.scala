@@ -178,6 +178,7 @@ object EventsVerificationPipeline {
       params: VerificationParams): (DataFrame, () => Unit) = {
     val spark = catalog.sparkSession
     val channels = spec.select("channel").distinct().collect().map(_.get(0).toString).sorted
+    val sharedLongs = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
     // The reference repartitions and caches the catalog ONCE, before its
     // channel loop (event_verify.py:23-24); every per-channel action below
@@ -228,22 +229,48 @@ object EventsVerificationPipeline {
         keyCounts, Seq("event_name"))
 
       // U2 — one frame per event, unioned (the reference's dict + loop,
-      // event_verify.py:133-214).
+      // event_verify.py:133-214). The union-reduce SURFACE is the parity
+      // contract; the extraction underneath is hoisted to ONE shared pass
+      // per channel (r9 verdict: the per-event extract made this plan the
+      // registry's least scale-safe — each event re-scanned the cache and
+      // re-parsed its payloads). All of the channel's properties extract in
+      // one single-parse pass ([[Completeness.withValueColumnsFast]] —
+      // output-identical to the get_json_object chains, pinned by
+      // CompletenessFastSpec), unpivot once, persist; each per-event frame
+      // is then a (event_name, prop ∈ event's spec) carve-out of the shared
+      // long frame — same rows, same values, |events|× less parse work, and
+      // the per-event branches read cached data instead of re-deriving it.
       val eventNames = specRows.map(r => str(r, "event_name")).distinct
+      val chProps = ("user_id" +: pairs.map(_.propName)).distinct
+      // the single-parse fast path needs identifier-shaped names (it binds
+      // them through json_tuple field lists); exotic spec props take the
+      // per-prop get_json_object chains — same output, more parses
+      val wide =
+        if (chProps.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+          Completeness.withValueColumnsFast(cat, chProps, Seq("event_name"))
+        else Completeness.withValueColumns(cat, chProps, Seq("event_name"))
+      val long = Completeness.unpivot(wide, chProps, Seq("event_name"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sharedLongs += long
       val frames = eventNames.map { e =>
         val evProps =
           ("user_id" +: pairs.filter(_.eventName == e).map(_.propName)).distinct
-        val wide = Completeness.withValueColumns(
-          cat.filter(col("event_name") === e), evProps, Seq.empty)
-        val long = Completeness.unpivot(wide, evProps, Seq.empty)
-        Completeness.metrics(long, Seq.empty).withColumn("event_name", lit(e))
+        Completeness.metrics(
+          long.filter(col("event_name") === e &&
+            col("prop_name").isin(evProps: _*)).drop("event_name"),
+          Seq.empty).withColumn("event_name", lit(e))
       }
       val valueM = Report.unionAll(frames)
 
       Report.assemble(valueM, keyM, Seq("event_name"),
         lit(ch), lit(version), params.processDate, params.eventDate)
     }
-    (Report.unionAll(perChannel), () => { base.unpersist(false); () }) // U3
+    val release = () => {
+      base.unpersist(false)
+      sharedLongs.foreach(_.unpersist(false))
+      ()
+    }
+    (Report.unionAll(perChannel), release) // U3
   }
 
   private def str(r: org.apache.spark.sql.Row, field: String): String =
