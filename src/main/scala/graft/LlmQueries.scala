@@ -326,12 +326,26 @@ object LlmQueries {
     Similarity.ivfTopK(embeddings(spark, dir), "vec_id", "embedding",
       col("id") % 50 === 0, col("id") % 100 === 0, k = 5, nprobe = 2)
 
-  /** Same as [[q16Oracle]] except queries probe their TWO nearest centroid
-    * buckets (`r <= 2` in `probed`); each candidate still lives in exactly
-    * one bucket so the join yields no duplicate (query, candidate) pairs.
+  /** q16d — IVF at the CALIBRATED operating point: SimilaritySpec's
+    * recall@10 calibration against exact ground truth measures 0.61 / 0.72
+    * / 0.95 / 1.00 at nprobe = 1/2/4/8 on this fixture, so nprobe=4 is the
+    * registered ≥0.9-recall setting (nprobe 1–2 stay registered as the
+    * cheap low-recall points; LSH's measured ceiling at 4 planes is 0.46 —
+    * isotropic synthetic embeddings are hyperplane-LSH's worst case, and
+    * the honest conclusion of the calibration is that IVF is the
+    * high-recall path here).
     */
-  private val q16bOracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  def annIvfNprobe4(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, col("id") % 100 === 0, k = 5, nprobe = 4)
+
+  /** Same as [[q16Oracle]] except queries probe their `nprobe` nearest
+    * centroid buckets (`r <= nprobe` in `probed`); each candidate still
+    * lives in exactly one bucket so the join yields no duplicate
+    * (query, candidate) pairs.
+    */
+  private def q16MultiProbeOracle(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE id % 100 = 0),
       |assigned AS (
@@ -345,13 +359,16 @@ object LlmQueries {
       |    SELECT n.id, n.emb, n.nrm, c.c_id,
       |      row_number() OVER (PARTITION BY n.id
       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
-      |    FROM n, c WHERE n.id % 50 = 0) WHERE r <= 2),
+      |    FROM n, c WHERE n.id % 50 = 0) WHERE r <= $nprobe),
       |pairs AS (
       |  SELECT q.query_id, a.id AS neighbor_id,
       |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
       |  FROM assigned a JOIN probed q ON a.bucket = q.bucket AND a.id <> q.query_id),
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
+  private val q16bOracle: String = q16MultiProbeOracle(2)
+  private val q16dOracle: String = q16MultiProbeOracle(4)
 
   def annQuantized(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizedTopK(embeddings(spark, dir), "vec_id", "embedding",
@@ -1379,6 +1396,7 @@ object LlmQueries {
     "q15b_ann_quantized" -> ((s, d) => annQuantized(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
+    "q16d_ann_ivf_nprobe4" -> ((s, d) => annIvfNprobe4(s, d)),
     "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
@@ -1423,6 +1441,7 @@ object LlmQueries {
     "q15b_ann_quantized" -> q15bOracle,
     "q16_ann_ivf" -> q16Oracle,
     "q16b_ann_ivf_nprobe2" -> q16bOracle,
+    "q16d_ann_ivf_nprobe4" -> q16dOracle,
     "q16c_ann_lsh" -> q16cOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,

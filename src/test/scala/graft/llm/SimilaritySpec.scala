@@ -71,6 +71,51 @@ class SimilaritySpec extends SparkTestBase {
       s"multi-probe candidates $multi must be >= single-probe $single > 0")
   }
 
+  test("recall@10 calibration: IVF/LSH measured against exact ground truth") {
+    // The candidate-set Observation (Similarity.observeCandidates) is a
+    // recall PROXY; this is its once-per-round calibration against the real
+    // thing (r9 advice #5): exact recall@10 of each approximate searcher at
+    // increasing probe width, on the same fixture the registered queries
+    // use. Reported via info() so the number is in every test log.
+    val emb = Tables.embeddings(spark, dir)
+    val qf = col("id") % 50 === 0
+    val cf = col("id") % 100 === 0
+    val ground = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      (ground & df.as[(Long, Long, Double)].collect()
+        .map(t => (t._1, t._2)).toSet).size.toDouble / ground.size
+
+    val ivfCurve = Seq(1, 2, 4, 8).map { np =>
+      val obs = org.apache.spark.sql.Observation()
+      val df = Similarity.ivfTopK(emb, "vec_id", "embedding", qf, cf, 10, np, Some(obs))
+      val r = recallOf(df)
+      val cands = obs.get("candidate_pairs").asInstanceOf[Long]
+      info(f"ivf nprobe=$np: recall@10 = $r%.3f, candidate_pairs = $cands")
+      np -> (r, cands)
+    }
+    val lshCurve = Seq(false, true).map { mp =>
+      val obs = org.apache.spark.sql.Observation()
+      val df = Similarity.lshTopK(emb, "vec_id", "embedding", qf, 10,
+        multiProbe = mp, candObservation = Some(obs))
+      val r = recallOf(df)
+      val cands = obs.get("candidate_pairs").asInstanceOf[Long]
+      info(f"lsh multiProbe=$mp: recall@10 = $r%.3f, candidate_pairs = $cands")
+      mp -> (r, cands)
+    }
+    // more probes -> more candidates -> recall can only grow (same scorer)
+    assert(ivfCurve.map(_._2._1) == ivfCurve.map(_._2._1).sorted,
+      s"IVF recall must be monotone in nprobe: $ivfCurve")
+    assert(ivfCurve.map(_._2._2) == ivfCurve.map(_._2._2).sorted,
+      s"IVF candidate count must be monotone in nprobe: $ivfCurve")
+    assert(lshCurve.head._2._1 <= lshCurve.last._2._1,
+      s"LSH multi-probe must not lose recall: $lshCurve")
+    // the calibrated operating point: nprobe=8 of 10 buckets must be
+    // near-exhaustive on this fixture
+    assert(ivfCurve.last._2._1 >= 0.9,
+      s"IVF nprobe=8 recall@10 below 0.9: ${ivfCurve.last}")
+  }
+
   test("ivfTopK: recall against brute force is reasonable for nprobe=1") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
