@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, WinnowFingerprints, WordHits}
+import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, NfcNormalize, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -117,6 +117,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowFingerprints(children(0),
           intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("nfc_norm"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getName,
+        null,
+        "nfc_norm",
+        "nfc_norm(text) - Unicode NFC normalization (UAX #15); twin of " +
+          "DuckDB's nfc_normalize",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_norm takes exactly 1 argument")
+        NfcNormalize(children(0))
       }))
   }
 }

@@ -1383,6 +1383,38 @@ object LlmQueries {
        |  < printf('%08x', least(CAST(floor(rate * 4294967296.0) AS BIGINT),
        |                         4294967295))""".stripMargin
 
+  // ---- q62: unicode/text normalization ---------------------------------
+
+  /** Unicode normalization over the unicode-hostile corpus
+    * ([[TextStats.normalized]] on [[DocumentsFixture.unicodeCorpusDf]]):
+    * NFC composition via the native `nfc_norm` kernel, control/zero-width
+    * strip, mojibake heuristic count, and a changed flag — the standard
+    * text-cleaning front door of a training-data pipeline. Row-local
+    * narrow projection; no shuffle.
+    */
+  def normalizeDocs(spark: SparkSession, dir: String): DataFrame =
+    TextStats.normalized(
+      DocumentsFixture.unicodeCorpusDf(spark, dir), "doc_id", "text")
+
+  /** Twin: `nfc_normalize` is DuckDB's NFC (same UAX #15 algorithm as the
+    * kernel's java.text.Normalizer — byte-identical outputs), the strip
+    * class and mojibake alternation are THE SAME literal strings the Spark
+    * side uses ([[TextStats.controlZwClass]]/[[TextStats.mojibakeClass]] —
+    * `\x{...}` parses identically in Java regex and RE2), and
+    * `len(regexp_extract_all(...))` counts non-overlapping matches exactly
+    * like `regexp_count`.
+    */
+  private val q62Oracle: String =
+    s"""WITH c AS (${DocumentsFixture.unicodeCorpusSql()}),
+       |n AS (SELECT doc_id, text,
+       |    regexp_replace(nfc_normalize(text), '${TextStats.controlZwClass}', '', 'g') AS text_norm
+       |  FROM c)
+       |SELECT doc_id, text_norm,
+       |  length(nfc_normalize(text)) - length(text_norm) AS n_stripped,
+       |  CAST(len(regexp_extract_all(text, '${TextStats.mojibakeClass}')) AS INT) AS mojibake_hits,
+       |  CAST(text_norm <> text AS INT) AS changed
+       |FROM n""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1427,6 +1459,7 @@ object LlmQueries {
     "q51_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q52_cluster_split" -> ((s, d) => clusterSplit(s, d)),
     "q52b_cluster_split_artifact" -> ((s, d) => clusterSplitFromArtifact(s, d)),
+    "q62_normalize" -> ((s, d) => normalizeDocs(s, d)),
     "q53_temp_sample" -> ((s, d) => tempSample(s, d))
   )
 
@@ -1474,6 +1507,7 @@ object LlmQueries {
     // q52b: identical semantics, identical twin — the artifact path must
     // reproduce the one-shot chain bit-for-bit or it is not a valid reuse.
     "q52b_cluster_split_artifact" -> q52Oracle,
+    "q62_normalize" -> q62Oracle,
     "q53_temp_sample" -> q53Oracle
   )
 }

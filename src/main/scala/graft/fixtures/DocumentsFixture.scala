@@ -48,4 +48,30 @@ object DocumentsFixture {
     spark.sql(linesCorpusSql("__docs_fixture"))
       .repartition(spark.sparkContext.defaultParallelism)
   }
+
+  /** Unicode-hostile corpus for the normalization operator (q62): the
+    * synthetic docs are pure ASCII, so the interesting inputs are injected
+    * — decomposed accents (e + U+0301), zero-width space/non-joiner, word
+    * joiner, a BOM tail, and Latin-1-mojibake smart quotes with a
+    * replacement character. The unicode payloads ride INSIDE the SQL
+    * string literals as raw UTF-8 (written as Scala escapes here), so both
+    * engines parse byte-identical text — chr()/char() differ cross-engine
+    * and never appear.
+    */
+  private val uniArms = Seq(
+    "SELECT doc_id, text FROM %s",
+    // decomposed e-acute, ZWSP, ZWNJ, word joiner, BOM tail
+    "SELECT doc_id + 30000, 'Café ​split‌words⁠ ' || text || '﻿' FROM %s WHERE doc_id % 5 = 0",
+    // mojibake: naÃ¯ve + â€™ â€œ quotes + U+FFFD, plus a precomposed é
+    "SELECT doc_id + 40000, 'naÃ¯ve â€™quoteâ€œ café bad:ï¿½ ' || text FROM %s WHERE doc_id % 11 = 0")
+
+  def unicodeCorpusSql(rel: String = "documents"): String =
+    uniArms.map(_.replace("%s", rel)).mkString(" UNION ALL ")
+
+  def unicodeCorpusDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.createOrReplaceTempView("__docs_fixture")
+    spark.sql(unicodeCorpusSql("__docs_fixture"))
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
 }

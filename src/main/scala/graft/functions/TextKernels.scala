@@ -322,3 +322,51 @@ class MinHashKernel(numHashes: Int) extends Serializable {
     new GenericArrayData(out)
   }
 }
+
+/** `nfc_norm(text)`: Unicode NFC normalization (canonical decomposition +
+  * canonical composition, UAX #15) of a string column — the operator Spark
+  * has no built-in for. A static kernel call inside whole-stage codegen,
+  * same monomorphic-call-site design as the kernels above; the DuckDB twin
+  * is `nfc_normalize` (both sides implement the same Unicode algorithm, so
+  * results agree byte-for-byte).
+  *
+  * Fast path: `Normalizer.isNormalized` is O(n) with no allocation and is
+  * true for ASCII and for already-composed text — the overwhelming case in
+  * a web corpus — so the String round-trip (UTF8String has no direct
+  * normalizer) is only paid by rows that actually change.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nfc_norm requires a string column, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcKernel.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcKernel.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_norm"
+}
+
+object NfcKernel {
+  import java.text.Normalizer
+
+  def normalize(s: UTF8String): UTF8String = {
+    // pure-ASCII (numBytes == numChars) is always NFC: no String allocation
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}

@@ -38,6 +38,53 @@ object TextStats {
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, punctClass, ""))
 
+  // ---- Unicode/text normalization (q62) --------------------------------
+
+  /** C0 controls (minus \t \n \r — document-legitimate whitespace), DEL,
+    * zero-width space/non-joiner/joiner, word joiner, and the BOM/ZWNBSP.
+    * `\x{...}` escapes parse identically in Java regex and DuckDB's RE2.
+    */
+  val controlZwClass: String =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}" +
+      "\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"
+
+  /** Common UTF-8-decoded-as-Latin-1 mojibake sequences plus the
+    * replacement character: a fixed alternation of literal sequences (no
+    * regex metacharacters), so Java and RE2 agree. A HEURISTIC detector —
+    * flags the frequent smart-quote/accented-vowel corruptions, not every
+    * possible double-encoding.
+    */
+  val mojibakeClass: String =
+    "â€™|â€œ|â€“|" + // ’ “ –
+      "Ã©|Ã¨|Ã«|Ã¼|Ã±|" + // é è ë ü ñ
+      "ï¿½" // U+FFFD replacement char
+
+  /** Unicode NFC composition ([[graft.functions.NfcNormalize]], a native
+    * codegen kernel — Spark has no built-in) followed by control/zero-width
+    * strip. Row-local, stays inside whole-stage codegen: at 100 TB this is
+    * a free rider on whatever scan already touches the text column.
+    */
+  def normalizeText(text: Column): Column =
+    regexp_replace(call_function("nfc_norm", text), controlZwClass, "")
+
+  /** Per-doc normalization report: the cleaned text plus audit columns —
+    * how many characters the strip removed (NFC-relative, so composition
+    * itself doesn't count), how many mojibake sequences the heuristic saw
+    * in the ORIGINAL text, and whether normalization changed the doc at
+    * all. One narrow projection, no shuffle.
+    */
+  def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nfc = call_function("nfc_norm", col(textCol))
+    val norm = regexp_replace(nfc, controlZwClass, "")
+    df.select(
+      col(idCol),
+      norm.as("text_norm"),
+      (length(nfc) - length(norm)).cast("bigint").as("n_stripped"),
+      regexp_count(col(textCol), lit(mojibakeClass)).cast("int")
+        .as("mojibake_hits"),
+      (norm =!= col(textCol)).cast("int").as("changed"))
+  }
+
   /** Occurrences (not distinct types) of `words` among `toks`.
     *
     * Goes through the native [[graft.functions.WordHits]] kernel (requires

@@ -27,6 +27,48 @@ class CleaningSpec extends SparkTestBase {
     assert(out(5L) == "no pii here, just words and 42")
   }
 
+  test("normalizeText: NFC composes, zero-width/controls strip, document whitespace survives") {
+    val df = Seq(
+      (1L, "Café"), // decomposed e-acute
+      (2L, "Café"), // precomposed — must equal row 1 after NFC
+      (3L, "a​b‌c‍d⁠e﻿"), // the zero-width zoo
+      (4L, "x\u0000y\u0007z\u007f"), // C0 controls + DEL
+      (5L, "tab\there\nnewline\rcr"), // \t \n \r are NOT stripped
+      (6L, "")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.normalizeText(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "Café" && out(1L) == out(2L))
+    assert(out(3L) == "abcde")
+    assert(out(4L) == "xyz")
+    assert(out(5L) == "tab\there\nnewline\rcr")
+    assert(out(6L) == "")
+    // idempotent: normalizing normalized text is identity
+    val twice = df.select(col("id"),
+      TextStats.normalizeText(TextStats.normalizeText(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == out)
+  }
+
+  test("normalized: audit columns — strip counts NFC-relative, mojibake heuristic, changed flag") {
+    val df = Seq(
+      (1L, "plain ascii"),
+      (2L, "Café​"), // composes AND strips one char
+      (3L, "naÃ¯ve â€™quoteâ€œ ï¿½"), // 3 mojibake hits
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.normalized(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(1L) == (Some("plain ascii"), Some(0L), Some(0), Some(0)))
+    // n_stripped counts only the strip (1 ZWSP), not the composition
+    assert(out(2L) == (Some("Café"), Some(1L), Some(0), Some(1)))
+    assert(out(3L)._3 == Some(3), s"expected 3 mojibake hits: ${out(3L)}")
+    assert(out(3L)._4 == Some(0), "mojibake alone must not flip changed")
+    // null text propagates null audit columns, never throws
+    assert(out(4L) == ((None, None, None, None)))
+  }
+
   test("redaction order: an IPv4 is consumed by <IP>, never double-matched as a phone") {
     val df = Seq((1L, "ip 10.1.2.3 and phone 5551234567")).toDF("id", "text")
     val out = df.select(TextStats.redactPii(col("text"))).as[String].head()
