@@ -51,9 +51,32 @@ object EventsVerificationPipeline {
   private val reservedProps = Set("context", "properties", "traits", "channel",
     "version", "event_name", "client_name", "extracted_version")
 
-  def run(catalog: DataFrame, spec: DataFrame, params: VerificationParams): DataFrame = {
-    val spark = catalog.sparkSession
+  /** Driver-side spec digestion, shared by the batch run and the
+    * incremental maintainer ([[graft.streaming.StreamingReport]] re-derives
+    * it per report without touching data).
+    */
+  private[graft] final case class SpecInfo(
+      byChannel: Seq[((String, String), Seq[org.apache.spark.sql.Row])],
+      keyPairs: Seq[SpecPair],
+      valuePairs: Seq[SpecPair],
+      allProps: Seq[String])
 
+  /** Everything [[run]] derives from the catalog before the final tiny
+    * joins: the persisted shredded catalog (caller unpersists), the
+    * (channel, event, key) counts, the defined-pair long value frame, and
+    * the observed identifier keys per channel. The two frames are exactly
+    * the ALGEBRAIC state of the report — both are additive over disjoint
+    * catalog slices, which is what makes the streaming maintainer's
+    * append-partials design correct.
+    */
+  private[graft] final case class Prepared(
+      cat: DataFrame,
+      keyCounts: DataFrame,
+      longDefined: DataFrame,
+      info: SpecInfo,
+      observed: Map[String, Seq[String]])
+
+  private[graft] def parseSpec(spec: DataFrame, params: VerificationParams): SpecInfo = {
     // 1. W1 — latest spec version per channel; the spec is tiny
     //    human-maintained config, so collect it once (vs the reference's
     //    per-channel collect+first, event_verify.py:33-39).
@@ -76,6 +99,34 @@ object EventsVerificationPipeline {
     val allProps = ("user_id" +: keyPairs.map(_.propName)).distinct
     val bad = allProps.filter(reservedProps.contains)
     require(bad.isEmpty, s"property names collide with catalog columns: $bad")
+    SpecInfo(byChannel, keyPairs, valuePairs, allProps)
+  }
+
+  def run(catalog: DataFrame, spec: DataFrame, params: VerificationParams): DataFrame = {
+    val spark = catalog.sparkSession
+    val p = prepare(catalog, spec, params)
+
+    // 9. J2/J3 + derived metrics + stamps + fill over the algebraic state.
+    val keyM = Report.keyMetrics(
+      SpecParse.pairsDf(spark, p.info.keyPairs).drop("version"),
+      p.keyCounts, Seq("channel", "event_name"))
+    val valueM = Completeness.metrics(p.longDefined, Seq("channel", "version", "event_name"))
+    Report.assemble(valueM, keyM, Seq("channel", "event_name"),
+      col("channel"), col("version"), params.processDate, params.eventDate)
+  }
+
+  /** Steps 3–8 of [[run]] — catalog-side derivation up to the additive
+    * frames. `observedToDate` folds previously-observed identifier keys
+    * into the rlike flag chain (the streaming maintainer's persisted key
+    * state); the batch run passes none and behavior is unchanged.
+    */
+  private[graft] def prepare(
+      catalog: DataFrame, spec: DataFrame, params: VerificationParams,
+      observedToDate: Map[String, Seq[String]] = Map.empty): Prepared = {
+    val spark = catalog.sparkSession
+    val info = parseSpec(spec, params)
+    val byChannel = info.byChannel
+    val (valuePairs, allProps) = (info.valuePairs, info.allProps)
 
     // 3. Catalog filtered to (channel, current version) via broadcast join —
     //    P2/P3 semantics of event_verify.py:42-43 with channel carried as a
@@ -103,11 +154,21 @@ object EventsVerificationPipeline {
     //    matter how adversarial the payload key space is; the literal
     //    patterns keep the hot path on compiled-once regexes.
     val idSpellings = (params.orgIdentifiers ++ params.projectIdentifiers).distinct
-    val obs = JsonKeys.allKeysBy(cat, PayloadShred.keyExtractors, Seq("channel"),
+    val obsBatch = JsonKeys.allKeysBy(cat, PayloadShred.keyExtractors, Seq("channel"),
         restrictTo = Some(idSpellings))
       .collect()
       .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    // fold in keys observed by earlier batches (empty for the batch run):
+    // the rlike flags are the one NON-algebraic piece of the report — a
+    // spelling first observed later could substring-match earlier rows —
+    // so the maintainer carries the observed set forward and the
+    // incremental ≡ batch guarantee is conditional on spelling-stable
+    // channels (see StreamingReport scaladoc).
+    val obs = (obsBatch.keySet ++ observedToDate.keySet).map { ch =>
+      ch -> (obsBatch.getOrElse(ch, Nil) ++ observedToDate.getOrElse(ch, Nil))
+        .distinct.sorted
+    }.toMap
     def matching(ids: Seq[String])(ch: String): Seq[String] =
       obs.getOrElse(ch, Nil).filter(ids.contains).sorted
 
@@ -132,25 +193,18 @@ object EventsVerificationPipeline {
       .groupBy("channel", "event_name", "exploded_key")
       .agg(count(lit(1)).as("key_count"))
 
-    // 7. J2 — defined pairs vs observed key counts.
-    val keyM = Report.keyMetrics(
-      SpecParse.pairsDf(spark, keyPairs).drop("version"),
-      keyCounts, Seq("channel", "event_name"))
-
-    // 8. Value completeness: wide extraction reads the cached shred structs
-    //    (ZERO additional payload parses) → stack unpivot → defined-pair
-    //    filter → single-pass metrics.
+    // 7/8. Value completeness: wide extraction reads the cached shred
+    //    structs (ZERO additional payload parses) → stack unpivot →
+    //    defined-pair filter; the counts over it and over the merged keys
+    //    are the additive frames the caller aggregates (J2 lives in [[run]]).
     val wide = PayloadShred.withValueColumns(
       cat, allProps, Seq("channel", "version", "event_name"))
     val long = Completeness.unpivot(wide, allProps, Seq("channel", "version", "event_name"))
     val longDefined = long.join(
       broadcast(SpecParse.pairsDf(spark, valuePairs).drop("version")),
       Seq("channel", "event_name", "prop_name"))
-    val valueM = Completeness.metrics(longDefined, Seq("channel", "version", "event_name"))
 
-    // 9. J3 + derived metrics + stamps + fill.
-    Report.assemble(valueM, keyM, Seq("channel", "event_name"),
-      col("channel"), col("version"), params.processDate, params.eventDate)
+    Prepared(cat, keyCounts, longDefined, info, obs)
   }
 
   /** Reference-shaped mode: driver loop per channel, per-event value frames

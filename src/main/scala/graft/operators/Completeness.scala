@@ -158,16 +158,41 @@ object Completeness {
     * `count(*)` ≡ the repeated `completeness_data.count()`, but in ONE
     * partial-aggregatable job with no order-nondeterministic array building.
     */
-  def metrics(long: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val keys = groupCols :+ "prop_name"
+  def metrics(long: DataFrame, groupCols: Seq[String]): DataFrame =
+    derived(partialMetrics(long, groupCols))
+
+  /** The ALGEBRAIC core of [[metrics]]: just the two additive counts, no
+    * derived columns — the per-batch partial an incremental maintainer
+    * ([[graft.streaming.StreamingReport]]) appends to its partials table.
+    * Partials from disjoint row sets merge by summation
+    * ([[mergedMetrics]]), exactly like Spark's own partial aggregation;
+    * the non-additive columns (null count, percentage) are derived only
+    * after the merge.
+    */
+  def partialMetrics(long: DataFrame, groupCols: Seq[String]): DataFrame =
     long
-      .groupBy(keys.map(col): _*)
+      .groupBy((groupCols :+ "prop_name").map(col): _*)
       .agg(
         count(lit(1)).as("total_records"),
         count(col("value")).as("value_not_null_count"))
+
+  /** Merge [[partialMetrics]] rows from any number of batches into the
+    * same frame [[metrics]] produces over the union of those batches:
+    * counts are additive over disjoint row sets, so `sum` + re-derive is
+    * exact (no approximation anywhere).
+    */
+  def mergedMetrics(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    derived(
+      partials
+        .groupBy((groupCols :+ "prop_name").map(col): _*)
+        .agg(
+          sum(col("total_records")).as("total_records"),
+          sum(col("value_not_null_count")).as("value_not_null_count")))
+
+  private def derived(counts: DataFrame): DataFrame =
+    counts
       .withColumn("value_null_count", col("total_records") - col("value_not_null_count"))
       .withColumn(
         "value_null_count_percentage",
         col("value_null_count") * 100 / col("total_records"))
-  }
 }
