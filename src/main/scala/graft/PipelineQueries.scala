@@ -365,6 +365,48 @@ object PipelineQueries {
 
   // ---- registry --------------------------------------------------------
 
+  // ---- q63: table maintenance (compaction) -----------------------------
+
+  /** q63 — the maintenance path driver-exercised (rows-only: the query's
+    * effect is a FILESYSTEM layout, which no SQL oracle can hash, so the
+    * invariants are require()d inside and the output is the audit frame).
+    * Simulates a streaming-ingest mess — 48 tiny files per `lang`
+    * partition of `documents` — then
+    * [[graft.sources.Compaction.compactPartitionedParquet]] rewrites each
+    * leaf to byte-sized files sorted by doc_id (row-group pruning on the
+    * id afterwards). Asserted invariants: row count and id set survive,
+    * every partition collapses to fewer files, partition structure (and so
+    * plan-time pruning) is preserved. Output: one audit row per lang
+    * partition — (lang, files_written, n_rows, n_ids), deterministic.
+    */
+  def compactionMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val frag = s"$work/fragmented"
+    val out = s"$work/compacted"
+    Tables.documents(spark, dir)
+      .repartition(48)
+      .write.partitionBy("lang").mode("overwrite").parquet(frag)
+    val written = graft.sources.Compaction.compactPartitionedParquet(
+      spark, frag, out, targetFileBytes = 4L << 20, sortCols = Seq("doc_id"))
+    require(written.nonEmpty && written.keys.forall(_.startsWith("lang=")),
+      s"partition structure lost: ${written.keys}")
+    require(written.values.forall(_ < 48),
+      s"compaction must shrink the 48-file mess per partition: $written")
+    val before = spark.read.parquet(frag)
+    val after = spark.read.parquet(out)
+    val Seq(nBefore, nAfter) = Seq(before, after).map(_.count())
+    require(nBefore == nAfter, s"compaction changed row count: $nBefore -> $nAfter")
+    val audit = after.groupBy("lang").agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("doc_id")).as("n_ids"))
+    val files = written.toSeq.map { case (rel, n) =>
+      (rel.stripPrefix("lang="), n)
+    }.toDF("lang", "files_written")
+    audit.join(files, Seq("lang"))
+      .select("lang", "files_written", "n_rows", "n_ids")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_latest_order" -> ((s, dir) => latestOrderPerCustomer(s, dir)),
     "q03_completeness" -> ((s, dir) => completenessMetrics(s, dir)),
@@ -372,7 +414,10 @@ object PipelineQueries {
     "q05_merged_key_counts" -> ((s, dir) => mergedKeyCounts(s, dir)),
     "q06_events_report" -> ((s, dir) => eventsReport(s, dir)),
     "q07_events_report_parity" -> ((s, dir) => eventsReportParity(s, dir)),
-    "q08_events_report_csv_spec" -> ((s, dir) => eventsReportCsvSpec(s, dir))
+    "q08_events_report_csv_spec" -> ((s, dir) => eventsReportCsvSpec(s, dir)),
+    // rows-only: filesystem effect, invariants require()d inside (no
+    // oracles entry on purpose — the driver records the weaker check)
+    "q63_compact_maintenance" -> ((s, dir) => compactionMaintenance(s, dir))
   )
 
   def oracles: Map[String, String] = Map(
