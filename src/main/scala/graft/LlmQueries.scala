@@ -707,18 +707,36 @@ object LlmQueries {
   private val ccArtifacts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private def ccArtifactPath(dir: String): String =
+    ccArtifacts.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft-cc-")
+        .resolve("clusters").toString)
+
+  /** BUILD the cluster artifact for `dir`: always recomputes the
+    * minhash→CC chain and overwrites the parquet (builder semantics — the
+    * nightly resolution job does real work every run, and so must q32's
+    * bench median; only sample-level caching here would under-report it).
+    */
+  private def buildClusterArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val out = ccArtifactPath(dir)
+    cc.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** READ the cluster artifact for `dir`, building it first only when no
+    * resolution run has produced one in this JVM (consumer semantics —
+    * q52b run standalone still yields correct output).
+    */
   private def clusterArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val path = ccArtifacts.getOrElseUpdate(dir, {
-      val corpus = DocumentsFixture.corpusDf(spark, dir)
-      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-        ShingleSize, NumHashes, RowsPerBand, JaccThreshold)
-      val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
-      val out = java.nio.file.Files.createTempDirectory("graft-cc-")
-        .resolve("clusters").toString
-      cc.write.mode("overwrite").parquet(out)
-      out
-    })
-    spark.read.parquet(path)
+    val out = ccArtifactPath(dir)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(out)
+    else buildClusterArtifact(spark, dir)
   }
 
   /** The dedup end-game over q12's verified pairs: transitive closure into
@@ -732,7 +750,7 @@ object LlmQueries {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DocumentsFixture.corpusDf(spark, dir)
-    val cc = clusterArtifact(spark, dir)
+    val cc = buildClusterArtifact(spark, dir)
     corpus.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .select(

@@ -309,7 +309,10 @@ object Dedup {
     * full-join action; state is one (id, label) row per vertex — at 100 TB
     * that is |near-dup docs|, orders of magnitude below corpus size.
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIterations: Int = 50,
+      roundsCallback: Option[Int => Unit] = None): DataFrame = {
     // symmetric closure PLUS a self-loop per vertex: with (v,v) present,
     // the neighbor-min in the edge pass automatically includes v's own
     // label, so each round is a single join+groupBy — never a union of a
@@ -355,6 +358,9 @@ object Dedup {
     }
     edges.unpersist(false)
     require(converged, s"connectedComponents did not converge in $maxIterations iterations")
+    // O(log diameter) claim made observable: scale evidence (BASELINE.md's
+    // sf0.1-vs-sf1 table) reads the round count through this hook
+    roundsCallback.foreach(_(iter))
     labels.select(col("id"), col("label").as("cluster"))
   }
 
