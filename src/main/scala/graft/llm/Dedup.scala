@@ -309,6 +309,38 @@ object Dedup {
     * full-join action; state is one (id, label) row per vertex — at 100 TB
     * that is |near-dup docs|, orders of magnitude below corpus size.
     */
+  /** Eager local checkpoint that BOUNDS plan statistics as well as lineage.
+    *
+    * Spark 4.1's `Dataset.localCheckpoint` truncates the logical plan to a
+    * `LogicalRDD` but copies the ORIGIN plan's `Statistics` onto it (so the
+    * checkpointed frame stays broadcast-eligible). In an iterative loop that
+    * is a triple-exponential time bomb: with CBO off, every inner join's
+    * `sizeInBytes` is the PRODUCT of its children's
+    * (`SizeInBytesOnlyStatsPlanVisitor.default`), so a round that joins the
+    * previous labels three times estimates `size(edges) * size(labels)^3`,
+    * and the checkpoint carries that product into the next round — the
+    * BigInt's digit count roughly TRIPLES per round (measured: 6 -> 21 ->
+    * 66 -> ... -> 4,013,782 digits by round 12, with planning stuck in
+    * Toom-Cook multiplication for hours by round ~14). Convergence in <= ~10
+    * rounds masks it; a graph whose diameter needs more rounds hangs the
+    * DRIVER at any data scale — found by the sf1 scale run, where q48's
+    * embedding graph chained deeper than sf0.1's.
+    *
+    * Fix: re-wrap the materialized RDD through the public
+    * `createDataFrame(rdd, schema)`, whose fresh `LogicalRDD` carries NO
+    * origin stats and falls back to `spark.sql.defaultSizeInBytes` —
+    * per-round estimates stay bounded forever. Cost: an
+    * InternalRow->Row->InternalRow conversion per downstream read of the
+    * checkpoint — negligible on label state (one row per near-dup vertex,
+    * orders of magnitude below corpus size). The inflated origin stats were
+    * already far past every broadcast threshold after round one, so no
+    * broadcast opportunity is lost either.
+    */
+  private def boundedLocalCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def connectedComponents(
       pairs: DataFrame,
       maxIterations: Int = 50,
@@ -323,9 +355,8 @@ object Dedup {
     val edges = sym
       .union(sym.select(col("u"), col("u").as("v")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("u").as("id"))
-      .agg(min(col("v")).as("label"))
-      .localCheckpoint(true)
+    var labels = boundedLocalCheckpoint(
+      edges.groupBy(col("u").as("id")).agg(min(col("v")).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -345,13 +376,12 @@ object Dedup {
       // Observation, instead of a separate full-join action per round —
       // one job per round, not two.
       val changedObs = org.apache.spark.sql.Observation()
-      val next = jumped.as("n")
+      val next = boundedLocalCheckpoint(jumped.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .observe(changedObs,
           coalesce(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)),
             lit(0L)).as("changed")) // sum over zero rows is null (empty graph)
-        .select(col("n.id").as("id"), col("n.label").as("label"))
-        .localCheckpoint(true)
+        .select(col("n.id").as("id"), col("n.label").as("label")))
       converged = changedObs.get("changed") == 0L
       labels = next
       iter += 1

@@ -184,6 +184,26 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("connectedComponents: deep graphs keep plan statistics bounded (no BigInt blowup)") {
+    // Spark 4.1's localCheckpoint copies the ORIGIN plan's statistics onto
+    // the truncated LogicalRDD; each round's join-product estimate then
+    // compounds CUBICALLY across rounds (digit count ~triples per round:
+    // 6 -> 21 -> 66 -> ... -> 4M digits by round 12), hanging the DRIVER in
+    // BigInteger multiplication once a graph needs >= ~14 rounds — at any
+    // data scale. boundedLocalCheckpoint re-wraps the materialized RDD with
+    // fresh default stats, so a deep chain must converge with the returned
+    // plan's estimate still an ordinary-sized number.
+    val n = 40000 // diameter ~n => ~log2(n) ≈ 16 pointer-jumping rounds
+    val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
+    var rounds = -1
+    val cc = Dedup.connectedComponents(pairs, roundsCallback = Some(r => rounds = r))
+    assert(cc.filter(col("cluster") === 1L).count() == n.toLong,
+      "one component labeled by its min id")
+    assert(rounds >= 12, s"chain must be deep enough to exercise the blowup regime, got $rounds")
+    val digits = cc.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length
+    assert(digits < 40, s"plan stats must stay bounded across rounds, got $digits digits")
+  }
+
   test("winnowOverlapPairs: containment scores a quoted doc ~1.0 where Jaccard under-scores it") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val host = ("completely unrelated framing sentence about engines " + quote +
