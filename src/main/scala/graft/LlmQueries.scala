@@ -262,22 +262,69 @@ object LlmQueries {
       Dedup.simhash(col("text"), SimHashBits, Dedup.md5Bit).as("simhash"))
   }
 
-  /** DuckDB twin of the md5-bit SimHash: per bit j, +1/-1 sum over tokens
-    * of the parity of md5 hex digit j; pack the sign bits. `coalesce(..,0)`
-    * matches Spark's `aggregate` zero-init on empty token arrays.
+  /** DuckDB twin of the md5-bit SimHash, as CTEs ending in
+    * `sk(doc_id, simhash)` over a `corpus` CTE: per bit j, +1/-1 sum over
+    * tokens of the parity of md5 hex digit j; pack the sign bits.
+    * `coalesce(.., 0)` matches Spark's `aggregate` zero-init on empty
+    * token arrays. Shared by the q14 sketch report and the q64 banded
+    * pair search (different widths).
     */
-  private val q14Oracle: String = {
-    val bitSums = (0 until SimHashBits).map { j =>
+  private def dSimhashCtes(bits: Int): String = {
+    val bitSums = (0 until bits).map { j =>
       s"coalesce(list_sum(list_transform(toks, t -> CASE WHEN " +
         s"strpos('13579bdf', substr(md5(t), ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END)), 0) AS s$j"
     }
-    val pack = (0 until SimHashBits)
+    val pack = (0 until bits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+    s"""t AS (SELECT doc_id, $dToks AS toks FROM corpus),
+       |b AS (SELECT doc_id, ${bitSums.mkString(", ")} FROM t),
+       |sk AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM b)""".stripMargin
+  }
+
+  private val q14Oracle: String =
     s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
-       |t AS (SELECT doc_id, $dToks AS toks FROM corpus),
-       |b AS (SELECT doc_id, ${bitSums.mkString(", ")} FROM t)
-       |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM b""".stripMargin
+       |${dSimhashCtes(SimHashBits)}
+       |SELECT doc_id, simhash FROM sk""".stripMargin
+
+  // ---- q64: SimHash-banded near-dup pairs ------------------------------
+
+  private val SimHashPairBits = 32
+  private val SimHashPairBands = 4
+  private val SimHashMaxHamming = 3
+
+  /** q64 — the retrieval half of q14's sketch: banded SimHash candidate
+    * pairs with exact Hamming verification ([[Dedup.simhashPairs]]).
+    * 32-bit md5-variant sketch (DuckDB-expressible), 4 bands of 8 bits —
+    * pigeonhole-complete for Hamming <= 3 — over the duplicate-injected
+    * corpus. One band-key shuffle, never all-pairs.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    Dedup.simhashPairs(corpus, "doc_id", "text", SimHashPairBits,
+      SimHashPairBands, SimHashMaxHamming, Dedup.md5Bit)
+  }
+
+  /** DuckDB twin of q64: same 32-bit sketch CTEs, bands by exact integer
+    * division (sketch < 2^32, so `//`/`%` stay in BIGINT), candidate join
+    * on (band, value), then `bit_count(xor(..))` verification.
+    */
+  private val q64Oracle: String = {
+    val width = SimHashPairBits / SimHashPairBands
+    val bandArms = (0 until SimHashPairBands).map { j =>
+      s"SELECT doc_id, simhash, $j AS band, " +
+        s"(simhash // ${1L << (j * width)}) % ${1L << width} AS bv FROM sk"
+    }.mkString(" UNION ALL ")
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |${dSimhashCtes(SimHashPairBits)},
+       |bands AS ($bandArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sk_a, b.simhash AS sk_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sk_a, sk_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sk_a, sk_b)) <= $SimHashMaxHamming""".stripMargin
   }
 
   // ---- q15/q16/q17: similarity search ----------------------------------
@@ -1442,6 +1489,7 @@ object LlmQueries {
     "q12_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "q13_blocked_jaccard" -> ((s, d) => blockedJaccard(s, d)),
     "q14_simhash" -> ((s, d) => simhashSketch(s, d)),
+    "q64_simhash_pairs" -> ((s, d) => simhashNearDup(s, d)),
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
     "q15b_ann_quantized" -> ((s, d) => annQuantized(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
@@ -1488,6 +1536,7 @@ object LlmQueries {
     "q12_minhash_pairs" -> q12Oracle,
     "q13_blocked_jaccard" -> q13Oracle,
     "q14_simhash" -> q14Oracle,
+    "q64_simhash_pairs" -> q64Oracle,
     "q15_ann_topk" -> q15Oracle,
     "q15b_ann_quantized" -> q15bOracle,
     "q16_ann_ivf" -> q16Oracle,

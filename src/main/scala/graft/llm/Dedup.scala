@@ -559,4 +559,70 @@ object Dedup {
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup PAIRS via banding — the retrieval half of the
+    * [[simhash]] sketch (Manku-Jain-Sarma, WWW'07 shape, public): split
+    * the `bits`-wide sketch into `bands` contiguous slices; by pigeonhole,
+    * any pair within Hamming distance `maxHamming < bands` agrees exactly
+    * on at least one slice, so joining on (band index, band value) finds
+    * every such pair — no all-pairs comparison — and an exact
+    * [[hamming]] check on the candidates removes the false positives.
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
+    *
+    * Scale shape: the sketch is row-local (one long per doc); candidates
+    * come from ONE shuffle on the band-slice key, so the work is
+    * O(bucket²) per (band, value) bucket, not O(N²). `maxBucketSize`
+    * caps a degenerate bucket (e.g. a boilerplate flood collapsing to one
+    * sketch) to its smallest ids, observable via `capObservation` — the
+    * [[candidatePairs]]/[[winnowOverlapPairs]] convention: capped on the
+    * build side only, so every surviving doc still probes the full kept
+    * index. Wider sketches spread buckets exponentially (2^(bits/bands)
+    * values per band): at corpus scale prefer bits=32/bands=4 (256-way
+    * spread) over the q14 report sketch's 16 bits.
+    *
+    * The bit hash is pluggable like [[simhash]]'s: [[xxhashBit]] (fastest)
+    * or [[md5Bit]] (exactly expressible in DuckDB SQL, bits <= 32).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 32,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      bit: (Column, Int) => Column = xxhashBit,
+      maxBucketSize: Int = 10000,
+      capObservation: Option[Observation] = None): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole guarantee needs bands > maxHamming, got $bands <= $maxHamming")
+    require(bits % bands == 0, s"bands must divide bits, got $bits % $bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sketches = df.select(col(idCol).as("id"),
+      simhash(col(textCol), bits, bit).as("sk"))
+    val banded = sketches.select(col("id"), col("sk"),
+      explode(array((0 until bands).map(j => struct(lit(j).as("band"),
+        shiftright(col("sk"), j * width).bitwiseAND(mask).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("sk"), col("b.band").as("band"), col("b.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bv").orderBy("id")
+    val rn = banded.withColumn("__rn", row_number().over(wCap))
+    val observed = capObservation.fold(rn)(o => rn.observe(o,
+      coalesce(sum(when(col("__rn") === maxBucketSize + 1, 1L).otherwise(0L)), lit(0L))
+        .as("truncated_band_buckets"),
+      coalesce(sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+        .as("dropped_band_rows")))
+    val kept = observed.filter(col("__rn") <= maxBucketSize).drop("__rn")
+    kept.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .distinct() // a pair agreeing on several bands appears once
+      .withColumn("hamming", hamming(col("sk_a"), col("sk_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

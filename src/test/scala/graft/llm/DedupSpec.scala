@@ -279,4 +279,32 @@ class DedupSpec extends SparkTestBase {
     assert(near <= 6, s"one-token change should flip few bits, got $near")
     assert(near <= far, s"near dup ($near) must not be farther than unrelated text ($far)")
   }
+
+  test("simhashPairs: equals the exhaustive all-pairs ground truth (pigeonhole-complete)") {
+    // 20 base docs plus exact/near variants: enough distinct sketches that
+    // banding actually prunes, small enough to brute-force the truth set.
+    val corpus = ((1 to 20).map(i =>
+      (i.toLong, s"document number $i about topic ${i % 5} with shared filler words")) ++
+      Seq((21L, "document number 1 about topic 1 with shared filler words"), // exact dup of 1
+          (22L, "document number 2 about topic 2 with shared filler altered"))) // near dup of 2
+      .toDF("doc_id", "text")
+    val sk = corpus
+      .select(col("doc_id"), Dedup.simhash(col("text"), 32, Dedup.md5Bit).as("sk"))
+      .as[(Long, Long)].collect().toMap
+    val truth = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      h = java.lang.Long.bitCount(sk(a) ^ sk(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(truth.nonEmpty && truth.exists(_._3 == 0), "fixture must contain dup pairs")
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", 32, 4, 3, Dedup.md5Bit)
+      .as[(Long, Long, Long)].collect().toSet
+    // bands > maxHamming => every true pair shares a band: got == truth exactly
+    assert(got == truth, s"banded search must equal brute force: missing ${truth -- got}, extra ${got -- truth}")
+  }
+
+  test("simhashPairs: rejects a band count that voids the pigeonhole guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", bands = 3, maxHamming = 3)
+    }
+  }
 }
