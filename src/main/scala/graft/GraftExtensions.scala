@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, NfcNormalize, WinnowFingerprints, WordHits}
+import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -117,6 +117,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowFingerprints(children(0),
           intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(
+        classOf[SimHashSketch].getName,
+        null,
+        "simhash_md5",
+        "simhash_md5(tokens, bits) - md5-parity SimHash sketch of an " +
+          "array<string> of tokens in one pass (bits <= 32)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "simhash_md5 takes exactly 2 arguments")
+        val bits = children(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case _ =>
+            throw new IllegalArgumentException(
+              "simhash_md5 bits must be an integer literal")
+        }
+        SimHashSketch(children(0), bits)
       }))
 
     ext.injectFunction((

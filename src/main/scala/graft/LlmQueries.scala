@@ -252,14 +252,17 @@ object LlmQueries {
 
   private val SimHashBits = 16
 
-  /** SimHash sketch per doc. Uses the [[Dedup.md5Bit]] bit hash so the
-    * sketch is exactly expressible in DuckDB SQL (hex-digit parity of
-    * md5(token)) — the xxhash64 default stays covered by property tests.
+  /** SimHash sketch per doc. Uses the md5-parity bit hash so the sketch
+    * is exactly expressible in DuckDB SQL (hex-digit parity of
+    * md5(token)), through the native one-pass [[Dedup.simhashMd5]] kernel
+    * (bit-identical to the composable `simhash(_, _, md5Bit)`; parity
+    * pinned in `TextKernelsSpec`) — the xxhash64 default stays covered by
+    * property tests.
     */
   def simhashSketch(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DocumentsFixture.corpusDf(spark, dir)
     corpus.select(col("doc_id"),
-      Dedup.simhash(col("text"), SimHashBits, Dedup.md5Bit).as("simhash"))
+      Dedup.simhashMd5(col("text"), SimHashBits).as("simhash"))
   }
 
   /** DuckDB twin of the md5-bit SimHash, as CTEs ending in
@@ -302,7 +305,7 @@ object LlmQueries {
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DocumentsFixture.corpusDf(spark, dir)
     Dedup.simhashPairs(corpus, "doc_id", "text", SimHashPairBits,
-      SimHashPairBands, SimHashMaxHamming, Dedup.md5Bit)
+      SimHashPairBands, SimHashMaxHamming, Dedup.simhashMd5)
   }
 
   /** DuckDB twin of q64: same 32-bit sketch CTEs, bands by exact integer

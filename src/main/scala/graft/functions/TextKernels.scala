@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-statistics kernels.
@@ -320,6 +320,91 @@ class MinHashKernel(numHashes: Int) extends Serializable {
       k += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** `simhash_md5(tokens, bits)`: the md5-parity SimHash sketch of an
+  * `array<string>` of tokens in ONE pass — one md5 per token instead of
+  * the composable form's `bits` interpreted `aggregate` walks that each
+  * re-hash every token ([[graft.llm.Dedup.simhash]] with
+  * [[graft.llm.Dedup.md5Bit]], whose 32-bit q64 variant cost 32
+  * re-evaluations of the token array per row). Bit-identical semantics:
+  * bit j of the result is set iff sum over tokens of (+1 when hex digit
+  * j of md5(token) is odd, else −1) is positive; a NULL token element
+  * contributes −1 to every bit (`when(null).otherwise(-1)`); an empty
+  * array yields 0; a null array yields null (callers wanting the
+  * composable chain's 0-on-null wrap in `coalesce(.., 0)`). `bits` <= 32
+  * (one md5 hex digit per bit position).
+  */
+case class SimHashSketch(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if bits > 0 && bits <= 32 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure("simhash_md5 requires 0 < bits <= 32")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"simhash_md5 requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val kernel = new SimHashKernel(bits)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.sketch(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashKernel", kernel,
+      classOf[SimHashKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.sketch($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSketch =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_md5"
+}
+
+class SimHashKernel(bits: Int) extends Serializable {
+
+  @transient private lazy val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def sketch(tokens: ArrayData): Long = {
+    val md = digests.get()
+    val sums = new Array[Int](bits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        // composable parity: when(null-condition).otherwise(-1) per bit
+        var j = 0
+        while (j < bits) { sums(j) -= 1; j += 1 }
+      } else {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val raw = md.digest()
+        var j = 0
+        while (j < bits) {
+          // hex digit j = high nibble of raw(j/2) for even j, low for odd;
+          // digit parity (odd hex char <=> low bit set) decides +1/-1
+          val nibble = if ((j & 1) == 0) (raw(j >> 1) >> 4) & 0xf else raw(j >> 1) & 0xf
+          sums(j) += (if ((nibble & 1) == 1) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sk = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) sk |= 1L << j
+      j += 1
+    }
+    sk
   }
 }
 

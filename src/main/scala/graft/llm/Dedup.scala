@@ -560,6 +560,20 @@ object Dedup {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** The md5-variant sketch through the native one-pass
+    * [[graft.functions.SimHashSketch]] kernel — bit-identical to
+    * `simhash(text, bits, md5Bit)`, which re-walks the token array through
+    * `bits` interpreted `aggregate` call sites (32 re-tokenizations per
+    * row at q64's width). `coalesce(.., 0)` reproduces the composable
+    * chain's 0-on-null-text edge (the kernel itself is null-in/null-out).
+    * Requires [[graft.GraftExtensions]] on the session; parity with the
+    * composable form is pinned in `TextKernelsSpec`.
+    */
+  def simhashMd5(text: Column, bits: Int): Column =
+    coalesce(
+      call_function("simhash_md5", TextStats.tokens(text), lit(bits)),
+      lit(0L))
+
   /** SimHash near-dup PAIRS via banding — the retrieval half of the
     * [[simhash]] sketch (Manku-Jain-Sarma, WWW'07 shape, public): split
     * the `bits`-wide sketch into `bands` contiguous slices; by pigeonhole,
@@ -580,8 +594,11 @@ object Dedup {
     * values per band): at corpus scale prefer bits=32/bands=4 (256-way
     * spread) over the q14 report sketch's 16 bits.
     *
-    * The bit hash is pluggable like [[simhash]]'s: [[xxhashBit]] (fastest)
-    * or [[md5Bit]] (exactly expressible in DuckDB SQL, bits <= 32).
+    * The sketch is pluggable as a (text, bits) => Column function:
+    * `simhash(_, _, xxhashBit)` (default), `simhash(_, _, md5Bit)`
+    * (DuckDB-expressible composable form), or [[simhashMd5]] (same md5
+    * semantics through the native one-pass kernel — the registered-query
+    * path).
     */
   def simhashPairs(
       df: DataFrame,
@@ -590,7 +607,7 @@ object Dedup {
       bits: Int = 32,
       bands: Int = 4,
       maxHamming: Int = 3,
-      bit: (Column, Int) => Column = xxhashBit,
+      sketchOf: (Column, Int) => Column = simhash(_, _, xxhashBit),
       maxBucketSize: Int = 10000,
       capObservation: Option[Observation] = None): DataFrame = {
     require(bands > maxHamming,
@@ -599,7 +616,7 @@ object Dedup {
     val width = bits / bands
     val mask = (1L << width) - 1
     val sketches = df.select(col(idCol).as("id"),
-      simhash(col(textCol), bits, bit).as("sk"))
+      sketchOf(col(textCol), bits).as("sk"))
     val banded = sketches.select(col("id"), col("sk"),
       explode(array((0 until bands).map(j => struct(lit(j).as("band"),
         shiftright(col("sk"), j * width).bitwiseAND(mask).as("bv"))): _*)).as("b"))

@@ -121,4 +121,28 @@ class TextKernelsSpec extends SparkTestBase {
       .collect().head
     assert(r.getSeq[String](0).nonEmpty)
   }
+
+  test("simhash_md5 == composable md5-bit simhash at 16 and 32 bits, incl. edges") {
+    val texts = samples(textGen, 60) ++ Seq(
+      "", "   ", "the the the", "x9 x9", "héllo wörld ünïcode", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (bits <- Seq(16, 32)) {
+      val rows = df.select(col("id"),
+        Dedup.simhashMd5(col("text"), bits).as("native"),
+        Dedup.simhash(col("text"), bits, Dedup.md5Bit).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"kernel diverged from composable at $bits bits for id=${r.getLong(0)}")
+      }
+    }
+    // null token ELEMENTS contribute -1 per bit, like when(null).otherwise(-1)
+    val withNullTok = spark.sql(
+      "SELECT simhash_md5(array('a', CAST(NULL AS STRING)), 16) AS n").collect().head
+    val composableNullTok = Seq(Tuple1(Seq("a", null: String))).toDF("toks")
+      .select(org.apache.spark.sql.functions.aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + when(Dedup.md5Bit(t, 0), 1L).otherwise(-1L)).as("s0"))
+      .collect().head.getLong(0)
+    // spot-check bit 0 agreement through the packed value
+    assert((withNullTok.getLong(0) & 1L) == (if (composableNullTok > 0) 1L else 0L))
+  }
 }

@@ -296,7 +296,9 @@ class DedupSpec extends SparkTestBase {
       h = java.lang.Long.bitCount(sk(a) ^ sk(b)) if h <= 3
     } yield (a, b, h.toLong)).toSet
     assert(truth.nonEmpty && truth.exists(_._3 == 0), "fixture must contain dup pairs")
-    val got = Dedup.simhashPairs(corpus, "doc_id", "text", 32, 4, 3, Dedup.md5Bit)
+    // pairs through the native-kernel sketch, truth through the composable
+    // md5 variant — equality doubles as an end-to-end kernel parity check
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", 32, 4, 3, Dedup.simhashMd5)
       .as[(Long, Long, Long)].collect().toSet
     // bands > maxHamming => every true pair shares a band: got == truth exactly
     assert(got == truth, s"banded search must equal brute force: missing ${truth -- got}, extra ${got -- truth}")
