@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
+import graft.functions.{CosineSimilarity, CutSpans, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -137,6 +137,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "simhash_md5 bits must be an integer literal")
         }
         SimHashSketch(children(0), bits)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("cut_spans"),
+      new ExpressionInfo(
+        classOf[CutSpans].getName,
+        null,
+        "cut_spans",
+        "cut_spans(tokens, starts, k) - struct(n_removed, cleaned): drops " +
+          "every token position covered by a k-token span opening at any of " +
+          "the SORTED starts; survivors re-join with single spaces",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "cut_spans takes exactly 3 arguments")
+        val k = children(2) match {
+          case Literal(i: Int, IntegerType) => i
+          case _ =>
+            throw new IllegalArgumentException(
+              "cut_spans k must be an integer literal")
+        }
+        CutSpans(children(0), children(1), k)
       }))
 
     ext.injectFunction((

@@ -1350,6 +1350,62 @@ object LlmQueries {
        |    list_filter(lines, x -> NOT list_contains(b.banned, x)), chr(10)), '') AS clean_text
        |FROM ls CROSS JOIN b""".stripMargin
 
+  // ---- q65: exact duplicated-span removal (ExactSubstr dedup) ----------
+
+  private val SpanK = 4
+
+  /** Token-space exact-substring dedup over the duplicate-injected corpus
+    * ([[Dedup.spanDedup]]): every [[SpanK]]-token span occurring more than
+    * once corpus-wide is cut from all but its first (doc, start)
+    * occurrence — the Lee et al. 2022 rewrite step that q47 only scores
+    * and q51 only applies at whole-line granularity. The injected
+    * duplicate docs lose their entire text to the canonical copy; the
+    * word-soup chunks contribute natural in-line repeats.
+    */
+  def spanDedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    Dedup.spanDedup(corpus, "doc_id", "text", SpanK)
+  }
+
+  /** Twin of q65: positional spans via `list_transform(range(..))` (order
+    * preserved, duplicates kept, no whole-doc fallback — a doc shorter
+    * than the span has none), occurrence keys zero-padded exactly like the
+    * Spark side so `min` picks the same canonical copy, and the cut
+    * replayed in index space with nested lambdas (`range(0, len)` filtered
+    * against the covered intervals). All-integer until the one rounded
+    * division; the cleaned text re-joins with single spaces on both
+    * engines.
+    */
+  private val q65Oracle: String =
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |t AS (SELECT doc_id, $dToks AS toks FROM corpus),
+       |g AS (SELECT doc_id, CASE WHEN len(toks) >= $SpanK
+       |    THEN list_transform(range(1, len(toks) - ${SpanK - 2}),
+       |      i -> array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' '))
+       |    ELSE [] END AS sh FROM t),
+       |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(sh) + 1),
+       |    i -> {'st': i - 1, 'sgl': sh[i]}), recursive := true) FROM g),
+       |keyed AS (SELECT doc_id, st, sgl,
+       |    lpad(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
+       |    lpad(CAST(st AS VARCHAR), 10, '0') AS okey FROM occ),
+       |canon AS (SELECT sgl, min(okey) AS canon_key FROM keyed
+       |    GROUP BY 1 HAVING count(*) >= 2),
+       |cuts AS (SELECT doc_id, list_sort(list(st)) AS starts
+       |    FROM keyed JOIN canon USING (sgl)
+       |    WHERE okey <> canon_key GROUP BY 1),
+       |m AS (SELECT t.doc_id, toks, coalesce(starts, []) AS starts
+       |    FROM t LEFT JOIN cuts USING (doc_id)),
+       |k2 AS (SELECT doc_id, toks, list_filter(range(0, len(toks)),
+       |    j -> len(list_filter(starts,
+       |      s -> j >= s AND j <= s + ${SpanK - 1})) = 0) AS kept FROM m)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  round(CAST(len(toks) - len(kept) AS DOUBLE)
+       |    / nullif(len(toks), 0), 6) AS cut_ratio,
+       |  coalesce(array_to_string(list_transform(kept, j -> toks[j + 1]),
+       |    ' '), '') AS cleaned_text
+       |FROM k2""".stripMargin
+
   // ---- q52: leakage-free cluster split ---------------------------------
 
   private val TrainRate = 0.9
@@ -1526,6 +1582,7 @@ object LlmQueries {
     "q49_quality_floor" -> ((s, d) => qualityFloor(s, d)),
     "q50_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q51_line_dedup" -> ((s, d) => lineDedup(s, d)),
+    "q65_span_dedup" -> ((s, d) => spanDedupDocs(s, d)),
     "q52_cluster_split" -> ((s, d) => clusterSplit(s, d)),
     "q52b_cluster_split_artifact" -> ((s, d) => clusterSplitFromArtifact(s, d)),
     "q62_normalize" -> ((s, d) => normalizeDocs(s, d)),
@@ -1573,6 +1630,7 @@ object LlmQueries {
     "q49_quality_floor" -> q49Oracle,
     "q50_token_budget" -> q50Oracle,
     "q51_line_dedup" -> q51Oracle,
+    "q65_span_dedup" -> q65Oracle,
     "q52_cluster_split" -> q52Oracle,
     // q52b: identical semantics, identical twin — the artifact path must
     // reproduce the one-shot chain bit-for-bit or it is not a valid reuse.

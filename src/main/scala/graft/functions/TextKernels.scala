@@ -3,11 +3,12 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-statistics kernels.
@@ -442,6 +443,94 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "nfc_norm"
+}
+
+/** `cut_spans(tokens, starts, k)`: drop from an `array<string>` of tokens
+  * every position covered by a k-token span beginning at any of the
+  * `array<int>` `starts` (each start s covers positions [s, s+k-1]),
+  * returning `struct(n_removed int, cleaned string)` — the covered-position
+  * count and the surviving tokens re-joined with single spaces. The
+  * span-cut half of exact duplicated-substring dedup: upstream marks which
+  * span occurrences are corpus-duplicates; this rewrites the row.
+  *
+  * CONTRACT: `starts` must be sorted ascending (the operator feeds it from
+  * `sort_array(collect_list(..))`) — the kernel is a single O(n + m)
+  * two-pointer merge over the token stream and the start list, so an
+  * out-of-order start would be consumed too late and its span ignored.
+  * Null start elements are skipped. Semantics of the composable twin
+  * `concat_ws(' ', filter(tokens, (t, j) -> NOT exists(starts, s -> j
+  * between s and s+k-1)))`: a null TOKEN element is never emitted
+  * (concat_ws skips nulls) but its position still counts as removed when
+  * covered; either input array null → null. The quadratic HOF twin walks
+  * interpreted lambdas O(n·m) per row — boilerplate-heavy documents have
+  * m ~ n, and the megamorphic-callsite instability all TextKernels exist
+  * to avoid (see file header).
+  */
+case class CutSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) if k > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckFailure("cut_spans requires k > 0")
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cut_spans requires (array<string>, array<int>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_removed", IntegerType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+
+  @transient private lazy val kernel = new SpanCutKernel(k)
+
+  override protected def nullSafeEval(tokens: Any, starts: Any): Any =
+    kernel.cut(tokens.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("spanCutKernel", kernel,
+      classOf[SpanCutKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.cut($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutSpans =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cut_spans"
+}
+
+class SpanCutKernel(k: Int) extends Serializable {
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  def cut(tokens: ArrayData, starts: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val m = starts.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var covered = -1L // rightmost position covered by any span opened so far
+    var removed = 0
+    var p = 0
+    var j = 0
+    while (j < n) {
+      while (p < m && (starts.isNullAt(p) || starts.getInt(p) <= j)) {
+        if (!starts.isNullAt(p)) {
+          val end = starts.getInt(p).toLong + k - 1
+          if (end > covered) covered = end
+        }
+        p += 1
+      }
+      if (j <= covered) removed += 1
+      else if (!tokens.isNullAt(j)) kept.add(tokens.getUTF8String(j))
+      j += 1
+    }
+    val cleaned = UTF8String.concatWs(
+      space, kept.toArray(new Array[UTF8String](kept.size)): _*)
+    new GenericInternalRow(Array[Any](removed, cleaned))
+  }
 }
 
 object NfcKernel {

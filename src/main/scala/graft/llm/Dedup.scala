@@ -642,4 +642,96 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Exact duplicated-SPAN removal over the token stream — the document
+    * REWRITE step of exact-substring dedup ("ExactSubstr", Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", public),
+    * re-expressed relationally in k-token span space: an occurrence of a
+    * k-token span is cut when the same span text occurs anywhere else in
+    * the corpus (other docs OR earlier in the same doc) and this occurrence
+    * is not the canonical one — canonical = first in (doc_id, start) order,
+    * so exactly ONE copy of every duplicated span survives corpus-wide
+    * (q47 only SCORES cross-doc overlap; q51 cuts whole duplicate lines;
+    * this cuts arbitrary in-line spans). Spans are marked against the
+    * ORIGINAL corpus in one pass — the rewrite never re-shingles its own
+    * output, matching the published implementation, whose suffix-array
+    * duplicate ranges are likewise computed once over the input.
+    *
+    * Output per doc (every input doc appears): `doc_id`, `n_tokens`,
+    * `n_removed` (positions covered by a cut span), `cut_ratio`
+    * (null for zero-token docs), `cleaned_text` — surviving tokens
+    * re-joined with single spaces (token-space rewrite: whitespace is
+    * normalized by construction; "" when nothing survives). Docs with
+    * fewer than k tokens contain no k-token span and are never cut.
+    *
+    * doc_id contract: non-negative integral (the canonical-occurrence key
+    * zero-pads it into a cross-engine-orderable string).
+    *
+    * Scale shape — the q44/q47 term-join layout, never pairwise: positional
+    * spans explode once and persist (MEMORY_AND_DISK, caller-owned
+    * lifecycle — the [[minhashPairs]] convention); span-keyed partial
+    * aggregation derives (occurrence count, canonical key) per distinct
+    * span text — map-side combine absorbs hot boilerplate spans, and the
+    * post-filter table holds only DUPLICATED spans, a small fraction joined
+    * back on the span key (one row per span on the build side, so a hot
+    * span's bucket stays |docs carrying it|, not a pair explosion). One
+    * doc-keyed aggregation collects sorted cut positions, one doc-keyed
+    * left join re-attaches them to the token arrays, and the cut itself is
+    * the row-local O(n + m) native `cut_spans` kernel inside whole-stage
+    * codegen. Three shuffles total (span agg, doc agg, doc join); no
+    * driver-side anything.
+    */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span size must be >= 2, got $k")
+    val base = df.select(
+      col(idCol).as("doc_id"), TextStats.tokens(col(textCol)).as("toks"))
+    // canonical-occurrence key: zero-padded "(doc):(start)" orders
+    // identically as a string in both engines (lpad in the DuckDB twin)
+    val occKey = concat(
+      lpad(col("doc_id").cast("string"), 20, "0"), lit(":"),
+      lpad(col("start").cast("string"), 10, "0"))
+    val occ = base
+      .select(col("doc_id"),
+        posexplode(TextStats.positionalShingles(col("toks"), k))
+          .as(Seq("start", "s")))
+      .withColumn("okey", occKey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = occ.groupBy("s")
+      .agg(count(lit(1)).as("occ_total"), min(col("okey")).as("canon_key"))
+      .filter(col("occ_total") >= 2)
+      .select("s", "canon_key")
+    val cutStarts = occ.join(canon, "s")
+      .filter(col("okey") =!= col("canon_key"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    val cut = call_function("cut_spans", col("toks"),
+      coalesce(col("starts"), array().cast("array<int>")), lit(k))
+    base.join(cutStarts, Seq("doc_id"), "left_outer")
+      .withColumn("__cut", cut)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("__cut").getField("n_removed").cast("long").as("n_removed"),
+        round(col("__cut").getField("n_removed").cast("double") /
+          nullif(size(col("toks")), lit(0)).cast("double"), 6).as("cut_ratio"),
+        col("__cut").getField("cleaned").as("cleaned_text"))
+  }
+
+  /** Interpreted-HOF twin of the native `cut_spans` kernel, the
+    * spec-parity reference ([[graft.functions.CutSpans]] scaladoc
+    * documents why the kernel exists): a position j is covered when any
+    * start s has s <= j <= s+k-1; covered positions count as removed
+    * (null token elements included), survivors re-join with `concat_ws`
+    * (which skips null elements, like the kernel); either input array
+    * null -> null. O(n*m) per row vs the kernel's sorted-starts O(n+m)
+    * merge — test-only.
+    */
+  def cutSpansComposable(toks: Column, starts: Column, k: Int): Column = {
+    def covered(j: Column): Column =
+      exists(starts, s => s.isNotNull && j >= s && j <= s + lit(k - 1))
+    val kept = filter(toks, (_, j) => !covered(j))
+    when(toks.isNotNull && starts.isNotNull, struct(
+      (size(toks) - size(kept)).as("n_removed"),
+      concat_ws(" ", kept).as("cleaned")))
+  }
 }

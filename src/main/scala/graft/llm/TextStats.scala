@@ -401,6 +401,20 @@ object TextStats {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
 
+  /** POSITIONAL k-token spans: element i (0-based under `posexplode`) is
+    * the space-joined tokens [i, i+n). Unlike [[shingles]]: order
+    * preserved, duplicates kept, and a doc with fewer than n tokens has NO
+    * spans instead of the whole-doc fallback — you cannot cut an n-token
+    * span a document doesn't contain. The span-occurrence primitive of
+    * [[graft.llm.Dedup.spanDedup]].
+    */
+  def positionalShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(emptyStringArray)
+
   /** Rolling-hash-style document fingerprint: the lexicographic min of the
     * seeded md5s over the shingle set — i.e. a 1-permutation MinHash, which
     * is also the winnowing primitive.

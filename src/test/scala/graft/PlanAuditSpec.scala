@@ -268,4 +268,17 @@ class PlanAuditSpec extends SparkTestBase {
     val scans = p.linesIterator.count(l => l.contains("Scan parquet"))
     assert(scans == 4, s"expected 3 corpus-arm scans + 1 artifact scan, got $scans:\n$p")
   }
+
+  test("q65 span dedup: span-keyed agg partial-aggregates map-side, cut runs in the native kernel") {
+    // term-join layout: (count, min) over span occurrences must combine
+    // BEFORE the span-key shuffle (hot boilerplate spans collapse map-side),
+    // and the rewrite itself is the native cut_spans kernel, not a lambda
+    val p = plan(LlmQueries.spanDedupDocs(spark, dir))
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      s"span canonicalization must partial-aggregate map-side:\n$p")
+    assert(p.contains("cut_spans"),
+      s"the rewrite must go through the native kernel:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort anywhere in span dedup:\n$p")
+  }
 }

@@ -122,6 +122,51 @@ class TextKernelsSpec extends SparkTestBase {
     assert(r.getSeq[String](0).nonEmpty)
   }
 
+  test("cut_spans == composable filter/exists twin on generated (tokens, starts)") {
+    val k = 3
+    val caseGen: Gen[(Seq[String], Seq[Int])] = for {
+      n <- Gen.choose(0, 24)
+      ws <- Gen.listOfN(n, wordGen)
+      m <- Gen.choose(0, 8)
+      ss <- Gen.listOfN(m, Gen.choose(0, math.max(n + 2, 1)))
+    } yield (ws, ss.sorted) // kernel contract: starts sorted ascending
+    val cases = samples(caseGen, 80) ++ Seq(
+      (Seq.empty[String], Seq.empty[Int]),          // empty doc
+      (Seq("a", "b"), Seq(0)),                      // span overhangs the end
+      (Seq("a", "b", "c", "d", "e"), Seq(0, 1, 2)), // overlapping spans
+      (Seq("a", "b", "c"), Seq(7)),                 // start past the end
+      (Seq("a", "b", "c", "d"), Seq(0, 0)))         // duplicate starts
+    val df = cases.zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, t, s) }.toDF("id", "toks", "starts")
+    val rows = df.select(col("id"),
+      call_function("cut_spans", col("toks"), col("starts"), lit(k)).as("native"),
+      Dedup.cutSpansComposable(col("toks"), col("starts"), k).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getStruct(1) == r.getStruct(2),
+        s"kernel diverged from composable for id=${r.getLong(0)}: " +
+          s"${r.getStruct(1)} vs ${r.getStruct(2)}")
+    }
+  }
+
+  test("cut_spans null handling: null arrays -> null, null elements skipped") {
+    val df = Seq(1L).toDF("id").select(
+      array(lit("a"), lit(null).cast("string"), lit("c"), lit("d")).as("toks"),
+      array(lit(null).cast("int"), lit(2)).as("starts"))
+    val rows = df.select(
+      call_function("cut_spans", col("toks"), col("starts"), lit(2)).as("native"),
+      Dedup.cutSpansComposable(col("toks"), col("starts"), 2).as("hof"))
+      .collect().head
+    // positions 2,3 covered; null token at 1 survives but never prints
+    assert(rows.getStruct(0).getInt(0) == 2 && rows.getStruct(0).getString(1) == "a")
+    assert(rows.getStruct(0) == rows.getStruct(1))
+    val nulls = spark.sql(
+      "SELECT cut_spans(CAST(NULL AS ARRAY<STRING>), array(0), 2) AS a, " +
+        "cut_spans(array('x', 'y'), CAST(NULL AS ARRAY<INT>), 2) AS b")
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("simhash_md5 == composable md5-bit simhash at 16 and 32 bits, incl. edges") {
     val texts = samples(textGen, 60) ++ Seq(
       "", "   ", "the the the", "x9 x9", "héllo wörld ünïcode", null)

@@ -309,4 +309,45 @@ class DedupSpec extends SparkTestBase {
       Dedup.simhashPairs(docs, "doc_id", "text", bands = 3, maxHamming = 3)
     }
   }
+
+  test("spanDedup: cuts every non-canonical occurrence, keeps the first, every doc appears") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "zeta alpha beta gamma eta"), // shares span "alpha beta gamma" with 10
+      (12L, "a b c x a b c"),             // in-doc repeat at starts 0 and 4
+      (13L, "one two"),                   // shorter than k: no spans, never cut
+      (14L, "")                           // zero tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3), r.getString(4)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L))
+    // doc 10 holds the canonical copy of the shared span: untouched
+    assert(out(10L) == ((5L, 0L, 0.0, "alpha beta gamma delta epsilon")))
+    // doc 11's occurrence at start 1 loses to (10, 0): positions 1..3 cut
+    assert(out(11L) == ((5L, 3L, 0.6, "zeta eta")))
+    // in-doc repeat: first occurrence survives, second (start 4) is cut
+    assert(out(12L) == ((7L, 3L, 0.428571, "a b c x")))
+    assert(out(13L) == ((2L, 0L, 0.0, "one two")))
+    assert(out(14L) == ((0L, 0L, null, "")))
+  }
+
+  test("spanDedup: a whole duplicate doc loses all its text to the canonical copy") {
+    val corpus = Seq(
+      (20L, "p q r s"),
+      (21L, "p q r s") // every k-span duplicated; overlapping cuts cover all
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out(20L) == ((0L, 0.0, "p q r s")))
+    assert(out(21L) == ((4L, 1.0, "")))
+  }
+
+  test("spanDedup: rejects k < 2") {
+    intercept[IllegalArgumentException] {
+      Dedup.spanDedup(docs, "doc_id", "text", 1)
+    }
+  }
 }
