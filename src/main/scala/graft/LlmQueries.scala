@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.{DocumentsFixture, EmbeddingsFixture}
 import graft.llm.{Chunking, Contamination, Dedup, Similarity, TextStats}
+import graft.operators.RangeJoin
 import graft.sources.Tables
 
 /** Oracle-checked queries for the LLM-training-data tier: text analysis,
@@ -519,16 +520,66 @@ object LlmQueries {
   def sessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Sessionize.sessionsBatch(Tables.events(spark, dir), "6 hours")
 
-  private val q19Oracle: String =
-    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+  /** Gap-sessionization CTE chain (lag → new-session flag → running sid),
+    * the DuckDB twin of `session_window(.., 6 hours)` — shared by q19 and
+    * the q66 range join, which consumes the same sessions as intervals.
+    */
+  private val sessionChainSql: String =
+    s"""e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
        |o AS (SELECT user_id, tns, tns // 1000 AS tus,
        |        lag(tns // 1000) OVER (PARTITION BY user_id ORDER BY tns) AS prev_tus FROM e),
        |f AS (SELECT user_id, tns, tus,
        |        CASE WHEN prev_tus IS NULL OR tus - prev_tus > $SessionGapUs THEN 1 ELSE 0 END AS new_s FROM o),
        |s AS (SELECT user_id, tus,
-       |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tns ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+       |        sum(new_s) OVER (PARTITION BY user_id ORDER BY tns ROWS UNBOUNDED PRECEDING) AS sid FROM f)""".stripMargin
+
+  private val q19Oracle: String =
+    s"""WITH $sessionChainSql
        |SELECT user_id, min(tus) AS first_us, max(tus) AS last_us, count(*) AS n_events
        |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ---- q66: session-overlap audit (binned range join) -------------------
+
+  /** Per session: how many events from OTHER users fall inside the
+    * session's [first_us, last_us] span. A point-in-interval join with no
+    * equi-key — the shape Spark would plan as a nested loop — executed via
+    * [[RangeJoin.pointInInterval]]'s bin decomposition (bin width = the
+    * 6-hour session gap, the typical span scale). Overlap counts
+    * partial-aggregate per session key BEFORE rejoining the (small,
+    * one-row-per-session) count table back, so zero-overlap sessions
+    * surface with 0 instead of vanishing from the inner join.
+    */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sess = graft.streaming.Sessionize.sessionsBatch(ev, "6 hours")
+    val points = ev.select(
+      col("user_id").as("e_user"), expr("ts DIV 1000").as("tus"))
+    val hits = RangeJoin
+      .pointInInterval(points, "tus", sess, "first_us", "last_us", SessionGapUs)
+      .filter(col("e_user") =!= col("user_id"))
+    val counts = hits.groupBy(col("user_id"), col("first_us"))
+      .agg(count(lit(1)).as("n_foreign"))
+    sess.join(counts, Seq("user_id", "first_us"), "left_outer")
+      .select(col("user_id"), col("first_us"), col("last_us"), col("n_events"),
+        coalesce(col("n_foreign"), lit(0L)).as("n_foreign"))
+  }
+
+  /** Twin of q66: the same sessions (shared CTE chain), the range predicate
+    * written as a plain BETWEEN left join — DuckDB evaluates the O(P·I)
+    * form the bin decomposition exists to avoid; `count(e.tus)` counts
+    * matches and yields 0 for an unmatched session, like the Spark side's
+    * coalesce-after-left-join.
+    */
+  private val q66Oracle: String =
+    s"""WITH $sessionChainSql,
+       |sess AS (SELECT user_id, min(tus) AS first_us, max(tus) AS last_us,
+       |    count(*) AS n_events FROM s GROUP BY user_id, sid),
+       |ev AS (SELECT user_id AS e_user, epoch_ns(ts) // 1000 AS tus FROM events)
+       |SELECT sess.user_id, first_us, last_us, n_events,
+       |  CAST(count(ev.tus) AS BIGINT) AS n_foreign
+       |FROM sess LEFT JOIN ev ON ev.tus BETWEEN sess.first_us AND sess.last_us
+       |  AND ev.e_user <> sess.user_id
+       |GROUP BY 1, 2, 3, 4""".stripMargin
 
   // ---- q21: tumbling-window counts (batch form of the streaming agg) ---
 
@@ -1558,6 +1609,7 @@ object LlmQueries {
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
+    "q66_session_overlap" -> ((s, d) => sessionOverlap(s, d)),
     "q20_training_prep" -> ((s, d) => trainingPrep(s, d)),
     "q21_windowed_counts" -> ((s, d) => windowedCounts(s, d)),
     "q22_pii_redact" -> ((s, d) => piiRedact(s, d)),
@@ -1606,6 +1658,7 @@ object LlmQueries {
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,
+    "q66_session_overlap" -> q66Oracle,
     "q20_training_prep" -> q20Oracle,
     "q21_windowed_counts" -> q21Oracle,
     "q22_pii_redact" -> q22Oracle,

@@ -269,6 +269,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans == 4, s"expected 3 corpus-arm scans + 1 artifact scan, got $scans:\n$p")
   }
 
+  test("q66 range join: the BETWEEN join runs as an equi-join on the bin key, never a nested loop") {
+    // the whole point of RangeJoin.pointInInterval: Spark plans a raw
+    // point-in-interval BETWEEN as BroadcastNestedLoopJoin; the bin
+    // decomposition must surface as a hash/sort-merge join keyed on __bin
+    val p = plan(LlmQueries.sessionOverlap(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$p")
+    assert(p.contains("__p_bin") && p.contains("__i_bin"),
+      s"join must key on the manufactured bin columns:\n$p")
+    assert(p.contains("partial_count"),
+      s"overlap counts must partial-aggregate before the session-key shuffle:\n$p")
+  }
+
   test("q65 span dedup: span-keyed agg partial-aggregates map-side, cut runs in the native kernel") {
     // term-join layout: (count, min) over span occurrences must combine
     // BEFORE the span-key shuffle (hot boilerplate spans collapse map-side),
