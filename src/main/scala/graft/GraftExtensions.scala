@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
 import graft.functions.{CosineSimilarity, CutSpans, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
@@ -158,6 +159,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "cut_spans k must be an integer literal")
         }
         CutSpans(children(0), children(1), k)
+      }))
+
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime row-level filtering (SPARK-32268) but registers them only in
+    // the INTERNAL registry — `might_contain` is not callable from SQL or
+    // call_function. Surfacing them here makes the semi-join pruning
+    // primitive hand-placeable (operators.BloomPrune) with the exact
+    // codegen'd expressions the optimizer itself injects — no UDF.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[BloomFilterAggregate].getName,
+        null,
+        "bloom_agg",
+        "bloom_agg(xxhash64(key), estimatedItems, numBits) - aggregate a " +
+          "long-hashed key column into a serialized Bloom filter (binary)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_agg takes exactly 3 arguments: (hashedKey, estimatedItems, numBits)")
+        new BloomFilterAggregate(children(0), children(1), children(2))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName,
+        null,
+        "bloom_probe",
+        "bloom_probe(bloom, xxhash64(key)) - true if the Bloom filter built " +
+          "by bloom_agg might contain the long-hashed key (no false negatives)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "bloom_probe takes exactly 2 arguments: (bloom, hashedKey)")
+        BloomFilterMightContain(children(0), children(1))
       }))
 
     ext.injectFunction((

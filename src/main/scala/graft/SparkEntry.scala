@@ -74,7 +74,8 @@ object CoreQueries {
     "q58_histogram" -> ((s, dir) => priceHistogram(s, dir)),
     "q59_transitions" -> ((s, dir) => transitions(s, dir)),
     "q60_winsorize" -> ((s, dir) => winsorizePrices(s, dir)),
-    "q61_correlation" -> ((s, dir) => priceQtyCorrelation(s, dir))
+    "q61_correlation" -> ((s, dir) => priceQtyCorrelation(s, dir)),
+    "q67_bloom_pruned_join" -> ((s, dir) => bloomPrunedRevenue(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -289,6 +290,33 @@ object CoreQueries {
     graft.operators.Profile.histogram(
       Tables.lineitem(spark, dir), "l_extendedprice", 1000.0)
 
+  /** q67 — urgent-order revenue by order status, with the lineitem side
+    * Bloom-pruned ([[graft.operators.BloomPrune.prunedJoin]]) to orders
+    * that survive the priority filter BEFORE any lineitem shuffle. The
+    * regime this models at 100 TB: `orders` after a selective filter is
+    * far past the broadcast ceiling but its KEY SET fits a sketch, so the
+    * petabyte side drops ~4/5 of its rows at the scan instead of
+    * exchanging them. Pruning is semantically invisible (no false
+    * negatives + exact residual join), so the oracle is the plain join —
+    * the operator's correctness contract IS the query's correctness.
+    * `expectedItems` is sized for ~sf10 urgent-order counts; past it the
+    * sketch merely over-admits (fpp degrades, result identical).
+    */
+  def bloomPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.BloomPrune
+      .prunedJoin(fact, "l_orderkey", dim, "o_orderkey", expectedItems = 1 << 19)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->
       """WITH keys AS (
@@ -478,6 +506,14 @@ object CoreQueries {
         |    sqrt(nullif(greatest(
         |      (nd * sxx - sx * sx) * (nd * syy - sy * sy), 0.0), 0.0)), 6) AS corr,
         |  round((nd * sxy - sx * sy) / nullif(nd * (nd - 1), 0.0), 6) AS covar_samp
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+    "q67_bloom_pruned_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -269,6 +269,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans == 4, s"expected 3 corpus-arm scans + 1 artifact scan, got $scans:\n$p")
   }
 
+  test("q67 bloom prune: the probe filters the fact side map-side, revenue partial-aggregates") {
+    // the operator's reason to exist: non-joining lineitem rows must meet
+    // might_contain (bloom_probe) ON THE SCAN SIDE of the join, and the
+    // final agg must still combine map-side
+    val p = plan(CoreQueries.bloomPrunedRevenue(spark, dir))
+    assert(p.contains("might_contain"),
+      s"fact side must carry the bloom probe filter:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"revenue must partial-aggregate before the status shuffle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the exact join must stay an equi-join:\n$p")
+  }
+
   test("q66 range join: the BETWEEN join runs as an equi-join on the bin key, never a nested loop") {
     // the whole point of RangeJoin.pointInInterval: Spark plans a raw
     // point-in-interval BETWEEN as BroadcastNestedLoopJoin; the bin
