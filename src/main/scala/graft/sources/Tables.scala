@@ -76,7 +76,28 @@ object Tables {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** The events stream table, normalized to the engine's internal time
+    * convention: `ts` is BIGINT epoch-nanoseconds regardless of the file's
+    * physical type. The corpus has shipped as both TIMESTAMP(NANOS)
+    * (which `nanosAsLong` reads as long ns directly) and TIMESTAMP(MICROS)
+    * (which reads as a timestamp); every downstream operator and oracle
+    * assumes ONE spelling, so the seam is absorbed here, once, as a cast
+    * inside the scan projection — plan-time, codegen'd, no extra pass.
+    * (DuckDB twins are already layout-agnostic: `epoch_ns(ts)` yields ns
+    * for either physical type.) The NTZ→LTZ cast is exact because the
+    * session timezone is pinned to UTC ([[graft.GraftSession.required]]).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
