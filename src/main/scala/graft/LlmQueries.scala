@@ -1590,6 +1590,92 @@ object LlmQueries {
        |  CAST(text_norm <> text AS INT) AS changed
        |FROM n""".stripMargin
 
+  // ---- q68: exact heavy-hitter terms via Misra-Gries pruning -----------
+
+  private val HhSupportDenom = 400
+
+  /** Terms occupying strictly more than 1/[[HhSupportDenom]] of ALL token
+    * occurrences, with exact counts ([[graft.operators.HeavyHitters]]):
+    * the stopword / boilerplate-token mining step, computed without ever
+    * shuffling the full term cardinality — a per-partition Misra-Gries
+    * summary proposes a bounded candidate superset, then only candidates
+    * are recounted exactly. Output is exact, so the DuckDB twin is the
+    * naive full groupBy + HAVING — the whole point is that the Spark plan
+    * reaches the same rows while touching ~supportDenom keys per
+    * partition instead of the corpus vocabulary.
+    */
+  def heavyHitterTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = docs.select(explode(TextStats.tokens(col("text"))).as("term"))
+    graft.operators.HeavyHitters.heavyHitters(toks, "term", HhSupportDenom)
+  }
+
+  private val q68Oracle: String =
+    s"""WITH t AS (SELECT unnest($dToks) AS term FROM documents),
+       |n AS (SELECT count(*) AS total FROM t)
+       |SELECT term, count(*) AS n_occurrences
+       |FROM t, n GROUP BY term, total
+       |HAVING count(*) * $HhSupportDenom > total""".stripMargin
+
+  // ---- q70: unigram-LM surprisal (cross-entropy) per document ----------
+
+  /** Per-document mean unigram surprisal — the cross-entropy of each doc
+    * against the corpus's own unigram distribution: logprob(term) =
+    * ln(freq(term) / total_tokens), surprisal = −mean over the doc's
+    * tokens. The classic cheap "perplexity-ish" quality signal (a
+    * CCNet-style filter ranks docs by LM score; the unigram form is its
+    * join-expressible core): repetitive/boilerplate docs score LOW
+    * surprisal, OOV-gibberish docs score HIGH — complementary to
+    * [[TextStats.rareTokenStats]]'s integer rare-ratio.
+    *
+    * Determinism (the q61 DECIMAL discipline): each per-token logprob is
+    * rounded to 6 decimals and cast to DECIMAL(20,6) BEFORE the per-doc
+    * sum, so the aggregation is exact integer arithmetic and
+    * shuffle-order-independent; both engines feed `ln` the same double
+    * (freq/total with both operands exact integers), and the final mean
+    * divides the exact decimal sum (≤ 1e7 in magnitude — exact in double)
+    * by the exact token count, rounded to 6. A naive double `avg(ln(p))`
+    * would be partial-aggregation-order dependent and un-oracle-able.
+    *
+    * Scale shape: identical to q44's term-join — one (doc, term) explode,
+    * a term-keyed frequency aggregate derived from it, a term-keyed join
+    * back, one doc-keyed aggregation. Corpus total folds in as one
+    * bounded driver scalar (the [[TextStats.tfidf]] precedent). No double
+    * summation, no full-vocabulary broadcast.
+    */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val docTerms = docs
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = docTerms.groupBy("term").agg(count(lit(1)).as("n_global"))
+    val total = docTerms.count()
+    docTerms
+      .join(freq, "term")
+      .withColumn("lp",
+        round(log(col("n_global").cast("double") / lit(total.toDouble)), 6)
+          .cast("decimal(20,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("lp_sum").cast("double") / col("n_tokens"), 6)
+          .as("surprisal"))
+  }
+
+  private val q70Oracle: String =
+    s"""WITH t AS (SELECT doc_id, unnest($dToks) AS term FROM documents),
+       |freq AS (SELECT term, count(*) AS n_global FROM t GROUP BY 1),
+       |n AS (SELECT count(*) AS total FROM t),
+       |lp AS (SELECT doc_id,
+       |  CAST(round(ln(CAST(n_global AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+       |    AS DECIMAL(20,6)) AS lp
+       |  FROM t JOIN freq USING (term) CROSS JOIN n)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS surprisal
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1638,7 +1724,9 @@ object LlmQueries {
     "q52_cluster_split" -> ((s, d) => clusterSplit(s, d)),
     "q52b_cluster_split_artifact" -> ((s, d) => clusterSplitFromArtifact(s, d)),
     "q62_normalize" -> ((s, d) => normalizeDocs(s, d)),
-    "q53_temp_sample" -> ((s, d) => tempSample(s, d))
+    "q53_temp_sample" -> ((s, d) => tempSample(s, d)),
+    "q68_heavy_hitters" -> ((s, d) => heavyHitterTerms(s, d)),
+    "q70_unigram_surprisal" -> ((s, d) => unigramSurprisal(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1689,6 +1777,8 @@ object LlmQueries {
     // reproduce the one-shot chain bit-for-bit or it is not a valid reuse.
     "q52b_cluster_split_artifact" -> q52Oracle,
     "q62_normalize" -> q62Oracle,
-    "q53_temp_sample" -> q53Oracle
+    "q53_temp_sample" -> q53Oracle,
+    "q68_heavy_hitters" -> q68Oracle,
+    "q70_unigram_surprisal" -> q70Oracle
   )
 }

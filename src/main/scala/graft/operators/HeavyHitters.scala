@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Exact frequent-item ("heavy hitter") mining in two bounded passes: a
+  * per-partition Misra-Gries summary proposes a small candidate superset,
+  * then an exact recount of ONLY the candidates filters to the true heavy
+  * hitters. The result is exact (identical to a full `groupBy(key).count`
+  * + threshold filter) but the wide aggregation never materializes the
+  * full key cardinality — the classic answer to "top terms over 100 TB of
+  * text" where the naive groupBy would shuffle billions of distinct keys
+  * to find the few hundred frequent ones.
+  *
+  * Correctness of the pruning (why no heavy hitter can be missed):
+  * Misra-Gries with `k` counters over a partition of `n_p` rows
+  * underestimates any item's partition-local count by at most `n_p / k`,
+  * so an item with local count > `n_p / k` ends with a positive counter
+  * and is emitted. If an item's GLOBAL count exceeds `N / k`, then by
+  * averaging it must exceed `n_p / k` in at least one partition (if it
+  * were ≤ in every one, summing across partitions bounds its global count
+  * by `N / k`) — so every global heavy hitter survives in at least one
+  * partition's summary, and the union of summaries is a guaranteed
+  * candidate superset. The recount then removes false positives exactly.
+  *
+  * Scale shape: pass 1 is a narrow scan emitting ≤ `k` keys per partition
+  * (the summary is bounded regardless of data size or skew); the distinct
+  * candidate set is ≤ k × partitions rows — broadcastable by construction
+  * — so pass 2 is a broadcast semi-join + aggregation over only the
+  * candidate keys' rows. Neither pass shuffles the full key space. The
+  * per-partition summary is genuine imperative per-partition logic (a
+  * counter map with decrement-all eviction), which is why this is one of
+  * the engine's few justified `mapPartitions` sites — there is no
+  * Catalyst expression for "bounded-memory streaming summary".
+  */
+object HeavyHitters {
+
+  /** Misra-Gries summary of one iterator: at most `k` keys whose residual
+    * counter is positive. Amortized O(1) per row: each decrement-all
+    * round is paid for by the k insertions that preceded it.
+    */
+  private[operators] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val key = it.next()
+      counters.get(key) match {
+        case Some(c) => counters.update(key, c + 1)
+        case None =>
+          if (counters.size < k) counters.update(key, 1L)
+          else {
+            // decrement-all; evict zeros (the MG eviction step)
+            val dead = mutable.ArrayBuffer.empty[String]
+            counters.foreach { case (kk, c) =>
+              if (c == 1L) dead += kk else counters.update(kk, c - 1)
+            }
+            dead.foreach(counters.remove)
+          }
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** All values of `keyCol` whose global count × `supportDenom` exceeds
+    * the total row count N — i.e. frequency strictly above `N /
+    * supportDenom` — with their EXACT counts. Output: (`keyCol`,
+    * n_occurrences), deterministic (exact counts, threshold in integer
+    * arithmetic — no double compare).
+    *
+    * `n` is the total row count as a driver scalar (one bounded count, the
+    * [[graft.llm.TextStats.tfidf]] precedent).
+    */
+  def heavyHitters(keyed: DataFrame, keyCol: String, supportDenom: Int): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val keys: Dataset[String] = keyed.select(col(keyCol).cast("string")).as[String]
+    val candidates = keys.mapPartitions(it => misraGries(it, supportDenom))
+      .toDF(keyCol).distinct()
+    val n = keyed.count()
+    keyed
+      .join(broadcast(candidates), keyCol)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * supportDenom > lit(n))
+  }
+}
