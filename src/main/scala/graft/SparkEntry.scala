@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{JsonKeys, KeyPresence}
-import graft.sources.Tables
+import graft.sources.{Bucketing, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -75,7 +75,8 @@ object CoreQueries {
     "q59_transitions" -> ((s, dir) => transitions(s, dir)),
     "q60_winsorize" -> ((s, dir) => winsorizePrices(s, dir)),
     "q61_correlation" -> ((s, dir) => priceQtyCorrelation(s, dir)),
-    "q67_bloom_pruned_join" -> ((s, dir) => bloomPrunedRevenue(s, dir))
+    "q67_bloom_pruned_join" -> ((s, dir) => bloomPrunedRevenue(s, dir)),
+    "q69_bucketed_join" -> ((s, dir) => bucketedRevenue(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -317,6 +318,46 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  // ---- q69: bucketed co-located join ------------------------------------
+
+  private val BucketCount = 8
+
+  /** q69 — the write-once / join-many layout ([[graft.sources.Bucketing]]):
+    * `orders` and `lineitem` land ONCE as tables bucketed+sorted on the
+    * order key, and the fact⋈fact revenue join then plans with zero
+    * Exchange on either side (`BucketingSpec` pins the plan) — at 100 TB
+    * the per-query shuffle of the two largest warehouse tables is traded
+    * for one ingest-time shuffle. The first call per session pays the
+    * bucketed write (ingest's job, not the query's); subsequent joins
+    * reuse the layout through the session catalog.
+    *
+    * Values are layout-independent, so the DuckDB twin is the plain join
+    * — the oracle checks the join's algebra while the spec checks what
+    * bucketing is FOR (the absent Exchange).
+    */
+  def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+    val (ordersTbl, itemsTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-bucketed-$tag"
+    if (!spark.catalog.tableExists(ordersTbl) || !spark.catalog.tableExists(itemsTbl)) {
+      Bucketing.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        ordersTbl, BucketCount, Seq("o_orderkey"), Seq("o_orderkey"),
+        Some(s"$base/orders"))
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        itemsTbl, BucketCount, Seq("l_orderkey"), Seq("l_orderkey"),
+        Some(s"$base/lineitem"))
+    }
+    Bucketing.readBucketed(spark, itemsTbl)
+      .join(Bucketing.readBucketed(spark, ordersTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->
       """WITH keys AS (
@@ -514,6 +555,13 @@ object CoreQueries {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+    "q69_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin
   )
 }

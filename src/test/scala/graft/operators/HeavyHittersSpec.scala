@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins the two claims [[HeavyHitters]] makes: the per-partition
+  * Misra-Gries summary is a bounded candidate SUPERSET (no global heavy
+  * hitter can be missed, size ≤ k regardless of input), and the two-pass
+  * result is EXACTLY the naive full-aggregation answer.
+  */
+class HeavyHittersSpec extends SparkTestBase {
+
+  test("misraGries emits at most k keys and never misses an item above n/k") {
+    // adversarial order: the heavy item arrives FIRST, then a flood of
+    // distinct keys tries to evict it via decrement-all rounds
+    val heavy = Seq.fill(400)("hot")
+    val flood = (1 to 1100).map(i => s"cold_$i")
+    val stream = heavy ++ flood // n = 1500, k = 10 → threshold 150
+    val out = HeavyHitters.misraGries(stream.iterator, 10).toSet
+    assert(out.size <= 10, s"summary exceeded k: $out")
+    assert(out.contains("hot"), "an item with freq > n/k must survive")
+  }
+
+  test("misraGries under interleaved adversarial order still keeps the heavy key") {
+    val interleaved = (1 to 3000).flatMap(i =>
+      if (i % 3 == 0) Seq("hot") else Seq(s"cold_$i"))
+    val out = HeavyHitters.misraGries(interleaved.iterator, 5).toSet
+    // freq(hot) = 1000 > n/k = 600
+    assert(out.size <= 5)
+    assert(out.contains("hot"))
+  }
+
+  test("two-pass heavy hitters equals the naive groupBy + threshold exactly") {
+    import spark.implicits._
+    // zipfian-ish: key i appears ~ 4000/i times, spread over 8 partitions
+    val rows = (1 to 60).flatMap(i => Seq.fill(4000 / i)(s"k$i"))
+    val df = spark.createDataset(rows).toDF("term").repartition(8)
+      .persist()
+    val denom = 50
+    val got = HeavyHitters.heavyHitters(df, "term", denom)
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.size
+    val expect = df.groupBy("term").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * denom > lit(n))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
+    df.unpersist()
+    assert(expect.nonEmpty, "fixture must produce at least one heavy hitter")
+    assert(got.sameElements(expect))
+  }
+
+  test("no heavy hitters → empty result, not an error") {
+    import spark.implicits._
+    val df = spark.createDataset((1 to 1000).map(i => s"u$i")).toDF("term")
+      .repartition(4)
+    // every key unique: nothing exceeds n/denom for denom < n
+    assert(HeavyHitters.heavyHitters(df, "term", 100).count() == 0)
+  }
+}

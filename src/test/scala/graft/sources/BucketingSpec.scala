@@ -57,6 +57,22 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("q69 registered query: the fact join is exchange-free, only the final agg shuffles") {
+    graft.CoreQueries.bucketedRevenue(spark, dir) // first call writes the tables
+    try withPlanStableConfs {
+      val replanned = graft.CoreQueries.bucketedRevenue(spark, dir)
+      val n = countExchanges(replanned)
+      // one Exchange for the o_orderpriority aggregation; ZERO under the join
+      assert(n == 1,
+        s"expected only the agg exchange, got $n:\n${replanned.queryExecution.executedPlan}")
+      assert(replanned.count() > 0)
+    } finally {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_bkt_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    }
+  }
+
   test("groupBy on the bucket key aggregates without a shuffle") {
     val warehouse = Files.createTempDirectory("graft_buckets").toString
     val events = Tables.events(spark, dir)
