@@ -39,4 +39,47 @@ object Sketches {
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("n_distinct_est"))
+
+  // ---- Count-Min frequency sketches ------------------------------------
+
+  /** Reduce a batch to one mergeable Count-Min frequency sketch per
+    * group (Spark's own `count_min_sketch` aggregate — SPARK-18120): the
+    * frequency member of the sketch family, next to HLL's distinct
+    * counts. A CMS answers "how often did THIS value occur" for any
+    * value, after the fact, in `depth × width × 8` bytes regardless of
+    * cardinality — estimates never under-count, and over-count by at
+    * most `eps × N` with probability `confidence`.
+    *
+    * Same lifecycle as [[distinctSketch]]: persist the per-batch rows;
+    * sketches built with the SAME (eps, confidence, seed) merge by
+    * cell-wise table addition ([[mergeFreqSketches]]), which is EXACT —
+    * a merged sketch is bit-identical to one built over the union in one
+    * pass, so replayed batches are the only merge hazard (CMS addition,
+    * unlike HLL register-max, double-counts a re-merged batch; dedup
+    * batch ids upstream, the [[graft.streaming.StreamingDistinct]]
+    * convention records which batches landed).
+    *
+    * For EXACT frequent items use [[graft.operators.HeavyHitters]] (two
+    * bounded passes); the CMS is the one-pass streaming complement for
+    * when the raw rows are gone by query time.
+    */
+  def freqSketch(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      eps: Double = 0.0001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
+  /** Driver-side merge of serialized CMS rows (bounded: sketches are a
+    * few KB each; this merges per-group batch rows, never data rows).
+    * All inputs must share (eps, confidence, seed) — Spark throws
+    * `IncompatibleMergeException` otherwise, loudly.
+    */
+  def mergeFreqSketches(
+      rows: Seq[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch = {
+    require(rows.nonEmpty, "no sketches to merge")
+    rows.map(b => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce(_ mergeInPlace _)
+  }
 }

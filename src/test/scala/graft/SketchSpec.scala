@@ -97,4 +97,35 @@ class SketchSpec extends SparkTestBase {
       s"approx median $approx outside the rank-error window " +
         s"[${window.min}, ${window.max}] around exact $exact")
   }
+
+  test("CMS frequency sketches: batch-merge is exact, never under-counts, eps-bounded over-count") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, dir)
+    val batches = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    val perBatch = batches.map(b =>
+      Sketches.freqSketch(b, Seq("event_type"), "user_id").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("cms")).toMap)
+    val keys = perBatch.flatMap(_.keys).distinct
+    val merged = keys.map(k =>
+      k -> Sketches.mergeFreqSketches(perBatch.flatMap(_.get(k)))).toMap
+    // cell-wise addition: merged batch sketches ≡ the one-pass sketch
+    val onePass = Sketches.freqSketch(ev, Seq("event_type"), "user_id").collect()
+      .map(r => r.getString(0) ->
+        Sketches.mergeFreqSketches(Seq(r.getAs[Array[Byte]]("cms")))).toMap
+    val exact = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case ((et, uid), n) =>
+      val est = merged(et).estimateCount(uid)
+      assert(est == onePass(et).estimateCount(uid),
+        s"merged and one-pass CMS disagree for ($et, $uid)")
+      assert(est >= n, s"CMS under-counted ($et, $uid): $est < $n")
+      // eps=1e-4 bound: over-count ≤ eps × N per group (probabilistic at
+      // confidence 0.99, deterministic here for fixed data + seed)
+      assert(est - n <= math.max(1L, (1e-4 * totals(et)).ceil.toLong * 4),
+        s"CMS over-count for ($et, $uid): est $est vs true $n, N=${totals(et)}")
+    }
+  }
 }
