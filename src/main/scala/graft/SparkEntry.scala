@@ -76,7 +76,8 @@ object CoreQueries {
     "q60_winsorize" -> ((s, dir) => winsorizePrices(s, dir)),
     "q61_correlation" -> ((s, dir) => priceQtyCorrelation(s, dir)),
     "q67_bloom_pruned_join" -> ((s, dir) => bloomPrunedRevenue(s, dir)),
-    "q69_bucketed_join" -> ((s, dir) => bucketedRevenue(s, dir))
+    "q69_bucketed_join" -> ((s, dir) => bucketedRevenue(s, dir)),
+    "q71_zorder" -> ((s, dir) => zOrderCodes(s, dir))
   )
 
   private val lineitemCols = Seq(
@@ -358,6 +359,22 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  // ---- q71: z-order (Morton) codes --------------------------------------
+
+  /** q71 — the z-value computation behind [[graft.sources.ZOrder]]'s
+    * two-dimensional clustering, registered so the bit ladder itself is
+    * oracle-checked (both engines interleave (user bin, hour bin) with
+    * the same mask-and-shift arithmetic). The layout effect — per-file
+    * min/max tiles in BOTH dims — is physical, so it lives in
+    * `ZOrderSpec`, not here.
+    */
+  def zOrderCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      graft.sources.ZOrder.zValue(
+        pmod(col("user_id"), lit(65536L)),
+        pmod(expr("ts div 3600000000000"), lit(65536L))).as("z"))
+
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->
       """WITH keys AS (
@@ -562,6 +579,11 @@ object CoreQueries {
         |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q71_zorder" -> {
+      val z = graft.sources.ZOrder.zValueSql(
+        "user_id % 65536", "(epoch_ns(ts) // 3600000000000) % 65536")
+      s"SELECT event_id, $z AS z FROM events"
+    }
   )
 }
