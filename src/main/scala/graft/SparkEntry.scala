@@ -323,6 +323,14 @@ object CoreQueries {
 
   private val BucketCount = 8
 
+  /** Per-JVM bucket-table root: the registration lives in this JVM's
+    * session catalog, so the files must too — a path shared across JVMs
+    * lets a concurrent process's `mode(Overwrite)` delete files this
+    * JVM's catalog still points at (observed as FILE_NOT_EXIST mid-scan).
+    */
+  private lazy val bucketRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+
   /** q69 — the write-once / join-many layout ([[graft.sources.Bucketing]]):
     * `orders` and `lineitem` land ONCE as tables bucketed+sorted on the
     * order key, and the fact⋈fact revenue join then plans with zero
@@ -339,7 +347,7 @@ object CoreQueries {
   def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val tag = (dir.hashCode.toLong & 0xffffffffL).toString
     val (ordersTbl, itemsTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
-    val base = s"${sys.props("java.io.tmpdir")}/graft-bucketed-$tag"
+    val base = s"$bucketRoot/$tag"
     if (!spark.catalog.tableExists(ordersTbl) || !spark.catalog.tableExists(itemsTbl)) {
       Bucketing.writeBucketed(
         Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),

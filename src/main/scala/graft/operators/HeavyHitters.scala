@@ -41,7 +41,7 @@ object HeavyHitters {
     * counter is positive. Amortized O(1) per row: each decrement-all
     * round is paid for by the k insertions that preceded it.
     */
-  private[operators] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
     val counters = mutable.HashMap.empty[String, Long]
     while (it.hasNext) {
       val key = it.next()

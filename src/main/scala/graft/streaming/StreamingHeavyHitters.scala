@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{HeavyHitters, Sketches}
+
+/** Heavy-hitters-to-date over a stream: the operational form of
+  * [[graft.operators.HeavyHitters]] for when the raw rows are gone by
+  * query time. Each micro-batch is reduced to two bounded artifacts —
+  * its Misra-Gries candidate keys and ONE Count-Min sketch row — and
+  * appended to a persisted parquet table; the monitor answers "which
+  * keys exceed 1/denom of everything seen so far" by merging the sketch
+  * rows and estimating only the accumulated candidates.
+  *
+  * Why this is sound across triggers: the pigeonhole argument chains —
+  * a key above `N/denom` globally must be above `n_b/denom` in at least
+  * one batch (averaging over batches), hence above `n_p/denom` in at
+  * least one of that batch's partitions (averaging again), hence in
+  * that partition's MG summary. So the accumulated candidate set is a
+  * SUPERSET of the true heavy hitters at every point in time. CMS never
+  * under-counts, so thresholding estimates keeps every true heavy
+  * hitter; what the stream trades away vs the batch operator's exact
+  * recount is only the other direction — a key within `eps × N` of the
+  * threshold can over-qualify. That one-sided error is the documented
+  * contract (and the spec pins both sides).
+  *
+  * Replay safety (`foreachBatch` is at-least-once): CMS merge is
+  * cell-wise ADDITION, so a replayed batch would double-count — unlike
+  * the HLL table's register-max. The sketch rows therefore carry the
+  * trigger's `batch_id`, and the reader folds duplicates (first row per
+  * batch_id) before merging; candidates are set-union, idempotent by
+  * nature. State per trigger is one sketch row + ≤ denom × partitions
+  * candidate keys — never data-sized.
+  */
+object StreamingHeavyHitters {
+
+  private def cmsSchema = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("cms", BinaryType, nullable = false)))
+
+  /** Reduce one batch to its two artifacts and append them. Returns the
+    * batch's row count (the bounded per-trigger monitor value).
+    */
+  def ingestBatch(
+      batch: DataFrame, batchId: Long, keyCol: String, dir: String,
+      supportDenom: Int, eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val keyed = batch.select(col(keyCol).cast("string").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = keyed.as[String].mapPartitions(
+        it => HeavyHitters.misraGries(it, supportDenom))
+      .toDF("key").distinct()
+    candidates.write.mode("append").parquet(s"$dir/candidates")
+    val skRow = Sketches.freqSketch(keyed, Seq.empty, "key", eps, confidence, seed)
+      .head()
+    val n = keyed.count()
+    keyed.unpersist(false)
+    spark.createDataFrame(
+        java.util.List.of(Row(batchId, n, skRow.getAs[Array[Byte]]("cms"))),
+        cmsSchema)
+      .write.mode("append").parquet(s"$dir/cms")
+    n
+  }
+
+  /** The `foreachBatch` function: `stream.writeStream.foreachBatch(
+    * StreamingHeavyHitters.sink(...)).start()`.
+    */
+  def sink(keyCol: String, dir: String, supportDenom: Int): (DataFrame, Long) => Unit =
+    (batch, id) => { ingestBatch(batch, id, keyCol, dir, supportDenom); () }
+
+  /** Keys whose estimated count × denom exceeds the rows-to-date N, with
+    * their CMS estimates: a guaranteed superset of the exact heavy
+    * hitters, over-qualifying only within the sketch's `eps × N` bound.
+    * Bounded driver work: one sketch row per distinct batch and the
+    * candidate key set — never the raw stream.
+    */
+  def heavyHittersToDate(
+      spark: SparkSession, dir: String, supportDenom: Int): DataFrame = {
+    import spark.implicits._
+    // fold replays: one sketch row per batch_id (any one — replays of a
+    // deterministic batch write identical sketches)
+    val cmsRows = spark.read.parquet(s"$dir/cms")
+      .groupBy("batch_id")
+      .agg(first("n_rows").as("n_rows"), first("cms").as("cms"))
+      .collect()
+    val n = cmsRows.map(_.getAs[Long]("n_rows")).sum
+    val merged = Sketches.mergeFreqSketches(
+      cmsRows.map(_.getAs[Array[Byte]]("cms")).toSeq)
+    val candidates = spark.read.parquet(s"$dir/candidates")
+      .distinct().as[String].collect()
+    candidates
+      .map(k => (k, merged.estimateCount(k)))
+      .filter { case (_, est) => est * supportDenom > n }
+      .toSeq.toDF("key", "est_count")
+  }
+}

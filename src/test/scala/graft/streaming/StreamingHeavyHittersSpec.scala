@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+
+case class Hit(key: String)
+
+/** Pins [[StreamingHeavyHitters]]' contract: the monitor never loses a
+  * true heavy hitter (candidate superset + CMS never-under-count), its
+  * estimates are exact at this scale (eps × N ≪ 1), and a replayed
+  * trigger cannot move the answer (batch_id fold).
+  */
+class StreamingHeavyHittersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("two triggers: heavy hitters to date match the exact union; replay is idempotent") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-hh").toFile.getAbsolutePath
+    val denom = 20
+    val ms = MemoryStream[Hit]
+    val query = ms.toDS().toDF().writeStream
+      .foreachBatch(StreamingHeavyHitters.sink("key", dir, denom))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1: "hot" at 30%, "warm" at 4% (below 1/20), long tail
+      val b1 = Seq.fill(150)("hot") ++ Seq.fill(20)("warm") ++
+        (1 to 330).map(i => s"t$i")
+      ms.addData(b1.map(Hit): _*)
+      query.processAllAvailable()
+      // batch 2 pushes "warm" over the global threshold
+      val b2 = Seq.fill(80)("warm") ++ (1 to 100).map(i => s"u$i")
+      ms.addData(b2.map(Hit): _*)
+      query.processAllAvailable()
+
+      val got = StreamingHeavyHitters.heavyHittersToDate(spark, dir, denom)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val all = b1 ++ b2
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, n) => n * denom > all.size }.toMap
+      assert(exact.keySet == Set("hot", "warm"), "fixture sanity")
+      // superset of the truth, and at eps=1e-4 × N=680 the estimates are exact
+      assert(got == exact,
+        s"streamed heavy hitters $got diverged from exact $exact")
+    } finally query.stop()
+  }
+
+  test("replaying the same batch id does not move counts (at-least-once safety)") {
+    val dir = Files.createTempDirectory("graft-hh").toFile.getAbsolutePath
+    val denom = 10
+    val batch = (Seq.fill(50)("hot") ++ (1 to 50).map(i => s"t$i")).toDF("key")
+    StreamingHeavyHitters.ingestBatch(batch, 0L, "key", dir, denom)
+    val once = StreamingHeavyHitters.heavyHittersToDate(spark, dir, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    StreamingHeavyHitters.ingestBatch(batch, 0L, "key", dir, denom) // replay
+    val twice = StreamingHeavyHitters.heavyHittersToDate(spark, dir, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once == Map("hot" -> 50L))
+    assert(twice == once, "a replayed batch_id must fold away")
+  }
+}
