@@ -307,4 +307,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"),
       s"no global sort anywhere in span dedup:\n$p")
   }
+
+  test("q68 heavy hitters: the candidate set broadcasts, the recount partial-aggregates") {
+    // the whole point: pass 2 is a broadcast semi-join over the bounded
+    // MG candidates + a partial-aggregated count of only their rows —
+    // the full term cardinality never shuffles
+    val p = plan(LlmQueries.heavyHitterTerms(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate recount must broadcast the bounded candidate set:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"the recount must partial-aggregate map-side:\n$p")
+  }
+
+  test("q70 unigram surprisal: term frequencies derive from the shared explode, both aggs partial") {
+    val p = plan(LlmQueries.unigramSurprisal(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"the (doc, term) explode must be shared via the persisted frame:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"frequency and per-doc aggs must partial-aggregate:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort anywhere in surprisal:\n$p")
+  }
+
+  test("q71 z-order codes: a pure projection over the pruned scan — no exchange, no join") {
+    val p = plan(CoreQueries.zOrderCodes(spark, dir))
+    assert(!p.contains("Exchange"), s"z-codes must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"z-codes must not join:\n$p")
+  }
 }
