@@ -68,16 +68,34 @@ object HeavyHitters {
     * n_occurrences), deterministic (exact counts, threshold in integer
     * arithmetic — no double compare).
     *
-    * `n` is the total row count as a driver scalar (one bounded count, the
-    * [[graft.llm.TextStats.tfidf]] precedent).
+    * Exactly TWO passes over `keyed`: the summary pass folds each
+    * partition's row count into its output (a counting iterator wraps the
+    * scan the summary was consuming anyway), so N needs no third scan —
+    * the summary frame is ≤ (k+1) × partitions rows and yields both the
+    * candidate set and N. It persists at MEMORY_AND_DISK because two tiny
+    * jobs read it (the N scalar, the candidate broadcast); caller owns
+    * the lifecycle (`spark.catalog.clearCache()` between queries, the
+    * [[graft.llm.TextStats.tfidf]] convention).
     */
   def heavyHitters(keyed: DataFrame, keyCol: String, supportDenom: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     val keys: Dataset[String] = keyed.select(col(keyCol).cast("string")).as[String]
-    val candidates = keys.mapPartitions(it => misraGries(it, supportDenom))
-      .toDF(keyCol).distinct()
-    val n = keyed.count()
+    val summary = keys.mapPartitions { it =>
+        var n = 0L
+        val counting = new Iterator[String] {
+          def hasNext: Boolean = it.hasNext
+          def next(): String = { n += 1; it.next() }
+        }
+        // misraGries drains the iterator before returning, so n is final
+        val cands = misraGries(counting, supportDenom).toArray
+        Iterator((Option.empty[String], n)) ++
+          cands.iterator.map(k => (Some(k), 0L))
+      }.toDF(keyCol, "_part_rows")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = summary.agg(sum("_part_rows")).head().getLong(0)
+    val candidates = summary.filter(col(keyCol).isNotNull)
+      .select(keyCol).distinct()
     keyed
       .join(broadcast(candidates), keyCol)
       .groupBy(keyCol)
