@@ -70,9 +70,12 @@ object Sketches {
       .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
         .as("cms"))
 
-  /** Driver-side merge of serialized CMS rows (bounded: sketches are a
-    * few KB each; this merges per-group batch rows, never data rows).
-    * All inputs must share (eps, confidence, seed) — Spark throws
+  /** Driver-side merge of serialized CMS rows (bounded: this merges
+    * per-group batch rows, never data rows — but note a CMS row is
+    * `ceil(2/eps) × depth × 8` bytes, ~1 MB at the 1e-4 default, NOT the
+    * HLL's 4 KB; long-running sketch tables need periodic compaction,
+    * see [[graft.streaming.StreamingHeavyHitters.compact]]). All inputs
+    * must share (eps, confidence, seed) — Spark throws
     * `IncompatibleMergeException` otherwise, loudly.
     */
   def mergeFreqSketches(

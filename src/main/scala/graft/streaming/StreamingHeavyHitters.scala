@@ -73,6 +73,49 @@ object StreamingHeavyHitters {
   def sink(keyCol: String, dir: String, supportDenom: Int): (DataFrame, Long) => Unit =
     (batch, id) => { ingestBatch(batch, id, keyCol, dir, supportDenom); () }
 
+  /** Fold the accumulated artifacts down to one sketch row and the
+    * distinct candidate set, in place. A CMS row is ~1 MB at the default
+    * eps, and the table grows one row per trigger — compaction bounds
+    * [[heavyHittersToDate]]'s driver work to O(1) sketch rows no matter
+    * how long the stream has run.
+    *
+    * Replay contract after compaction: the folded row keeps the MAX
+    * batch_id seen, so a replay of that batch (the only one
+    * `foreachBatch`'s checkpoint can re-deliver after a crash — earlier
+    * batches are committed) still folds away; replays of OLDER ids would
+    * double-count, which is why this is sequenced from the maintenance
+    * path between triggers, never concurrently with the sink.
+    */
+  /** Fold duplicate batch_id rows deterministically: keep each id's row
+    * with the LARGEST n_rows. For ordinary replays the duplicates are
+    * identical so any pick works; after a [[compact]], the retained max
+    * id can coexist with a replayed single-batch row of the same id, and
+    * only the merged (strictly larger-n) row is correct — a `first()`
+    * pick there would silently drop every pre-compaction count.
+    */
+  private def foldedCmsRows(spark: SparkSession, dir: String): Array[Row] =
+    spark.read.parquet(s"$dir/cms")
+      .groupBy("batch_id")
+      .agg(max("n_rows").as("n_rows"), max_by(col("cms"), col("n_rows")).as("cms"))
+      .collect()
+
+  def compact(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val rows = foldedCmsRows(spark, dir)
+    val n = rows.map(_.getAs[Long]("n_rows")).sum
+    val maxId = rows.map(_.getAs[Long]("batch_id")).max
+    val merged = Sketches.mergeFreqSketches(rows.map(_.getAs[Array[Byte]]("cms")).toSeq)
+    val candidates = spark.read.parquet(s"$dir/candidates")
+      .distinct().as[String].collect()
+    // both reads are fully materialized on the driver above, so the
+    // overwrite below cannot race its own input
+    spark.createDataFrame(
+        java.util.List.of(Row(maxId, n, merged.toByteArray)), cmsSchema)
+      .write.mode("overwrite").parquet(s"$dir/cms")
+    candidates.toSeq.toDF("key")
+      .write.mode("overwrite").parquet(s"$dir/candidates")
+  }
+
   /** Keys whose estimated count × denom exceeds the rows-to-date N, with
     * their CMS estimates: a guaranteed superset of the exact heavy
     * hitters, over-qualifying only within the sketch's `eps × N` bound.
@@ -82,12 +125,7 @@ object StreamingHeavyHitters {
   def heavyHittersToDate(
       spark: SparkSession, dir: String, supportDenom: Int): DataFrame = {
     import spark.implicits._
-    // fold replays: one sketch row per batch_id (any one — replays of a
-    // deterministic batch write identical sketches)
-    val cmsRows = spark.read.parquet(s"$dir/cms")
-      .groupBy("batch_id")
-      .agg(first("n_rows").as("n_rows"), first("cms").as("cms"))
-      .collect()
+    val cmsRows = foldedCmsRows(spark, dir)
     val n = cmsRows.map(_.getAs[Long]("n_rows")).sum
     val merged = Sketches.mergeFreqSketches(
       cmsRows.map(_.getAs[Array[Byte]]("cms")).toSeq)

@@ -60,4 +60,26 @@ class StreamingHeavyHittersSpec extends SparkTestBase {
     assert(once == Map("hot" -> 50L))
     assert(twice == once, "a replayed batch_id must fold away")
   }
+
+  test("compact folds the tables to one sketch row without moving the answer") {
+    val dir = Files.createTempDirectory("graft-hh").toFile.getAbsolutePath
+    val denom = 10
+    val b1 = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"t$i")).toDF("key")
+    val b2 = (Seq.fill(30)("hot") ++ Seq.fill(25)("warm") ++ (1 to 45).map(i => s"u$i")).toDF("key")
+    StreamingHeavyHitters.ingestBatch(b1, 0L, "key", dir, denom)
+    StreamingHeavyHitters.ingestBatch(b2, 1L, "key", dir, denom)
+    val before = StreamingHeavyHitters.heavyHittersToDate(spark, dir, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    StreamingHeavyHitters.compact(spark, dir)
+    val after = StreamingHeavyHitters.heavyHittersToDate(spark, dir, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before, s"compaction moved the answer: $after vs $before")
+    assert(spark.read.parquet(s"$dir/cms").count() == 1)
+    // the retained batch_id is the max, so a replay of the LAST batch
+    // (the only one the checkpoint can re-deliver) still folds away
+    StreamingHeavyHitters.ingestBatch(b2, 1L, "key", dir, denom)
+    val replayed = StreamingHeavyHitters.heavyHittersToDate(spark, dir, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replayed == before, "post-compaction replay of the max batch_id must fold away")
+  }
 }
