@@ -345,7 +345,9 @@ object CoreQueries {
     * bucketing is FOR (the absent Exchange).
     */
   def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+    // the tag is the sanitized full path, not a hash — a hash collision
+    // between two data dirs would silently serve the first dir's tables
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val (ordersTbl, itemsTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     val base = s"$bucketRoot/$tag"
     if (!spark.catalog.tableExists(ordersTbl) || !spark.catalog.tableExists(itemsTbl)) {
@@ -376,12 +378,19 @@ object CoreQueries {
     * min/max tiles in BOTH dims — is physical, so it lives in
     * `ZOrderSpec`, not here.
     */
-  def zOrderCodes(spark: SparkSession, dir: String): DataFrame =
+  def zOrderCodes(spark: SparkSession, dir: String): DataFrame = {
+    // hour bin with FLOOR division (the q57 `(t - pmod(t, p)) div p`
+    // trick): Spark's `div` truncates toward zero while the oracle's `//`
+    // floors, and pmod only cancels that difference for the modulo, not
+    // the division — pre-epoch timestamps would diverge otherwise
+    // `div` (integer) not `/` (double): ts ns magnitudes exceed 2^53
+    val hourBin = expr("(ts - pmod(ts, 3600000000000)) div 3600000000000")
     Tables.events(spark, dir).select(
       col("event_id"),
       graft.sources.ZOrder.zValue(
         pmod(col("user_id"), lit(65536L)),
-        pmod(expr("ts div 3600000000000"), lit(65536L))).as("z"))
+        pmod(hourBin, lit(65536L))).as("z"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q01_key_presence" ->

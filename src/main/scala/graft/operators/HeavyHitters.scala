@@ -66,7 +66,11 @@ object HeavyHitters {
     * the total row count N — i.e. frequency strictly above `N /
     * supportDenom` — with their EXACT counts. Output: (`keyCol`,
     * n_occurrences), deterministic (exact counts, threshold in integer
-    * arithmetic — no double compare).
+    * arithmetic — no double compare). Null keys are excluded ENTIRELY —
+    * from the result, the candidate summaries, and N — so the contract
+    * is exactly "naive groupBy + threshold over the non-null keys"
+    * (leaving nulls in N while the equi-join could never return them
+    * would silently deflate every real key's frequency ratio).
     *
     * Exactly TWO passes over `keyed`: the summary pass folds each
     * partition's row count into its output (a counting iterator wraps the
@@ -80,7 +84,8 @@ object HeavyHitters {
   def heavyHitters(keyed: DataFrame, keyCol: String, supportDenom: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    val keys: Dataset[String] = keyed.select(col(keyCol).cast("string")).as[String]
+    val nonNull = keyed.filter(col(keyCol).isNotNull)
+    val keys: Dataset[String] = nonNull.select(col(keyCol).cast("string")).as[String]
     val summary = keys.mapPartitions { it =>
         var n = 0L
         val counting = new Iterator[String] {
@@ -96,7 +101,7 @@ object HeavyHitters {
     val n = summary.agg(sum("_part_rows")).head().getLong(0)
     val candidates = summary.filter(col(keyCol).isNotNull)
       .select(keyCol).distinct()
-    keyed
+    nonNull
       .join(broadcast(candidates), keyCol)
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_occurrences"))

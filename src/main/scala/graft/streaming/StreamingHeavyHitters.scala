@@ -12,7 +12,8 @@ import graft.operators.{HeavyHitters, Sketches}
   * its Misra-Gries candidate keys and ONE Count-Min sketch row — and
   * appended to a persisted parquet table; the monitor answers "which
   * keys exceed 1/denom of everything seen so far" by merging the sketch
-  * rows and estimating only the accumulated candidates.
+  * rows and estimating only the accumulated candidates. Null keys are
+  * excluded at ingest, the batch operator's contract.
   *
   * Why this is sound across triggers: the pigeonhole argument chains —
   * a key above `N/denom` globally must be above `n_b/denom` in at least
@@ -29,10 +30,10 @@ import graft.operators.{HeavyHitters, Sketches}
   * Replay safety (`foreachBatch` is at-least-once): CMS merge is
   * cell-wise ADDITION, so a replayed batch would double-count — unlike
   * the HLL table's register-max. The sketch rows therefore carry the
-  * trigger's `batch_id`, and the reader folds duplicates (first row per
-  * batch_id) before merging; candidates are set-union, idempotent by
-  * nature. State per trigger is one sketch row + ≤ denom × partitions
-  * candidate keys — never data-sized.
+  * trigger's `batch_id`, and the reader folds duplicates (largest-n row
+  * per batch_id, see `foldedCmsRows`) before merging; candidates are
+  * set-union, idempotent by nature. State per trigger is one sketch row
+  * + ≤ denom × partitions candidate keys — never data-sized.
   */
 object StreamingHeavyHitters {
 
@@ -42,7 +43,11 @@ object StreamingHeavyHitters {
     StructField("cms", BinaryType, nullable = false)))
 
   /** Reduce one batch to its two artifacts and append them. Returns the
-    * batch's row count (the bounded per-trigger monitor value).
+    * batch's (non-null-key) row count — the bounded per-trigger monitor
+    * value. Two jobs over the persisted batch: the candidate write, and
+    * one global aggregation computing the sketch AND the row count
+    * together (the batch operator's two-scans discipline — a separate
+    * `count()` would be a third job per trigger).
     */
   def ingestBatch(
       batch: DataFrame, batchId: Long, keyCol: String, dir: String,
@@ -50,20 +55,27 @@ object StreamingHeavyHitters {
       seed: Int = 42): Long = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val keyed = batch.select(col(keyCol).cast("string").as("key"))
+    val keyed = batch.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = keyed.as[String].mapPartitions(
         it => HeavyHitters.misraGries(it, supportDenom))
       .toDF("key").distinct()
     candidates.write.mode("append").parquet(s"$dir/candidates")
-    val skRow = Sketches.freqSketch(keyed, Seq.empty, "key", eps, confidence, seed)
+    val skRow = keyed.groupBy()
+      .agg(
+        count_min_sketch(col("key"), lit(eps), lit(confidence), lit(seed)).as("cms"),
+        count(lit(1)).as("n"))
       .head()
-    val n = keyed.count()
+    val n = skRow.getAs[Long]("n")
+    val cmsBytes = skRow.getAs[Array[Byte]]("cms")
     keyed.unpersist(false)
-    spark.createDataFrame(
-        java.util.List.of(Row(batchId, n, skRow.getAs[Array[Byte]]("cms"))),
-        cmsSchema)
-      .write.mode("append").parquet(s"$dir/cms")
+    // an empty trigger (or all-null keys) contributes nothing — writing
+    // its sketch row would only risk a null/degenerate cms payload
+    if (n > 0 && cmsBytes != null)
+      spark.createDataFrame(
+          java.util.List.of(Row(batchId, n, cmsBytes)), cmsSchema)
+        .write.mode("append").parquet(s"$dir/cms")
     n
   }
 
@@ -73,11 +85,33 @@ object StreamingHeavyHitters {
   def sink(keyCol: String, dir: String, supportDenom: Int): (DataFrame, Long) => Unit =
     (batch, id) => { ingestBatch(batch, id, keyCol, dir, supportDenom); () }
 
+  /** True once at least one trigger has committed sketch rows — the
+    * pre-first-trigger guard, same contract as
+    * [[StreamingDistinct.hasSketches]] (a committed `part-*.parquet`
+    * data file, not a bare directory).
+    */
+  def hasState(spark: SparkSession, dir: String): Boolean =
+    StreamingDistinct.hasSketches(spark, s"$dir/cms")
+
+  /** Fold duplicate batch_id rows deterministically: keep each id's row
+    * with the LARGEST n_rows. For ordinary replays the duplicates are
+    * identical so any pick works; after a [[compact]], the retained max
+    * id can coexist with a replayed single-batch row of the same id, and
+    * only the merged (larger-n) row is correct — a `first()` pick there
+    * would silently drop every pre-compaction count.
+    */
+  private def foldedCmsRows(spark: SparkSession, dir: String): Array[Row] =
+    spark.read.parquet(s"$dir/cms")
+      .groupBy("batch_id")
+      .agg(max("n_rows").as("n_rows"), max_by(col("cms"), col("n_rows")).as("cms"))
+      .collect()
+
   /** Fold the accumulated artifacts down to one sketch row and the
-    * distinct candidate set, in place. A CMS row is ~1 MB at the default
-    * eps, and the table grows one row per trigger — compaction bounds
-    * [[heavyHittersToDate]]'s driver work to O(1) sketch rows no matter
-    * how long the stream has run.
+    * distinct candidate set, in place; a no-op before the first
+    * committed trigger or on an empty table. A CMS row is ~1 MB at the
+    * default eps and the table grows one row per trigger — compaction
+    * bounds [[heavyHittersToDate]]'s driver work to O(1) sketch rows no
+    * matter how long the stream has run.
     *
     * Replay contract after compaction: the folded row keeps the MAX
     * batch_id seen, so a replay of that batch (the only one
@@ -86,22 +120,11 @@ object StreamingHeavyHitters {
     * double-count, which is why this is sequenced from the maintenance
     * path between triggers, never concurrently with the sink.
     */
-  /** Fold duplicate batch_id rows deterministically: keep each id's row
-    * with the LARGEST n_rows. For ordinary replays the duplicates are
-    * identical so any pick works; after a [[compact]], the retained max
-    * id can coexist with a replayed single-batch row of the same id, and
-    * only the merged (strictly larger-n) row is correct — a `first()`
-    * pick there would silently drop every pre-compaction count.
-    */
-  private def foldedCmsRows(spark: SparkSession, dir: String): Array[Row] =
-    spark.read.parquet(s"$dir/cms")
-      .groupBy("batch_id")
-      .agg(max("n_rows").as("n_rows"), max_by(col("cms"), col("n_rows")).as("cms"))
-      .collect()
-
   def compact(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
+    if (!hasState(spark, dir)) return
     val rows = foldedCmsRows(spark, dir)
+    if (rows.isEmpty) return
     val n = rows.map(_.getAs[Long]("n_rows")).sum
     val maxId = rows.map(_.getAs[Long]("batch_id")).max
     val merged = Sketches.mergeFreqSketches(rows.map(_.getAs[Array[Byte]]("cms")).toSeq)
@@ -119,13 +142,19 @@ object StreamingHeavyHitters {
   /** Keys whose estimated count × denom exceeds the rows-to-date N, with
     * their CMS estimates: a guaranteed superset of the exact heavy
     * hitters, over-qualifying only within the sketch's `eps × N` bound.
-    * Bounded driver work: one sketch row per distinct batch and the
-    * candidate key set — never the raw stream.
+    * Empty before the first committed trigger (the batch operator's
+    * empty-in/empty-out contract, not an error). Bounded driver work:
+    * one sketch row per distinct batch and the candidate key set — never
+    * the raw stream.
     */
   def heavyHittersToDate(
       spark: SparkSession, dir: String, supportDenom: Int): DataFrame = {
     import spark.implicits._
+    if (!hasState(spark, dir))
+      return Seq.empty[(String, Long)].toDF("key", "est_count")
     val cmsRows = foldedCmsRows(spark, dir)
+    if (cmsRows.isEmpty)
+      return Seq.empty[(String, Long)].toDF("key", "est_count")
     val n = cmsRows.map(_.getAs[Long]("n_rows")).sum
     val merged = Sketches.mergeFreqSketches(
       cmsRows.map(_.getAs[Array[Byte]]("cms")).toSeq)

@@ -49,6 +49,25 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(got.sameElements(expect))
   }
 
+  test("null keys are excluded from the result AND from N") {
+    import spark.implicits._
+    // 6 nulls + 4 "a" over 10 rows, denom 3: with nulls excluded N=4 and
+    // "a" qualifies (4*3 > 4); if nulls leaked into N (N=10), "a" would
+    // still qualify, but if nulls deflated ratios at larger scale keys
+    // would vanish — pin the exact non-null contract instead
+    val df = (Seq.fill(6)(Option.empty[String]) ++ Seq.fill(4)(Option("a")))
+      .toDF("term").repartition(3)
+    val got = HeavyHitters.heavyHitters(df, "term", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 4L)))
+    // and a denominator where "a" is heavy only under non-null N:
+    // N_nonnull=4 → threshold 4/2=2 < 4 (qualifies); N_withnulls=10 →
+    // threshold 5 > 4 (would NOT qualify) — proves N excludes nulls
+    val got2 = HeavyHitters.heavyHitters(df, "term", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 == Seq(("a", 4L)), s"N must exclude null rows: $got2")
+  }
+
   test("no heavy hitters → empty result, not an error") {
     import spark.implicits._
     val df = spark.createDataset((1 to 1000).map(i => s"u$i")).toDF("term")

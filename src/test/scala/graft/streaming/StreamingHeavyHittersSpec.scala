@@ -47,6 +47,14 @@ class StreamingHeavyHittersSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("pre-first-trigger state: monitor returns empty, compact is a no-op") {
+    val dir = Files.createTempDirectory("graft-hh").toFile.getAbsolutePath
+    assert(!StreamingHeavyHitters.hasState(spark, dir))
+    assert(StreamingHeavyHitters.heavyHittersToDate(spark, dir, 10).count() == 0)
+    StreamingHeavyHitters.compact(spark, dir) // must not throw
+    assert(!StreamingHeavyHitters.hasState(spark, dir))
+  }
+
   test("replaying the same batch id does not move counts (at-least-once safety)") {
     val dir = Files.createTempDirectory("graft-hh").toFile.getAbsolutePath
     val denom = 10
