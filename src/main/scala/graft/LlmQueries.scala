@@ -1676,6 +1676,30 @@ object LlmQueries {
        |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS surprisal
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  // ---- q72: BPE merge-pair counts --------------------------------------
+
+  private val BpePairTopK = 200
+
+  /** Top-[[BpePairTopK]] adjacent BPE-ish token pairs by corpus frequency
+    * ([[TextStats.bpePairStats]]) — the tokenizer-trainer counting step.
+    * The DuckDB twin builds the same pairs with a 1-based
+    * `list_transform(range(...))` over the q10-proven `bpeish` regex.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextStats.bpePairStats(docs, "text", BpePairTopK)
+  }
+
+  private val q72Oracle: String =
+    s"""WITH t AS (SELECT
+       |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS toks
+       |  FROM documents),
+       |p AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t)
+       |SELECT pair, count(*) AS n_pairs FROM p GROUP BY 1
+       |ORDER BY n_pairs DESC, pair LIMIT $BpePairTopK""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1726,7 +1750,8 @@ object LlmQueries {
     "q62_normalize" -> ((s, d) => normalizeDocs(s, d)),
     "q53_temp_sample" -> ((s, d) => tempSample(s, d)),
     "q68_heavy_hitters" -> ((s, d) => heavyHitterTerms(s, d)),
-    "q70_unigram_surprisal" -> ((s, d) => unigramSurprisal(s, d))
+    "q70_unigram_surprisal" -> ((s, d) => unigramSurprisal(s, d)),
+    "q72_bpe_pairs" -> ((s, d) => bpePairs(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1779,6 +1804,7 @@ object LlmQueries {
     "q62_normalize" -> q62Oracle,
     "q53_temp_sample" -> q53Oracle,
     "q68_heavy_hitters" -> q68Oracle,
-    "q70_unigram_surprisal" -> q70Oracle
+    "q70_unigram_surprisal" -> q70Oracle,
+    "q72_bpe_pairs" -> q72Oracle
   )
 }

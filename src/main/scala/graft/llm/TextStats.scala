@@ -155,6 +155,34 @@ object TextStats {
   /** Exact-content fingerprint: md5 of lowercased, trimmed text. */
   def contentFingerprint(c: Column): Column = md5(trim(lower(c)))
 
+  /** Adjacent-pair frequencies over the BPE-ish pre-tokens, top `topK`
+    * by count (ties broken by pair — a deterministic total order): the
+    * counting step a byte-pair-encoding tokenizer trainer iterates
+    * (count all adjacent symbol pairs, merge the most frequent — public
+    * knowledge, Sennrich et al. 2016). One corpus-wide round of it is
+    * the standard "which merges matter" diagnostic before committing to
+    * a tokenizer run.
+    *
+    * The pair column zips each token array against its own tail
+    * (`slice`+`zip_with`, both codegen'd; `greatest(·, 0)` guards the
+    * 0/1-token degenerate arrays into empties instead of a negative
+    * slice length). Scale shape = [[vocabulary]]: one explode, one
+    * partial-aggregated count shuffle, TakeOrderedAndProject top-k — no
+    * global sort, no driver collection.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val toks = bpeishTokens(col(textCol))
+    val n = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc("pair"))
+      .limit(topK)
+  }
+
   /** Corpus vocabulary statistics: per term, total occurrences and document
     * frequency, the top `topK` terms by df (ties broken by term, so the cut
     * is a deterministic total order). The inputs to tokenizer-training /

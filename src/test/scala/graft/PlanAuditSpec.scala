@@ -334,4 +334,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"z-codes must not shuffle:\n$p")
     assert(!p.toLowerCase.contains("join"), s"z-codes must not join:\n$p")
   }
+
+  test("q72 bpe pairs: partial-aggregated count, top-k lowers to TakeOrderedAndProject") {
+    val p = plan(LlmQueries.bpePairs(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"pair counts must partial-aggregate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must be a bounded heap, not a global sort:\n$p")
+  }
 }
