@@ -13,11 +13,24 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The two JSON lines Bench emits — compact (stdout: medians only, stays
-    * under the driver's bounded output tail) and full (BENCH_RESULT.json:
-    * plus all per-query samples). Factored out of `main` so RegistrySpec
-    * can assert the stdout line parses with exactly the registry's query
-    * keys without running the bench.
+  /** The two JSON lines Bench emits — compact (stdout) and full
+    * (BENCH_RESULT.json). Factored out of `main` so RegistrySpec can assert
+    * both lines parse, the full line carries exactly the registry's query
+    * keys, and the compact line stays under the driver's bounded tail
+    * without running the bench.
+    *
+    * The compact line carries NO per-query medians: at 79 registered
+    * queries even 2-decimal medians with full query names ran ~2050 chars,
+    * past the ~1920 chars the driver's 2000-char stdout tail leaves after
+    * sbt's `[success]` trailer — BENCH_r10.json came back `parsed: null`
+    * with 17 of 79 timings cut off the front of the line. A total that
+    * silently covers an unknown subset is worse than no per-query detail,
+    * so stdout now reports `value` (the full-registry total), `n` (how many
+    * queries that total covers), `failed`, and the error map; every
+    * per-query median and sample lives in BENCH_RESULT.json, which is
+    * committed alongside and has no size bound. This keeps the stdout line
+    * O(errors), not O(registry) — it cannot outgrow the tail again as the
+    * registry grows.
     */
   private[graft] def benchJson(
       results: Seq[(String, Double)],
@@ -37,9 +50,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // Error messages are already bounded to 200 chars at capture; bound the
+    // compact line's copy harder (80) so even a many-failure run keeps the
+    // stdout line inside the tail. Full line keeps the 200-char messages.
+    val errsCompact = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalR = math.round(total * 1000).toDouble / 1000
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":${errors.size},"errors":$errsCompact,"detail":"BENCH_RESULT.json","sf":${jstr(sfDir)}}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"sf":${jstr(sfDir)}}"""
     (compact, full)
@@ -87,6 +106,50 @@ object Bench {
       }
     }
 
+    // Same recipe for the text kernels: the JSON-shred pre-JIT killed the
+    // q03–q08 driver-round drift, after which the cold-JIT tail landed on
+    // the text-heavy queries instead (BENCH_r10 driver run: q22/q23/q29
+    // 2–3× their recorded cold medians; VERDICT r10 ask #5). Direct static
+    // calls into each kernel's runtime class — the exact instance methods
+    // every generated word_hits/minhash_sigs/winnow_fps/simhash_md5/
+    // cut_spans call site invokes — reach C2 before the first timed
+    // iteration without creating Spark plans (so no megamorphic
+    // poisoning). Parameters mirror the registry's real call sites:
+    // stopword word_hits (TextStats.enStopwords), minhash_sigs(8)
+    // (Dedup default), winnow_fps(3,4) (TextStats defaults),
+    // simhash_md5 16/32 bits (Dedup q14/q64), cut_spans(3). The md5-based
+    // kernels cost ~2–10 µs/call, so 10k rounds ≈ 100–300 ms total.
+    {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val toks: Array[org.apache.spark.sql.catalyst.util.ArrayData] = Array(
+        new GenericArrayData(
+          "the quick brown fox jumps over the lazy dog and runs to a hole in the hill"
+            .split(' ').map(UTF8String.fromString(_): Any)),
+        new GenericArrayData(Array[Any](UTF8String.fromString("solo"))),
+        new GenericArrayData((Seq[Any](null) ++
+          "a b c d e f g h".split(' ').map(UTF8String.fromString(_): Any)).toArray))
+      val wordHits = new graft.functions.WordHitsKernel(
+        graft.llm.TextStats.enStopwords.toArray)
+      val minhash = new graft.functions.MinHashKernel(8)
+      val winnow = new graft.functions.WinnowKernel(3, 4)
+      val simhash16 = new graft.functions.SimHashKernel(16)
+      val simhash32 = new graft.functions.SimHashKernel(32)
+      val cutSpans = new graft.functions.SpanCutKernel(3)
+      val starts = new GenericArrayData(Array[Any](2))
+      var i = 0
+      while (i < 10000) {
+        val t = toks(i % toks.length)
+        wordHits.count(t)
+        minhash.signatures(t)
+        winnow.fingerprints(t)
+        simhash16.sketch(t)
+        simhash32.sketch(t)
+        cutSpans.cut(t, starts)
+        i += 1
+      }
+    }
+
     // Median of 5 timed iterations per query: single-shot timings swing up
     // to 10x run-to-run from JIT/deopt state (BENCH_r03 90.6s vs a 33.0s
     // rerun of the same commit), and median-of-3 proved robust to only ONE
@@ -129,11 +192,12 @@ object Bench {
       name -> median
     }
 
-    // stdout gets the compact medians-only line: the driver captures only a
-    // bounded tail of sbt output, and the full per-query sample arrays made
-    // the line exceed that buffer (BENCH_r04/r05 "parsed": null). The full
-    // line with all samples still goes to BENCH_RESULT.json so variance
-    // stays auditable.
+    // stdout gets the compact total-only line: the driver captures only a
+    // bounded tail of sbt output, and first the per-query sample arrays
+    // (BENCH_r04/r05) then the per-query medians themselves at 79 queries
+    // (BENCH_r10) outgrew that buffer and came back "parsed": null. The
+    // full line with all medians and samples goes to BENCH_RESULT.json so
+    // per-query timings and variance stay auditable.
     val (compact, full) = benchJson(results, samples, errors, sfDir)
     println(compact)
     Files.writeString(Paths.get("BENCH_RESULT.json"), full + "\n")

@@ -35,14 +35,15 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("Bench stdout line parses as JSON with exactly the registry's query keys") {
-    // build the line exactly as Bench.main would, one fake median per query
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.5)
+  test("Bench stdout line fits the driver tail; full line has registry keys") {
+    // build both lines exactly as Bench.main would, one fake median per query
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.512345678)
     val samples = results.map { case (k, v) => k -> Seq(v) }.toMap
     val (compact, full) = Bench.benchJson(results, samples, Map.empty, "/sf")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    for (line <- Seq(compact, full)) {
-      val root = mapper.readTree(line) // throws on malformed JSON
+    // full line (BENCH_RESULT.json): exactly the registry's query keys
+    locally {
+      val root = mapper.readTree(full) // throws on malformed JSON
       assert(root.get("metric").asText == "total" && root.get("unit").asText == "sec")
       val keys = {
         val it = root.get("queries").fieldNames()
@@ -51,10 +52,30 @@ class RegistrySpec extends SparkTestBase {
       assert(keys == SparkEntry.queries.keySet,
         s"bench line keys drifted from the registry: ${(keys diff SparkEntry.queries.keySet) ++ (SparkEntry.queries.keySet diff keys)}")
     }
+    // compact line (stdout): parses, covers the whole registry via n, and
+    // stays far inside the driver's 2000-char stdout tail even after sbt's
+    // "[success] Total time ..." trailer (~80 chars) eats into it. This is
+    // the guard that BENCH_r10's "parsed": null truncation can't recur as
+    // the registry grows: the line is O(errors), not O(registry).
+    locally {
+      val root = mapper.readTree(compact)
+      assert(root.get("metric").asText == "total" && root.get("unit").asText == "sec")
+      assert(root.get("n").asInt == SparkEntry.queries.size)
+      assert(root.get("failed").asInt == 0)
+      assert(root.get("value").asDouble > 0)
+      assert(compact.length < 600,
+        s"compact stdout line grew to ${compact.length} chars — driver tail is 2000")
+    }
     // error paths survive JSON escaping (quotes, newlines, control chars)
-    val (withErr, _) = Bench.benchJson(results, samples,
-      Map("q99" -> "boom \"quoted\"\nline2"), "/sf")
+    // in both lines, and a many-failure run still fits inside the tail
+    val errs = Map("q99" -> "boom \"quoted\"\nline2") ++
+      results.take(10).map { case (k, _) => k -> ("x" * 200) }.toMap
+    val (withErr, fullErr) = Bench.benchJson(results, samples, errs, "/sf")
     assert(mapper.readTree(withErr).get("errors").get("q99").asText.startsWith("boom"))
+    assert(mapper.readTree(withErr).get("failed").asInt == errs.size)
+    assert(mapper.readTree(fullErr).get("errors").get("q99").asText.startsWith("boom"))
+    assert(withErr.length < 1900,
+      s"compact line with ${errs.size} failures is ${withErr.length} chars — over the tail")
   }
 
   test("every oracle references only relations the driver registers as views") {
