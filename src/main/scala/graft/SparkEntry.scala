@@ -345,9 +345,19 @@ object CoreQueries {
     * bucketing is FOR (the absent Exchange).
     */
   def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
-    // the tag is the sanitized full path, not a hash — a hash collision
-    // between two data dirs would silently serve the first dir's tables
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    // The tag is an INJECTIVE encoding of the full path, not a hash — a
+    // collision between two data dirs would silently serve the first
+    // dir's tables. The catalog lowercases identifiers, so uppercase
+    // can't pass through as itself (a bare .toLowerCase would collide
+    // /data/A with /data/a); instead every char outside [a-z0-9] is
+    // escaped as "_" + its hex code point ("_" always introduces a
+    // fixed-width hex group, so decoding is unambiguous and distinct
+    // paths always get distinct tags).
+    val tag = dir.flatMap {
+      case c if (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') => c.toString
+      case c if c < 256 => f"_${c.toInt}%02x"
+      case c => f"_u${c.toInt}%04x"
+    }
     val (ordersTbl, itemsTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     val base = s"$bucketRoot/$tag"
     if (!spark.catalog.tableExists(ordersTbl) || !spark.catalog.tableExists(itemsTbl)) {

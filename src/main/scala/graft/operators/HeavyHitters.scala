@@ -64,8 +64,10 @@ object HeavyHitters {
 
   /** All values of `keyCol` whose global count × `supportDenom` exceeds
     * the total row count N — i.e. frequency strictly above `N /
-    * supportDenom` — with their EXACT counts. Output: (`keyCol`,
-    * n_occurrences), deterministic (exact counts, threshold in integer
+    * supportDenom` — with their EXACT counts. Output: (`keyCol` as
+    * StringType — all passes run on one string-cast projection, see the
+    * coercion note in the body — n_occurrences), deterministic (exact
+    * counts, threshold in integer
     * arithmetic — no double compare). Null keys are excluded ENTIRELY —
     * from the result, the candidate summaries, and N — so the contract
     * is exactly "naive groupBy + threshold over the non-null keys"
@@ -84,8 +86,17 @@ object HeavyHitters {
   def heavyHitters(keyed: DataFrame, keyCol: String, supportDenom: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
+    // Every pass — summary, semi-join, recount — runs on the SAME
+    // string-cast projection. Joining the string candidates back against
+    // the column's native type would make Spark coerce a bigint USING-join
+    // to double, where keys above 2^53 collide and the operator silently
+    // returns wrong counts; casting once up front keys every pass on the
+    // exact string form (distinct values stay distinct under cast). The
+    // output key column is therefore always StringType, matching the
+    // summary the candidates came from.
     val nonNull = keyed.filter(col(keyCol).isNotNull)
-    val keys: Dataset[String] = nonNull.select(col(keyCol).cast("string")).as[String]
+      .select(col(keyCol).cast("string").as(keyCol))
+    val keys: Dataset[String] = nonNull.as[String]
     val summary = keys.mapPartitions { it =>
         var n = 0L
         val counting = new Iterator[String] {
@@ -98,7 +109,9 @@ object HeavyHitters {
           cands.iterator.map(k => (Some(k), 0L))
       }.toDF(keyCol, "_part_rows")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = summary.agg(sum("_part_rows")).head().getLong(0)
+    // coalesce: a zero-partition input (empty frame, empty parquet read)
+    // emits no (null, n) rows at all, so sum() is NULL, not 0
+    val n = summary.agg(coalesce(sum("_part_rows"), lit(0L))).head().getLong(0)
     val candidates = summary.filter(col(keyCol).isNotNull)
       .select(keyCol).distinct()
     nonNull

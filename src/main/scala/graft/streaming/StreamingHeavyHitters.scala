@@ -88,10 +88,72 @@ object StreamingHeavyHitters {
   /** True once at least one trigger has committed sketch rows — the
     * pre-first-trigger guard, same contract as
     * [[StreamingDistinct.hasSketches]] (a committed `part-*.parquet`
-    * data file, not a bare directory).
+    * data file, not a bare directory). Rolls a half-finished [[compact]]
+    * swap forward/back first, so a crash mid-compaction can never make
+    * the monitor report "no state" while the folded rows sit in a
+    * side directory.
     */
-  def hasState(spark: SparkSession, dir: String): Boolean =
+  def hasState(spark: SparkSession, dir: String): Boolean = {
+    recoverDir(spark, s"$dir/cms")
     StreamingDistinct.hasSketches(spark, s"$dir/cms")
+  }
+
+  /** Finish or undo an interrupted [[compact]] swap on `path`. The swap
+    * protocol is: (a) write folded rows to `path.new`, (b) rename `path`
+    * → `path.old`, (c) rename `path.new` → `path`, (d) delete
+    * `path.old`. Each step is one filesystem rename/delete, so a crash
+    * leaves exactly one of these states, each distinguishable:
+    *
+    *  - `path` exists: authoritative (crash before (b), or after (c)
+    *    with a stale `.old`/partial `.new` left behind) — delete the
+    *    side dirs.
+    *  - `path` missing, `path.new` committed (`_SUCCESS` present —
+    *    step (b) only ever runs after the `.new` write returned): crash
+    *    between (b) and (d) — roll forward: rename `.new` in, drop
+    *    `.old`.
+    *  - `path` missing, no committed `.new`, `path.old` exists:
+    *    defensive roll-back (no step produces this state, but a manual
+    *    cleanup might) — restore `.old`.
+    *
+    * Every reader and [[compact]] itself runs this first, which is what
+    * makes the at-least-once contract hold across a crash at ANY point
+    * of the swap: the accumulated state is always recoverable from one
+    * of the three directories.
+    */
+  private def recoverDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val pNew = new org.apache.hadoop.fs.Path(path + ".new")
+    val pOld = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.delete(pNew, true)
+      fs.delete(pOld, true)
+    } else if (fs.exists(pNew) &&
+        fs.exists(new org.apache.hadoop.fs.Path(pNew, "_SUCCESS"))) {
+      fs.rename(pNew, p)
+      fs.delete(pOld, true)
+    } else if (fs.exists(pOld)) {
+      fs.delete(pNew, true)
+      fs.rename(pOld, p)
+    }
+  }
+
+  /** Replace `path`'s rows with `df` via the [[recoverDir]] swap
+    * protocol — the committed state transitions from all-old rows to
+    * all-new rows with no window where a crash loses both.
+    */
+  private def atomicOverwrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    recoverDir(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val pNew = new org.apache.hadoop.fs.Path(path + ".new")
+    val pOld = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(path + ".new")
+    if (fs.exists(p)) fs.rename(p, pOld)
+    fs.rename(pNew, p)
+    fs.delete(pOld, true)
+  }
 
   /** Fold duplicate batch_id rows deterministically: keep each id's row
     * with the LARGEST n_rows. For ordinary replays the duplicates are
@@ -128,15 +190,23 @@ object StreamingHeavyHitters {
     val n = rows.map(_.getAs[Long]("n_rows")).sum
     val maxId = rows.map(_.getAs[Long]("batch_id")).max
     val merged = Sketches.mergeFreqSketches(rows.map(_.getAs[Array[Byte]]("cms")).toSeq)
+    recoverDir(spark, s"$dir/candidates")
     val candidates = spark.read.parquet(s"$dir/candidates")
       .distinct().as[String].collect()
-    // both reads are fully materialized on the driver above, so the
-    // overwrite below cannot race its own input
-    spark.createDataFrame(
-        java.util.List.of(Row(maxId, n, merged.toByteArray)), cmsSchema)
-      .write.mode("overwrite").parquet(s"$dir/cms")
-    candidates.toSeq.toDF("key")
-      .write.mode("overwrite").parquet(s"$dir/candidates")
+    // Both reads are fully materialized on the driver above. The writes
+    // go through the atomic swap protocol, NOT a plain
+    // mode("overwrite"): Spark's overwrite deletes the target before the
+    // job commits, so a crash mid-rewrite would permanently lose the
+    // accumulated sketch/candidate state while hasState stayed true.
+    // The two dirs swap independently — that's sound because a crash
+    // between them leaves folded cms + unfolded candidates (or the
+    // reverse), and candidate folding is pure distinct(): either
+    // generation of either dir yields identical monitor output.
+    atomicOverwrite(
+      spark.createDataFrame(
+        java.util.List.of(Row(maxId, n, merged.toByteArray)), cmsSchema),
+      s"$dir/cms")
+    atomicOverwrite(candidates.toSeq.toDF("key"), s"$dir/candidates")
   }
 
   /** Keys whose estimated count × denom exceeds the rows-to-date N, with
@@ -158,6 +228,7 @@ object StreamingHeavyHitters {
     val n = cmsRows.map(_.getAs[Long]("n_rows")).sum
     val merged = Sketches.mergeFreqSketches(
       cmsRows.map(_.getAs[Array[Byte]]("cms")).toSeq)
+    recoverDir(spark, s"$dir/candidates")
     val candidates = spark.read.parquet(s"$dir/candidates")
       .distinct().as[String].collect()
     candidates

@@ -75,4 +75,34 @@ class HeavyHittersSpec extends SparkTestBase {
     // every key unique: nothing exceeds n/denom for denom < n
     assert(HeavyHitters.heavyHitters(df, "term", 100).count() == 0)
   }
+
+  test("zero-partition and empty inputs → empty result, not an NPE") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // a truly partitionless frame: no (null, n) summary rows are ever
+    // emitted, so sum(_part_rows) is NULL — the coalesce-to-0 path
+    val zeroPart = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("term", StringType))))
+    assert(zeroPart.rdd.getNumPartitions == 0)
+    assert(HeavyHitters.heavyHitters(zeroPart, "term", 10).count() == 0)
+    // and the all-null variant (rows exist, none survive the filter)
+    val allNull = Seq.fill(5)(Option.empty[String]).toDF("term")
+    assert(HeavyHitters.heavyHitters(allNull, "term", 10).count() == 0)
+  }
+
+  test("long keys above 2^53 that collide as doubles stay distinct") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 are the smallest adjacent longs with the same
+    // double image: a recount joined on the native bigint column would
+    // coerce the string candidates to double and merge the two keys.
+    val a = 9007199254740992L // 2^53
+    val b = a + 1
+    val df = (Seq.fill(40)(a) ++ Seq.fill(30)(b) ++ (1L to 30L))
+      .toDF("id").repartition(4)
+    val got = HeavyHitters.heavyHitters(df, "id", 4) // N=100, threshold 25
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set((a.toString, 40L), (b.toString, 30L)),
+      s"double coercion merged adjacent >2^53 keys: $got")
+  }
 }

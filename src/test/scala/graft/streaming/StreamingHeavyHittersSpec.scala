@@ -90,4 +90,60 @@ class StreamingHeavyHittersSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(replayed == before, "post-compaction replay of the max batch_id must fold away")
   }
+
+  test("a crash at any point of the compaction swap never loses the state") {
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def copyTree(src: Path, dst: Path): Unit =
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    val denom = 10
+    val dir = Files.createTempDirectory("graft-hh").toFile.getAbsolutePath
+    val b1 = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"t$i")).toDF("key")
+    StreamingHeavyHitters.ingestBatch(b1, 0L, "key", dir, denom)
+    val expect = StreamingHeavyHitters.heavyHittersToDate(spark, dir, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expect == Map("hot" -> 60L), "fixture sanity")
+
+    // State A — crash between the .new write and the rename-away of the
+    // live dir: cms intact, committed cms.new beside it. The live dir
+    // must stay authoritative (reading .new too would double-count).
+    val stateA = Files.createTempDirectory("graft-hh-a").toFile.getAbsolutePath
+    copyTree(Paths.get(dir), Paths.get(stateA))
+    copyTree(Paths.get(s"$stateA/cms"), Paths.get(s"$stateA/cms.new"))
+    assert(StreamingHeavyHitters.heavyHittersToDate(spark, stateA, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    assert(!Files.exists(Paths.get(s"$stateA/cms.new")), "stale .new must be dropped")
+
+    // State B — crash between the two renames: live dir gone, committed
+    // .new + .old present. This is the window the plain mode(overwrite)
+    // lost state in; recovery must roll the committed .new forward.
+    val stateB = Files.createTempDirectory("graft-hh-b").toFile.getAbsolutePath
+    copyTree(Paths.get(dir), Paths.get(stateB))
+    Files.move(Paths.get(s"$stateB/cms"), Paths.get(s"$stateB/cms.old"))
+    copyTree(Paths.get(s"$stateB/cms.old"), Paths.get(s"$stateB/cms.new"))
+    assert(StreamingHeavyHitters.hasState(spark, stateB),
+      "mid-swap crash must not read as 'no state'")
+    assert(StreamingHeavyHitters.heavyHittersToDate(spark, stateB, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+
+    // State C — crash with only an UNcommitted .new (no _SUCCESS) and the
+    // old dir renamed aside: recovery must restore .old, not trust .new.
+    val stateC = Files.createTempDirectory("graft-hh-c").toFile.getAbsolutePath
+    copyTree(Paths.get(dir), Paths.get(stateC))
+    Files.move(Paths.get(s"$stateC/cms"), Paths.get(s"$stateC/cms.old"))
+    Files.createDirectories(Paths.get(s"$stateC/cms.new")) // partial: no _SUCCESS
+    assert(StreamingHeavyHitters.heavyHittersToDate(spark, stateC, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+
+    // and the candidates dir recovers through the same protocol
+    val stateD = Files.createTempDirectory("graft-hh-d").toFile.getAbsolutePath
+    copyTree(Paths.get(dir), Paths.get(stateD))
+    Files.move(Paths.get(s"$stateD/candidates"), Paths.get(s"$stateD/candidates.old"))
+    assert(StreamingHeavyHitters.heavyHittersToDate(spark, stateD, denom)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+  }
 }
