@@ -83,6 +83,36 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == Set((1L, 4L)))
   }
 
+  test("a hostile open-ended interval is dropped, not exploded into billions of bins") {
+    // hi = Long.MaxValue sentinel at bin width 10 would sequence() a
+    // ~9.2e17-element array per interval without the cap; the guard must
+    // exclude it while every sane interval still matches — and the
+    // excluded rows must be exactly what oversizedIntervals reports.
+    val ps = Seq((1L, 15L), (2L, 500L))
+    val is = Seq(
+      (1L, 10L, 20L),             // sane: spans 2 bins
+      (2L, 0L, Long.MaxValue),    // hostile open-ended sentinel
+      (3L, Long.MinValue, Long.MaxValue)) // span itself overflows a long
+    val points = ps.toDF("pid", "x")
+    val intervals = is.toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", W)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)), s"capped join diverged: $got")
+    val dropped = RangeJoin.oversizedIntervals(intervals, "lo", "hi", W)
+      .select("iid").as[Long].collect().toSet
+    assert(dropped == Set(2L, 3L), s"drop audit diverged: $dropped")
+    // an interval exactly AT the cap still joins; one past it drops
+    val w = 1L
+    val cap = RangeJoin.DefaultMaxBinsPerInterval
+    val edge = Seq((1L, 0L, cap - 1L), (2L, 0L, cap)).toDF("iid", "lo", "hi")
+    val p1 = Seq((1L, 0L)).toDF("pid", "x")
+    val gotEdge = RangeJoin.pointInInterval(p1, "x", edge, "lo", "hi", w)
+      .select("iid").as[Long].collect().toSet
+    assert(gotEdge == Set(1L), s"cap edge diverged: $gotEdge")
+    assert(RangeJoin.oversizedIntervals(edge, "lo", "hi", w)
+      .select("iid").as[Long].collect().toSet == Set(2L))
+  }
+
   test("rejects a non-positive bin width and overlapping column names") {
     val p = Seq((1L, 1L)).toDF("id", "x")
     val i = Seq((1L, 0L, 2L)).toDF("id", "lo", "hi")
