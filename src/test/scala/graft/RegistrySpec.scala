@@ -8,11 +8,13 @@ class RegistrySpec extends SparkTestBase {
 
   /** Queries DELIBERATELY registered without an oracle (driver records the
     * weaker rows-only check): each needs a reason here AND in its scaladoc,
-    * so a forgotten oracle can never hide in this list silently.
+    * so a forgotten oracle can never hide in this list silently. EMPTY
+    * since round 11: q63's data outcome is oracle-checked (compaction is a
+    * row-level no-op, so the compacted read-back hashes against the source
+    * table) and its filesystem outcome stays require()d in the query +
+    * SourcesSinksSpec.
     */
-  private val rowsOnlyByDesign = Map(
-    "q63_compact_maintenance" ->
-      "filesystem-layout effect; invariants require()d inside the query")
+  private val rowsOnlyByDesign = Map.empty[String, String]
 
   test("every registered query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
