@@ -486,6 +486,58 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
   }
 
+  private val LshTables = 8
+
+  /** q16e — hyperplane LSH at ITS calibrated ≥0.9-recall operating point,
+    * closing the gap q16d left: IVF had a measured high-recall setting
+    * (nprobe=4, recall 0.95) while LSH's single-table ceiling on the
+    * isotropic fixture is 0.46 — its worst case, since every direction is
+    * equally likely to land near a hyperplane. The standard fix is more
+    * TABLES, not more probes: SimilaritySpec's calibration measures
+    * recall@10 = 0.46 / 0.92 / 0.99 at L = 1/4/8 multi-probe tables
+    * (survival 1−(1−p)^L), so L=8 is the registered operating point, same
+    * bar as q16d. Candidate cost stays linear in L (the big side
+    * replicates ×8 through the one bucket-join shuffle — see
+    * [[Similarity.lshTopKTables]]).
+    */
+  def annLshTables(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKTables(embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5,
+      nPlanes = LshPlanes, nTables = LshTables, dims = LshDims)
+
+  /** DuckDB twin of the multi-table LSH: all `L` per-table buckets are a
+    * list indexed by an unnested table id (plane literals shared with the
+    * Spark plan, as in [[q16cOracle]]); the join keys on (table, bucket)
+    * and pairs DEDUP before ranking — the same pair can collide in
+    * several tables.
+    */
+  private val q16eOracle: String = {
+    val bucketExprs = (0 until LshTables).map { t =>
+      val planes = Similarity.hyperplanes(LshPlanes, LshDims, 42L + t)
+      planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"CASE WHEN round(list_dot_product(emb, $arr), 6) > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("CAST(", " + ", " AS BIGINT)")
+    }
+    val probes = "bucket" +: (0 until LshPlanes).map(i => s"xor(bucket, ${1L << i})")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |        [${bucketExprs.mkString(", ")}] AS bks FROM e),
+       |assigned AS (SELECT id, emb, nrm, t.tbl, bks[t.tbl + 1] AS bucket
+       |             FROM n, (SELECT unnest(range($LshTables)) AS tbl) t),
+       |q AS (SELECT id AS query_id, q_emb, q_nrm, tbl,
+       |        unnest([${probes.mkString(", ")}]) AS bucket
+       |      FROM (SELECT id, emb AS q_emb, nrm AS q_nrm, tbl, bucket
+       |            FROM assigned WHERE id % 50 = 0)),
+       |pairs AS (
+       |  SELECT DISTINCT q.query_id, a.id AS neighbor_id,
+       |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
+       |  FROM assigned a JOIN q ON a.tbl = q.tbl AND a.bucket = q.bucket
+       |    AND a.id <> q.query_id),
+       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+  }
+
   def embedNearest(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearestInBlock(embeddings(spark, dir), "vec_id", "embedding", col("label"))
 
@@ -1716,6 +1768,7 @@ object LlmQueries {
     "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
     "q16d_ann_ivf_nprobe4" -> ((s, d) => annIvfNprobe4(s, d)),
     "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "q16e_ann_lsh_tables" -> ((s, d) => annLshTables(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
@@ -1768,6 +1821,7 @@ object LlmQueries {
     "q16b_ann_ivf_nprobe2" -> q16bOracle,
     "q16d_ann_ivf_nprobe4" -> q16dOracle,
     "q16c_ann_lsh" -> q16cOracle,
+    "q16e_ann_lsh_tables" -> q16eOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,

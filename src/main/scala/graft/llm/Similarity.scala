@@ -331,6 +331,55 @@ object Similarity {
     rankTopK(observeCandidates(pairs, candObservation), k)
   }
 
+  /** Multi-TABLE hyperplane LSH top-k: `nTables` independent plane sets
+    * (seeds `seed, seed+1, …`), a candidate meets a query if they share a
+    * bucket in ANY table. This is LSH's standard high-recall lever — a
+    * pair colliding with probability `p` per table survives at
+    * `1 − (1−p)^L`, so recall approaches 1 GEOMETRICALLY in `L` while
+    * cost grows only linearly (each row replicates into exactly `L`
+    * single-table rows; [[graft.llm]]'s SimilaritySpec calibration
+    * measures the single-table ceiling at 0.46 recall@10 on the isotropic
+    * fixture — hyperplane LSH's worst case — and the 8-table operating
+    * point registered as q16e at ≥ 0.9).
+    *
+    * Scale shape vs [[lshTopK]]: signatures for all `L` tables are
+    * row-local literal dot products in one whole-stage-codegen projection
+    * (no per-table scans); the join key is `(table, bucket)` so tables
+    * cannot cross-match, and candidate generation is still exactly one
+    * shuffle of the big side — ×`L` replicated, the documented multi-table
+    * cost, NOT ×`L` extra jobs. Within one table a pair meets at most once
+    * (candidate in one bucket, probe set distinct), but the same pair can
+    * meet in up to `L` tables, so pairs dedup on (query, neighbor) before
+    * ranking — scores are deterministic per pair, so the dedup loses
+    * nothing.
+    */
+  def lshTopKTables(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      queryFilter: Column, k: Int,
+      nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64,
+      multiProbe: Boolean = true, seed: Long = 42L,
+      candObservation: Option[Observation] = None): DataFrame = {
+    require(nTables > 0, s"nTables must be positive, got $nTables")
+    val tables = (0 until nTables).map(t => hyperplanes(nPlanes, dims, seed + t))
+    val base = vectors(vectorsDf, idCol, embCol)
+    val withBuckets = base.withColumn("__buckets",
+      array(tables.map(p => lshBucket(col("emb"), p)): _*))
+    val assigned = withBuckets.select(col("id"), col("emb"),
+      posexplode(col("__buckets")).as(Seq("table", "bucket")))
+    val q = withBuckets.filter(queryFilter)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"),
+        posexplode(col("__buckets")).as(Seq("table", "bucket")))
+      .select(col("query_id"), col("q_emb"), col("table"),
+        explode(lshProbes(col("bucket"), nPlanes, multiProbe)).as("bucket"))
+    val pairs = assigned.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("emb"), col("q_emb"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
+      .select("query_id", "neighbor_id", "score")
+    rankTopK(observeCandidates(pairs, candObservation), k)
+  }
+
   /** Embedding-cosine near-dup: top-1 neighbor per vector within a blocking
     * column (e.g. a label or coarse cluster) — a bucketed join, not a global
     * crossJoin.

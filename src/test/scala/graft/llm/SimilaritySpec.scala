@@ -103,6 +103,18 @@ class SimilaritySpec extends SparkTestBase {
       info(f"lsh multiProbe=$mp: recall@10 = $r%.3f, candidate_pairs = $cands")
       mp -> (r, cands)
     }
+    // the multi-TABLE recall curve: L independent tables push pair
+    // survival to 1-(1-p)^L, so recall must climb toward 1 as L grows even
+    // on this worst-case isotropic fixture where one table ceilings ~0.46
+    val tableCurve = Seq(1, 4, 8).map { nt =>
+      val obs = org.apache.spark.sql.Observation()
+      val df = Similarity.lshTopKTables(emb, "vec_id", "embedding", qf, 10,
+        nTables = nt, candObservation = Some(obs))
+      val r = recallOf(df)
+      val cands = obs.get("candidate_pairs").asInstanceOf[Long]
+      info(f"lsh nTables=$nt: recall@10 = $r%.3f, candidate_pairs = $cands")
+      nt -> (r, cands)
+    }
     // more probes -> more candidates -> recall can only grow (same scorer)
     assert(ivfCurve.map(_._2._1) == ivfCurve.map(_._2._1).sorted,
       s"IVF recall must be monotone in nprobe: $ivfCurve")
@@ -114,6 +126,13 @@ class SimilaritySpec extends SparkTestBase {
     // near-exhaustive on this fixture
     assert(ivfCurve.last._2._1 >= 0.9,
       s"IVF nprobe=8 recall@10 below 0.9: ${ivfCurve.last}")
+    // multi-table LSH: candidates monotone in L; one table matches the
+    // single-table searcher's ceiling; the q16e operating point (L=8,
+    // multi-probe) is a calibrated >= 0.9, same bar as IVF's q16d
+    assert(tableCurve.map(_._2._2) == tableCurve.map(_._2._2).sorted,
+      s"LSH candidate count must be monotone in nTables: $tableCurve")
+    assert(tableCurve.last._2._1 >= 0.9,
+      s"LSH nTables=8 recall@10 below 0.9: ${tableCurve.last}")
   }
 
   test("ivfTopK: recall against brute force is reasonable for nprobe=1") {
