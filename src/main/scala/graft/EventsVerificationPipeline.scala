@@ -41,6 +41,14 @@ case class VerificationParams(
   */
 object EventsVerificationPipeline {
 
+  /** Ceiling on [[runParity]]'s per-channel plan branches — an order of
+    * magnitude above any hand-maintained verification config (the
+    * reference driver loops a literal channel list), while guaranteeing
+    * the parity form's channels×events analysis cost stays bounded. More
+    * channels than this is a signal the caller wants [[run]].
+    */
+  val MaxParityChannels = 32
+
   private val payloadCols = Seq(col("context"), col("traits"), col("properties"))
 
   /** Columns a property name may not collide with: the reference's
@@ -212,6 +220,16 @@ object EventsVerificationPipeline {
     * rank + `first()` version pick. Output is identical to [[run]]; kept as
     * the parity surface and exercised against it in tests.
     *
+    * BOUNDED BY CONTRACT, not a scale path: the per-channel driver loop
+    * builds one plan branch per channel (two bounded collects + a
+    * union-reduce each), so ANALYSIS cost grows with the channel count —
+    * the shape inherited from the reference driver script, which loops a
+    * hand-configured channel list. [[MaxParityChannels]] enforces that
+    * assumption loudly: a spec with more distinct channels than any
+    * hand-maintained verification config fails fast with a pointer to
+    * [[run]], the single-plan form whose cost is channel-count-independent
+    * (one shuffle keyed by channel — the production path at any scale).
+    *
     * Cache ownership: the shredded base catalog is persisted for the channel
     * loop AND for the returned (lazy) union plan, so it cannot be released
     * here. This overload leaves the blocks cached until the session clears
@@ -232,6 +250,10 @@ object EventsVerificationPipeline {
       params: VerificationParams): (DataFrame, () => Unit) = {
     val spark = catalog.sparkSession
     val channels = spec.select("channel").distinct().collect().map(_.get(0).toString).sorted
+    require(channels.length <= MaxParityChannels,
+      s"parity mode builds one plan branch per channel and is bounded at " +
+        s"$MaxParityChannels channels (got ${channels.length}); use run() — " +
+        "the single-plan form — for unbounded channel counts")
     val sharedLongs = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
     // The reference repartitions and caches the catalog ONCE, before its

@@ -1520,11 +1520,14 @@ object LlmQueries {
     * and the injected duplicates put one copy in train and one in val.
     *
     * This registered form is the ONE-SHOT chain — minhash → CC → split in
-    * a single plan, the shape you run when no cluster artifact exists yet.
-    * It is deliberately NOT the 100 TB path: re-deriving clusters per
-    * split assignment is the recompute q52b exists to avoid
-    * ([[Dedup.clusterSplitFrom]] over the [[clusterArtifact]] parquet,
-    * same oracle). The q06/q07 twin convention, applied to dedup.
+    * a single plan, the shape you run when no cluster artifact exists yet
+    * (registered as `q52_cluster_split_oneshot` since round 11, so the
+    * name itself declares the role). It is deliberately NOT the 100 TB
+    * path: re-deriving clusters per split assignment is the recompute
+    * q52b exists to avoid ([[Dedup.clusterSplitFrom]] over the
+    * [[clusterArtifact]] parquet, same oracle — measured flat at 10×
+    * data while this form grows with corpus size). The q06/q07 twin
+    * convention, applied to dedup.
     */
   def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DocumentsFixture.corpusDf(spark, dir)
@@ -1798,7 +1801,7 @@ object LlmQueries {
     "q50_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q51_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q65_span_dedup" -> ((s, d) => spanDedupDocs(s, d)),
-    "q52_cluster_split" -> ((s, d) => clusterSplit(s, d)),
+    "q52_cluster_split_oneshot" -> ((s, d) => clusterSplit(s, d)),
     "q52b_cluster_split_artifact" -> ((s, d) => clusterSplitFromArtifact(s, d)),
     "q62_normalize" -> ((s, d) => normalizeDocs(s, d)),
     "q53_temp_sample" -> ((s, d) => tempSample(s, d)),
@@ -1851,7 +1854,7 @@ object LlmQueries {
     "q50_token_budget" -> q50Oracle,
     "q51_line_dedup" -> q51Oracle,
     "q65_span_dedup" -> q65Oracle,
-    "q52_cluster_split" -> q52Oracle,
+    "q52_cluster_split_oneshot" -> q52Oracle,
     // q52b: identical semantics, identical twin — the artifact path must
     // reproduce the one-shot chain bit-for-bit or it is not a valid reuse.
     "q52b_cluster_split_artifact" -> q52Oracle,
