@@ -10,9 +10,16 @@ duplicate structure LINEAR in the replica count:
 - documents: every token gets a per-replica suffix, so within-replica
   shingle/minhash dup structure is preserved exactly while cross-replica
   shingles are disjoint (no quadratic cross-replica pair blowup).
-- embeddings: vectors are rotated by 6*k dims per replica — near-orthogonal
-  across replicas for random vectors — and vec_id offsets stay multiples of
-  100 so the %50/%100 query-set selections keep the same per-replica shape.
+- embeddings: vectors are rotated by 6*k dims AND multiplied by a
+  per-replica Rademacher ±1 sign pattern. The sign flip is what makes the
+  construction survive R > 32: pure rotations repeat every gcd-cycle of
+  the 64-dim space (replica k and k+32 would carry IDENTICAL vectors,
+  seeding cross-replica exact-dup clusters), while an elementwise sign
+  pattern s preserves every within-replica dot product exactly
+  (dot(s*u, s*v) = dot(u, v)) and keeps independently-signed replicas
+  near-orthogonal in expectation for ANY replica count. vec_id offsets
+  stay multiples of 100 so the %50/%100 query-set selections keep the
+  same per-replica shape.
 - events: id offsets are multiples of every modulus the catalog synthesis
   uses (event_id: lcm(23,5,10,4,17,6,3,7,11,100) = 9_032_100; user_id:
   lcm(2..7,13)*1000 = 5_460_000), so each replica reproduces the same
@@ -54,7 +61,10 @@ for k in range(R):
     c = e.copy()
     c["vec_id"] = c["vec_id"] + k * 1_000_000
     if k > 0:
-        c["embedding"] = c["embedding"].map(lambda v: np.roll(np.asarray(v), 6 * k))
+        signs = np.random.RandomState(k).choice(
+            np.array([-1.0, 1.0], dtype=np.float32), size=64)
+        c["embedding"] = c["embedding"].map(
+            lambda v: (np.roll(np.asarray(v, dtype=np.float32), 6 * k) * signs))
     parts.append(c)
 out = pd.concat(parts, ignore_index=True)
 pq.write_table(pa.Table.from_pandas(out, schema=t.schema, preserve_index=False),
