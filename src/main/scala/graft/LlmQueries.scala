@@ -1322,6 +1322,56 @@ object LlmQueries {
        |  CAST(coalesce(p.cluster, c.vec_id) = c.vec_id AS INT) AS keep
        |FROM corpus c LEFT JOIN comp p USING (vec_id)""".stripMargin
 
+  /** q48b — semantic dedup blocked by nearest-centroid CELL, the form that
+    * survives data growth: q48's label blocking is a fixed-cardinality
+    * partition, so its within-block pair work grows quadratically with
+    * the corpus — measured 810× wall at 100× data on the replica
+    * (BASELINE.md), the round-11 scale experiment's headline finding. Here
+    * centroids come from `vec_id % 100 = 0` (the q16 IVF convention):
+    * cell COUNT grows with the corpus, expected cell population stays
+    * constant, pair work stays linear — measured 15× wall at 100× data.
+    * Same output contract and closure as q48; the trade is near-dups
+    * straddling a cell border (see [[Similarity.semanticClustersCells]]).
+    */
+  def semanticDedupCells(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = EmbeddingsFixture.corpusDf(spark, dir)
+    Similarity.semanticClustersCells(
+      corpus, "vec_id", "embedding", col("id") % 100 === 0, CosineDupThreshold)
+  }
+
+  /** Twin: q16's nearest-centroid assignment CTE (same rounded-cosine
+    * scoring, same deterministic tie-break) feeding q48's pair + closure
+    * chain, over the same injected-near-dup corpus fixture.
+    */
+  private val q48bOracle: String =
+    s"""WITH RECURSIVE corpus AS (${EmbeddingsFixture.corpusSql()}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM corpus),
+       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE id % 100 = 0),
+       |assigned AS (
+       |  SELECT id, emb, nrm, c_id AS bucket FROM (
+       |    SELECT n.id, n.emb, n.nrm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+       |    FROM n, c) WHERE r = 1),
+       |scoredp AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+       |  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (SELECT * FROM scoredp WHERE score >= $CosineDupThreshold),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       |comp AS (SELECT u AS vec_id, least(u, min(v)) AS cluster
+       |  FROM reach GROUP BY u)
+       |SELECT c.vec_id, coalesce(p.cluster, c.vec_id) AS cluster,
+       |  CAST(coalesce(p.cluster, c.vec_id) = c.vec_id AS INT) AS keep
+       |FROM corpus c LEFT JOIN comp p USING (vec_id)""".stripMargin
+
   // ---- q49: per-language quality floor ---------------------------------
 
   private val FloorQuantile = 0.1
@@ -1797,6 +1847,7 @@ object LlmQueries {
     "q46_source_cap" -> ((s, d) => sourceCap(s, d)),
     "q47_interdoc_dup" -> ((s, d) => interDocDup(s, d)),
     "q48_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
+    "q48b_semantic_dedup_cells" -> ((s, d) => semanticDedupCells(s, d)),
     "q49_quality_floor" -> ((s, d) => qualityFloor(s, d)),
     "q50_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q51_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -1850,6 +1901,7 @@ object LlmQueries {
     "q46_source_cap" -> q46Oracle,
     "q47_interdoc_dup" -> q47Oracle,
     "q48_semantic_dedup" -> q48Oracle,
+    "q48b_semantic_dedup_cells" -> q48bOracle,
     "q49_quality_floor" -> q49Oracle,
     "q50_token_budget" -> q50Oracle,
     "q51_line_dedup" -> q51Oracle,

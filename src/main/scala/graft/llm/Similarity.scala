@@ -99,14 +99,27 @@ object Similarity {
 
   /** IVF bucket assignment: nearest centroid by cosine (ties → smaller
     * centroid id). Output: (id, emb, bucket).
+    *
+    * Argmin as an AGGREGATION, not a window: `min_by` over the
+    * (−score, c_id) struct picks exactly the row a
+    * `row_number() OVER (ORDER BY score DESC, c_id)` filter would (c_id
+    * is unique within a group, so the struct order is total — ties
+    * impossible), but the N×|centroids| scored rows collapse map-side to
+    * one row per id BEFORE any exchange. The window form shuffled and
+    * sorted the full scored cross product, which at a corpus-scaled
+    * centroid count (|centroids| ∝ N, the q48b/SemDeDup regime) is an
+    * O(N²/cell) shuffle — the assignment, not the pairing, would have
+    * become the quadratic term.
     */
   def ivfAssign(n: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("id").as("c_id"), col("emb").as("c_emb"))
     val scored = n.join(broadcast(c))
       .withColumn("c_score", round(fusedCosine(col("emb"), col("c_emb")), 6))
-    val w = Window.partitionBy("id").orderBy(desc("c_score"), col("c_id"))
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("id"), col("emb"), col("c_id").as("bucket"))
+    scored.groupBy("id")
+      .agg(
+        min_by(col("c_id"), struct(negate(col("c_score")), col("c_id"))).as("bucket"),
+        any_value(col("emb")).as("emb"))
+      .select(col("id"), col("emb"), col("bucket"))
   }
 
   /** One distributed Lloyd refinement of the IVF centroid set: assign
@@ -480,6 +493,47 @@ object Similarity {
       threshold: Double): DataFrame = {
     val pairs = cosinePairs(df, idCol, embCol, blockCol, threshold)
     val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+    semanticKeep(df, idCol, cc)
+  }
+
+  /** [[semanticClusters]] blocked by nearest-CENTROID cell instead of a
+    * caller-supplied column — the form whose cost model survives data
+    * growth. A fixed-cardinality block column (a label, a language)
+    * violates [[cosinePairs]]'s bounded-block precondition as data grows:
+    * block population grows linearly with the corpus, so within-block
+    * candidate pairs grow QUADRATICALLY — measured on the 100× replica as
+    * an 810× wall-time blowup for the label-blocked q48 (BASELINE.md
+    * round-11 scale table). Here the centroid set comes from
+    * `centroidFilter` (the q16 IVF convention, e.g. `id % 100 = 0`), so
+    * the CELL COUNT scales with the corpus while expected cell population
+    * stays constant — pair work grows linearly, the same
+    * resolution-vs-capacity trade IVF makes for search and SemDeDup-style
+    * pipelines make with k-means cells for dedup (public literature).
+    * The trade is recall at cell borders: near-dups straddling two cells
+    * are not paired (exactly the pairs a fixed-label blocking would also
+    * lose once capped); [[SimilaritySpec]] pins that the cell-blocked
+    * clusters still recover the fixture's injected near-dup pairs.
+    *
+    * Assignment is [[ivfAssign]] — broadcast centroids, row-local nearest
+    * by rounded cosine with deterministic ties — so the output is as
+    * engine-reproducible as q16's buckets, and the same assignment SQL
+    * serves as the DuckDB twin.
+    */
+  def semanticClustersCells(
+      df: DataFrame, idCol: String, embCol: String,
+      centroidFilter: Column, threshold: Double): DataFrame = {
+    val n = vectors(df, idCol, embCol)
+    val assigned = ivfAssign(n, n.filter(centroidFilter))
+    val pairs = cosinePairs(assigned, "id", "emb", col("bucket"), threshold)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+    semanticKeep(df, idCol, cc)
+  }
+
+  /** Shared tail of the semantic-dedup variants: every input id once,
+    * (vec_id, cluster, keep) with keep=1 on the canonical (min-id) member,
+    * INT so the cross-engine compare never sees a boolean.
+    */
+  private def semanticKeep(df: DataFrame, idCol: String, cc: DataFrame): DataFrame =
     df.select(col(idCol).as("vec_id"))
       .join(cc, Seq("vec_id"), "left")
       .select(
@@ -487,5 +541,4 @@ object Similarity {
         coalesce(col("cluster"), col("vec_id")).as("cluster"),
         (coalesce(col("cluster"), col("vec_id")) === col("vec_id"))
           .cast("int").as("keep"))
-  }
 }

@@ -311,4 +311,30 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(chained == Set((10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0)), s"got $chained")
   }
+
+  test("semanticClustersCells: recovers every injected near-dup; one keep per cluster") {
+    // The cell-blocked form's recall trade is near-dups straddling a cell
+    // border — but an INJECTED duplicate is the identical vector, so it
+    // always shares its original's nearest centroid and can never be
+    // split from it by the blocking. Every fixture pair must co-cluster.
+    val corpus = graft.fixtures.EmbeddingsFixture.corpusDf(spark, dir)
+    val out = Similarity.semanticClustersCells(
+        corpus, "vec_id", "embedding", col("id") % 100 === 0, 0.995)
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == corpus.count(), "every input id exactly once")
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val injected = corpus.filter(col("vec_id") >= 10000)
+      .select("vec_id").as[Long].collect()
+    assert(injected.nonEmpty, "fixture sanity: injected dups exist")
+    injected.foreach { dup =>
+      assert(cluster(dup) == cluster(dup - 10000),
+        s"injected dup $dup split from its original by cell blocking")
+    }
+    // exactly one canonical keep per cluster, and it is the min id
+    out.groupBy(_._2).foreach { case (c, members) =>
+      val keeps = members.filter(_._3 == 1).map(_._1)
+      assert(keeps.toSeq == Seq(members.map(_._1).min),
+        s"cluster $c canonical-keep contract violated: ${members.toSeq}")
+    }
+  }
 }
