@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe replacement of a small persisted-state parquet directory.
+  *
+  * Spark's `mode("overwrite")` deletes the target BEFORE the job commits,
+  * so a crash mid-rewrite permanently loses the accumulated state while
+  * the surrounding "state exists" checks keep returning true — the
+  * failure mode round 10's advisory flagged on the heavy-hitters
+  * compaction, and the same class of bug for ANY monitor that maintains
+  * its state as overwrite-in-place parquet ([[StreamingReport]]'s
+  * observed-key set, [[StreamingHeavyHitters]]' folded sketch/candidate
+  * tables).
+  *
+  * The swap protocol ([[overwrite]]): (a) write new rows to `path.new`,
+  * (b) rename `path` → `path.old`, (c) rename `path.new` → `path`,
+  * (d) delete `path.old`. Each step is one filesystem rename/delete, so
+  * a crash leaves exactly one distinguishable state, and [[heal]] —
+  * which every reader and every writer runs first — maps each back to a
+  * committed generation:
+  *
+  *  - `path` exists: authoritative (crash before (b), or after (c) with
+  *    a stale `.old`/partial `.new` left behind) — delete the side dirs.
+  *  - `path` missing, `path.new` committed (`_SUCCESS` present — step
+  *    (b) only ever runs after the `.new` write returned): crash between
+  *    (b) and (d) — roll forward: rename `.new` in, drop `.old`.
+  *  - `path` missing, no committed `.new`, `path.old` exists: defensive
+  *    roll-back (no step produces this state, but a manual cleanup
+  *    might) — restore `.old`.
+  *
+  * At 100 TB this state is kilobytes-to-megabytes of monitor metadata,
+  * never data-scale — the point is durability, not throughput. On an
+  * object store without atomic rename the same protocol holds with
+  * copy+delete semantics (HDFS/ABFS rename is atomic; S3A's rename is
+  * copy-based but still leaves one of the three recoverable states).
+  */
+object AtomicState {
+
+  /** Finish or undo an interrupted [[overwrite]] swap on `path` (see
+    * protocol above). Idempotent; cheap no-op when `path` is healthy.
+    */
+  def heal(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val pNew = new Path(path + ".new")
+    val pOld = new Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.delete(pNew, true)
+      fs.delete(pOld, true)
+    } else if (fs.exists(pNew) && fs.exists(new Path(pNew, "_SUCCESS"))) {
+      fs.rename(pNew, p)
+      fs.delete(pOld, true)
+    } else if (fs.exists(pOld)) {
+      fs.delete(pNew, true)
+      fs.rename(pOld, p)
+    }
+  }
+
+  /** Replace `path`'s rows with `df` via the swap protocol — the
+    * committed state transitions from all-old rows to all-new rows with
+    * no window where a crash loses both generations.
+    */
+  def overwrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    heal(spark, path)
+    val p = new Path(path)
+    val pNew = new Path(path + ".new")
+    val pOld = new Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(path + ".new")
+    if (fs.exists(p)) fs.rename(p, pOld)
+    fs.rename(pNew, p)
+    fs.delete(pOld, true)
+  }
+}

@@ -98,62 +98,24 @@ object StreamingHeavyHitters {
     StreamingDistinct.hasSketches(spark, s"$dir/cms")
   }
 
-  /** Finish or undo an interrupted [[compact]] swap on `path`. The swap
-    * protocol is: (a) write folded rows to `path.new`, (b) rename `path`
-    * → `path.old`, (c) rename `path.new` → `path`, (d) delete
-    * `path.old`. Each step is one filesystem rename/delete, so a crash
-    * leaves exactly one of these states, each distinguishable:
-    *
-    *  - `path` exists: authoritative (crash before (b), or after (c)
-    *    with a stale `.old`/partial `.new` left behind) — delete the
-    *    side dirs.
-    *  - `path` missing, `path.new` committed (`_SUCCESS` present —
-    *    step (b) only ever runs after the `.new` write returned): crash
-    *    between (b) and (d) — roll forward: rename `.new` in, drop
-    *    `.old`.
-    *  - `path` missing, no committed `.new`, `path.old` exists:
-    *    defensive roll-back (no step produces this state, but a manual
-    *    cleanup might) — restore `.old`.
-    *
+  /** Finish or undo an interrupted [[compact]] swap on `path` — the
+    * [[AtomicState]] heal protocol (extracted there verbatim once
+    * [[StreamingReport]]'s observed-key set needed the same
+    * crash-safety; full state machine documented on [[AtomicState]]).
     * Every reader and [[compact]] itself runs this first, which is what
     * makes the at-least-once contract hold across a crash at ANY point
     * of the swap: the accumulated state is always recoverable from one
     * of the three directories.
     */
-  private def recoverDir(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val pNew = new org.apache.hadoop.fs.Path(path + ".new")
-    val pOld = new org.apache.hadoop.fs.Path(path + ".old")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      fs.delete(pNew, true)
-      fs.delete(pOld, true)
-    } else if (fs.exists(pNew) &&
-        fs.exists(new org.apache.hadoop.fs.Path(pNew, "_SUCCESS"))) {
-      fs.rename(pNew, p)
-      fs.delete(pOld, true)
-    } else if (fs.exists(pOld)) {
-      fs.delete(pNew, true)
-      fs.rename(pOld, p)
-    }
-  }
+  private def recoverDir(spark: SparkSession, path: String): Unit =
+    AtomicState.heal(spark, path)
 
-  /** Replace `path`'s rows with `df` via the [[recoverDir]] swap
+  /** Replace `path`'s rows with `df` via the [[AtomicState]] swap
     * protocol — the committed state transitions from all-old rows to
     * all-new rows with no window where a crash loses both.
     */
-  private def atomicOverwrite(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    recoverDir(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val pNew = new org.apache.hadoop.fs.Path(path + ".new")
-    val pOld = new org.apache.hadoop.fs.Path(path + ".old")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode("overwrite").parquet(path + ".new")
-    if (fs.exists(p)) fs.rename(p, pOld)
-    fs.rename(pNew, p)
-    fs.delete(pOld, true)
-  }
+  private def atomicOverwrite(df: DataFrame, path: String): Unit =
+    AtomicState.overwrite(df, path)
 
   /** Fold duplicate batch_id rows deterministically: keep each id's row
     * with the LARGEST n_rows. For ordinary replays the duplicates are

@@ -124,20 +124,30 @@ object StreamingReport {
       .collect().map(_.getLong(0)).toSet
 
   private def readObserved(
-      spark: SparkSession, dir: String): Map[String, Seq[String]] =
+      spark: SparkSession, dir: String): Map[String, Seq[String]] = {
+    // roll a half-finished writeObserved swap forward/back first: after a
+    // crash mid-swap the committed generation lives in observed.new/.old
+    AtomicState.heal(spark, observedDir(dir))
     if (!hasCommittedFile(spark, observedDir(dir))) Map.empty
     else spark.read.parquet(observedDir(dir))
       .collect()
       .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getString(1)).toSeq.distinct.sorted).toMap
+  }
 
   private def writeObserved(
       spark: SparkSession, observed: Map[String, Seq[String]], dir: String): Unit = {
     import spark.implicits._
-    // tiny (channels × spellings); overwrite keeps it a set, not a log
-    observed.toSeq.flatMap { case (ch, ks) => ks.map(ch -> _) }
-      .toDF("channel", "key")
-      .write.mode("overwrite").parquet(observedDir(dir))
+    // tiny (channels × spellings); overwrite keeps it a set, not a log.
+    // Through the AtomicState swap, NOT a plain mode("overwrite"): the
+    // observed set folds into EVERY later batch's rlike flags, so losing
+    // it to a crash mid-rewrite would silently change incremental-vs-batch
+    // semantics for the rest of the stream (prior spellings forgotten),
+    // with nothing downstream able to detect the loss.
+    AtomicState.overwrite(
+      observed.toSeq.flatMap { case (ch, ks) => ks.map(ch -> _) }
+        .toDF("channel", "key"),
+      observedDir(dir))
   }
 
   private def hasCommittedFile(spark: SparkSession, path: String): Boolean = {

@@ -65,4 +65,67 @@ class StreamingReportSpec extends SparkTestBase {
     val twice = StreamingReport.reportToDate(spark, spec, params, dir).collect().toSet
     assert(twice == once, "replayed batch must not change any count")
   }
+
+  test("a crash mid-swap of the observed-key set never loses it") {
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def copyTree(src: Path, dst: Path): Unit =
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    def deleteTree(p: Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    val dir = Files.createTempDirectory("graft-streport-crash").toFile.getAbsolutePath
+    val spec = EventCatalogFixture.specDf(spark)
+    val params = PipelineQueries.params
+    val catalog = EventCatalogFixture.catalogDf(spark, dataDir)
+    val rows = catalog.as[CatRow].collect()
+    val (b0, rest) = rows.splitAt(rows.length / 3)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    def ingest(b: Seq[CatRow], id: Long): Boolean =
+      StreamingReport.ingestBatch(b.toDF(), id, spec, params, dir)
+    def observedSet(): Set[(String, String)] =
+      spark.read.parquet(s"$dir/observed").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+
+    assert(ingest(b0.toSeq, 0L))
+    val observed = Paths.get(s"$dir/observed")
+    assert(Files.exists(observed), "fixture sanity: observed set persisted")
+    val obs0 = observedSet()
+    assert(obs0.nonEmpty, "fixture sanity: some identifier keys observed")
+
+    // State A — crash after the observed.new write but before the live
+    // dir was renamed away: live stays authoritative, stale .new dropped
+    // by the next ingest's heal.
+    copyTree(observed, Paths.get(s"$dir/observed.new"))
+    assert(ingest(b1.toSeq, 1L), "ingest after an interrupted swap must proceed")
+    assert(!Files.exists(Paths.get(s"$dir/observed.new")),
+      "stale .new must be dropped once the live dir is authoritative")
+    val obs1 = observedSet()
+    assert(obs0.subsetOf(obs1), "healing must keep every prior spelling")
+
+    // State B — crash between rename-away and rename-in: live dir gone,
+    // committed generation sits in observed.new. The next ingest's read
+    // must roll it forward — under the old plain mode("overwrite") this
+    // state read as "no observed keys ever" and silently dropped every
+    // prior spelling from all later batches' rlike flags.
+    copyTree(observed, Paths.get(s"$dir/observed.new"))
+    deleteTree(observed)
+    assert(ingest(b2.toSeq, 2L), "ingest after a torn swap must roll forward")
+    assert(Files.exists(observed), "roll-forward must restore observed/")
+    assert(!Files.exists(Paths.get(s"$dir/observed.new")))
+    assert(obs1.subsetOf(observedSet()),
+      "no spelling may be lost across the torn swap")
+
+    // end-to-end: with the swaps healed, incremental still ≡ batch
+    val incremental = StreamingReport.reportToDate(spark, spec, params, dir)
+      .collect().toSet
+    val batch = EventsVerificationPipeline.run(catalog, spec, params)
+      .collect().toSet
+    assert(incremental == batch,
+      "crash-healed incremental report must equal the batch run")
+  }
 }
