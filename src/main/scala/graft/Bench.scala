@@ -156,7 +156,13 @@ object Bench {
     // bad sample — the r04 driver run landed TWO cold samples on q07
     // (41.6/43.8/3.4 -> median 41.6). Five iterations tolerate two; all
     // samples are still reported alongside, so variance stays visible.
-    val Iterations = 5
+    // SPARK_GRAFT_ITERS: local-run override for scale-evidence sweeps where
+    // a single iteration runs minutes (the 100× replica) and five would
+    // burn an hour for the same median. The driver never sets it, so every
+    // recorded signal stays median-of-5.
+    val Iterations = sys.env.get("SPARK_GRAFT_ITERS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(5)
     var errors = Map.empty[String, String]
     var samples = Map.empty[String, Seq[Double]]
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q05,q07 times just the

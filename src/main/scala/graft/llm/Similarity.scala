@@ -97,28 +97,56 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Centroid-index width of the [[ivfAssign]] packed argmax key: dense
+    * centroid ranks occupy the low 42 bits, the shifted rounded score the
+    * high 21 (score ∈ [−1, 1] at 6 decimals → [0, 2e6] < 2^21;
+    * 2e6 × 2^42 + 2^42 − 1 ≈ 8.8e18 stays inside Long). 2^42 centroids is
+    * four orders of magnitude past any IVF list count worth building.
+    */
+  private val IvfIdxCap = 1L << 42
+
   /** IVF bucket assignment: nearest centroid by cosine (ties → smaller
     * centroid id). Output: (id, emb, bucket).
     *
-    * Argmin as an AGGREGATION, not a window: `min_by` over the
-    * (−score, c_id) struct picks exactly the row a
-    * `row_number() OVER (ORDER BY score DESC, c_id)` filter would (c_id
-    * is unique within a group, so the struct order is total — ties
-    * impossible), but the N×|centroids| scored rows collapse map-side to
-    * one row per id BEFORE any exchange. The window form shuffled and
-    * sorted the full scored cross product, which at a corpus-scaled
-    * centroid count (|centroids| ∝ N, the q48b/SemDeDup regime) is an
-    * O(N²/cell) shuffle — the assignment, not the pairing, would have
-    * become the quadratic term.
+    * Argmin as a HASH-AGGREGABLE aggregation, not a window and not a
+    * struct-ordered `min_by`: the (score, centroid) choice is packed into
+    * ONE BIGINT — `(score_micros + 1e6) · 2^42 + (2^42 − 1 − c_rank)`,
+    * with `c_rank` the centroid's dense rank by ascending id — so `max`
+    * over it picks exactly the row a `row_number() OVER (ORDER BY score
+    * DESC, c_id)` filter would (rank inverts, so the max prefers the
+    * SMALLER id on score ties; ranks are unique, so the order is total).
+    * Why the packing matters: `min_by(c_id, struct(−score, c_id))` and
+    * `any_value(emb)` carry struct/array aggregation buffers, which
+    * HashAggregate cannot hold in its fixed-width hash map — Spark
+    * silently plans a SortAggregate, and the partial pass then SORTS the
+    * full N×|centroids| scored cross product before collapsing it. At the
+    * 100× replica (2.4e5 × 4e3 ≈ 10⁹ rows, twice — the q48b self-join
+    * evaluates the assignment subplan on both sides) those spilled sorts
+    * ran minutes and then OOMed an 8 GiB heap in the spill readers. With
+    * the all-BIGINT key the partial HashAggregate collapses the cross
+    * product map-side to one row per id before the exchange — no sort, no
+    * wide rows in flight, the shape the original scaladoc claimed. The
+    * embedding is re-attached by a narrow co-partitioned self-join on id
+    * (O(N) rows) and the bucket decodes back through the tiny broadcast
+    * rank→id map, keeping the centroid-id column's original type.
+    *
+    * A window over the CENTROID set (not the corpus) assigns the dense
+    * ranks: single-partition by construction, bounded by the same
+    * broadcastability contract the assignment join already relies on.
     */
   def ivfAssign(n: DataFrame, centroids: DataFrame): DataFrame = {
+    val cw = Window.orderBy("c_id")
     val c = centroids.select(col("id").as("c_id"), col("emb").as("c_emb"))
+      .withColumn("c_rank", row_number().over(cw).cast("long") - 1L)
     val scored = n.join(broadcast(c))
-      .withColumn("c_score", round(fusedCosine(col("emb"), col("c_emb")), 6))
-    scored.groupBy("id")
-      .agg(
-        min_by(col("c_id"), struct(negate(col("c_score")), col("c_id"))).as("bucket"),
-        any_value(col("emb")).as("emb"))
+      .select(col("id"),
+        ((round(round(fusedCosine(col("emb"), col("c_emb")), 6) * 1e6)
+            .cast("long") + 1000000L) * IvfIdxCap
+          + (lit(IvfIdxCap - 1L) - col("c_rank"))).as("packed"))
+    val picked = scored.groupBy("id").agg(max("packed").as("mx"))
+      .select(col("id"), (lit(IvfIdxCap - 1L) - (col("mx") % IvfIdxCap)).as("c_rank"))
+    n.join(picked, "id")
+      .join(broadcast(c.select(col("c_rank"), col("c_id").as("bucket"))), "c_rank")
       .select(col("id"), col("emb"), col("bucket"))
   }
 
