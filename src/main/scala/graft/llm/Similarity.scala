@@ -393,6 +393,29 @@ object Similarity {
     * meet in up to `L` tables, so pairs dedup on (query, neighbor) before
     * ranking — scores are deterministic per pair, so the dedup loses
     * nothing.
+    *
+    * The dedup is NARROW by construction: the bucket join emits only the
+    * two id columns, `distinct()` collapses them in a map-side-combinable
+    * HashAggregate, and the embeddings re-attach AFTERWARDS (neighbor emb
+    * via a co-partitioned join on id, query emb via the tiny broadcast
+    * query set), so each unique pair is scored exactly once. The first
+    * registered form deduped rows that still CARRIED both embedding
+    * arrays — `dropDuplicates` plans a `first(array)` aggregate whose
+    * buffer HashAggregate can't hold, so Spark sort-aggregated the full
+    * collision multiset (≈ 3×10⁹ KB-wide rows on the 100× replica) and
+    * died in spill with SparkOutOfMemoryError (round-11 scale run).
+    *
+    * Operating-point caveat, measured on the same replica: with FIXED
+    * plane count the per-bucket occupancy is N/2^planes, so the unique
+    * candidate set approaches all of |Q|×|N| as the corpus grows
+    * (4 planes, 5 probes, 8 tables ⇒ ≈ 95% of the corpus per query) and
+    * the narrow shape above merely makes that degeneration spill-safe
+    * instead of fatal. Scaling hyperplane LSH honestly requires planes ∝
+    * log N (constant expected occupancy, the q48b cells-vs-labels
+    * argument applied to bucket geometry) and re-calibrating recall at
+    * the new point; q16e stays pinned to the fixture-calibrated geometry
+    * because its oracle shares the plane literals, and IVF (q16d) remains
+    * the production ANN path at scale.
     */
   def lshTopKTables(
       vectorsDf: DataFrame, idCol: String, embCol: String,
@@ -407,15 +430,21 @@ object Similarity {
       array(tables.map(p => lshBucket(col("emb"), p)): _*))
     val assigned = withBuckets.select(col("id"), col("emb"),
       posexplode(col("__buckets")).as(Seq("table", "bucket")))
+    val qBase = withBuckets.filter(queryFilter)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
     val q = withBuckets.filter(queryFilter)
-      .select(col("id").as("query_id"), col("emb").as("q_emb"),
+      .select(col("id").as("query_id"),
         posexplode(col("__buckets")).as(Seq("table", "bucket")))
-      .select(col("query_id"), col("q_emb"), col("table"),
+      .select(col("query_id"), col("table"),
         explode(lshProbes(col("bucket"), nPlanes, multiProbe)).as("bucket"))
-    val pairs = assigned.join(broadcast(q), Seq("table", "bucket"))
+    val cand = assigned.select(col("id"), col("table"), col("bucket"))
+      .join(broadcast(q), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("emb"), col("q_emb"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val pairs = cand
+      .join(base.select(col("id").as("neighbor_id"), col("emb")), Seq("neighbor_id"))
+      .join(broadcast(qBase), Seq("query_id"))
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select("query_id", "neighbor_id", "score")
     rankTopK(observeCandidates(pairs, candObservation), k)
