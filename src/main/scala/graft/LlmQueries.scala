@@ -390,6 +390,78 @@ object LlmQueries {
     Similarity.ivfTopK(embeddings(spark, dir), "vec_id", "embedding",
       col("id") % 50 === 0, col("id") % 100 === 0, k = 5, nprobe = 4)
 
+  /** Fraction of the centroid set q16f probes per query: 0.2 ≈ the corpus
+    * fraction q16d's calibrated fixture point reaches (nprobe=4 of the
+    * sf0.01 fixture's ~20 cells), now held CONSTANT at every scale.
+    */
+  private val AdaptiveProbeFraction = 0.2
+
+  /** q16f — IVF at SCALE-ADAPTIVE geometry: centroid count k = ⌈√N⌉
+    * (selected as `id % (N div k) = 0` — deterministic and exactly
+    * reproducible in the oracle, which derives the same stride from its
+    * own `count(*)`), probing `nprobe = ⌈0.2·k⌉` buckets per query.
+    *
+    * Why this exists, with measured evidence (BASELINE.md round-11 scale
+    * tables): the `% 100` centroid convention grows k LINEARLY with the
+    * corpus, which (a) makes the broadcast-assignment cross product
+    * N × N/100 quadratic — the dominant cost in q16's measured 14.9×
+    * per-decade wall growth — and (b) silently DECAYS recall, because a
+    * fixed nprobe probes a 10×-smaller fraction of the corpus every
+    * decade, invalidating q16d's calibrated ≥0.95 point anywhere but the
+    * scale it was calibrated at. k = ⌈√N⌉ is the classic IVF-Flat
+    * balance (assignment N·√N, cell population √N), and the
+    * fraction-constant nprobe makes the calibration scale-stable by
+    * construction: every decade probes the same ~20% of cells.
+    *
+    * One bounded driver action (`count()`) parameterizes the geometry —
+    * the same metadata-collect convention as the spec digests; DuckDB's
+    * twin computes `kc`/`stride`/`nprobe` from identical integer inputs
+    * through identical double arithmetic (IEEE sqrt/ceil and `0.2·k` are
+    * bit-equal cross-engine), so the centroid SET matches exactly.
+    */
+  def annIvfAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val n = emb.count()
+    require(n > 0, "adaptive IVF geometry needs a non-empty corpus")
+    val kCent = math.ceil(math.sqrt(n.toDouble)).toLong
+    val stride = math.max(1L, n / kCent)
+    val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("id") % 50 === 0, col("id") % stride === 0, k = 5, nprobe = nprobe)
+  }
+
+  /** [[q16MultiProbeOracle]] with the geometry derived from `count(*)` in
+    * SQL: `kc = ceil(sqrt(n))`, `stride = n // kc` (DuckDB `//` is floor
+    * division on BIGINTs = Scala `Long./` for positives), `nprobe =
+    * ceil(0.2 * kc)` — the exact arithmetic [[annIvfAdaptive]] runs.
+    */
+  private val q16fOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
+      |             CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe
+      |      FROM e),
+      |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
+      |      WHERE id % (SELECT stride FROM p) = 0),
+      |assigned AS (
+      |  SELECT id, emb, nrm, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c) WHERE r = 1),
+      |probed AS (
+      |  SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c WHERE n.id % 50 = 0) WHERE r <= (SELECT nprobe FROM p)),
+      |pairs AS (
+      |  SELECT q.query_id, a.id AS neighbor_id,
+      |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
+      |  FROM assigned a JOIN probed q ON a.bucket = q.bucket AND a.id <> q.query_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
   /** Same as [[q16Oracle]] except queries probe their `nprobe` nearest
     * centroid buckets (`r <= nprobe` in `probed`); each candidate still
     * lives in exactly one bucket so the join yields no duplicate
@@ -1325,11 +1397,12 @@ object LlmQueries {
   /** q48b — semantic dedup blocked by nearest-centroid CELL, the form that
     * survives data growth: q48's label blocking is a fixed-cardinality
     * partition, so its within-block pair work grows quadratically with
-    * the corpus — measured 810× wall at 100× data on the replica
-    * (BASELINE.md), the round-11 scale experiment's headline finding. Here
-    * centroids come from `vec_id % 100 = 0` (the q16 IVF convention):
-    * cell COUNT grows with the corpus, expected cell population stays
-    * constant, pair work stays linear — measured 15× wall at 100× data.
+    * the corpus — measured 157× wall across the 10×→100× decade (≈840×
+    * vs sf0.1) on the replica (BASELINE.md), the round-11 scale
+    * experiment's headline finding. Here centroids come from
+    * `vec_id % 100 = 0` (the q16 IVF convention): cell COUNT grows with
+    * the corpus, expected cell population stays constant, pair work stays
+    * linear — measured 4.9× across the same decade.
     * Same output contract and closure as q48; the trade is near-dups
     * straddling a cell border (see [[Similarity.semanticClustersCells]]).
     */
@@ -1820,6 +1893,7 @@ object LlmQueries {
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
     "q16d_ann_ivf_nprobe4" -> ((s, d) => annIvfNprobe4(s, d)),
+    "q16f_ann_ivf_adaptive" -> ((s, d) => annIvfAdaptive(s, d)),
     "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q16e_ann_lsh_tables" -> ((s, d) => annLshTables(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
@@ -1874,6 +1948,7 @@ object LlmQueries {
     "q16_ann_ivf" -> q16Oracle,
     "q16b_ann_ivf_nprobe2" -> q16bOracle,
     "q16d_ann_ivf_nprobe4" -> q16dOracle,
+    "q16f_ann_ivf_adaptive" -> q16fOracle,
     "q16c_ann_lsh" -> q16cOracle,
     "q16e_ann_lsh_tables" -> q16eOracle,
     "q17_embed_nearest" -> q17Oracle,

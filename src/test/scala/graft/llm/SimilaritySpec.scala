@@ -135,6 +135,44 @@ class SimilaritySpec extends SparkTestBase {
       s"LSH nTables=8 recall@10 below 0.9: ${tableCurve.last}")
   }
 
+  test("adaptive IVF geometry (q16f): k tracks sqrt(N), probed fraction held") {
+    // q16f's scale contract: centroid count ~ sqrt(N) (stride selection),
+    // nprobe = ceil(0.2*k) — so the PROBED FRACTION of cells is constant at
+    // every scale, unlike the %100 convention whose fixed nprobe probes a
+    // 10x smaller corpus fraction every decade (recall silently decays).
+    // On this worst-case isotropic fixture recall roughly tracks the probed
+    // fraction; the oracle pins exactness, this pins the geometry.
+    val emb = Tables.embeddings(spark, dir)
+    val qf = col("id") % 50 === 0
+    val n = emb.count()
+    val kc = math.ceil(math.sqrt(n.toDouble)).toLong
+    val stride = math.max(1L, n / kc)
+    val np = math.ceil(0.2 * kc).toInt
+    val nCent = emb.filter(col("vec_id") % stride === 0).count()
+    assert(nCent >= kc / 2 && nCent <= 2 * kc,
+      s"stride-selected centroid count $nCent must track sqrt(N)=$kc")
+
+    val obs = org.apache.spark.sql.Observation()
+    val df = Similarity.ivfTopK(emb, "vec_id", "embedding", qf,
+      col("id") % stride === 0, 10, np, Some(obs))
+    val ground = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val got = df.as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val recall = (ground & got).size.toDouble / ground.size
+    val cands = obs.get("candidate_pairs").asInstanceOf[Long]
+    val nQueries = emb.filter(col("vec_id") % 50 === 0).count()
+    val fraction = cands.toDouble / (nQueries * (n - 1))
+    info(f"adaptive ivf: k=$nCent (target $kc), nprobe=$np, " +
+      f"recall@10=$recall%.3f, corpus fraction probed=$fraction%.3f")
+    // probed-fraction-held property: ~0.2 of cells => ~0.2 of the corpus
+    // (cells are near-uniform on the isotropic fixture); wide tolerance
+    // absorbs cell-size variance, but a decayed (q16-style) configuration
+    // at this scale would sit an order of magnitude outside it
+    assert(fraction > 0.08 && fraction < 0.5,
+      s"probed corpus fraction $fraction drifted from the 0.2 design point")
+    assert(recall > 0.1, s"adaptive recall $recall collapsed below the probed fraction")
+  }
+
   test("ivfTopK: recall against brute force is reasonable for nprobe=1") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
