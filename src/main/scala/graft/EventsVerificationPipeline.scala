@@ -51,6 +51,29 @@ object EventsVerificationPipeline {
 
   private val payloadCols = Seq(col("context"), col("traits"), col("properties"))
 
+  /** Storage level for the pipeline's DATA-SCALE caches (the shredded
+    * catalog and the parity mode's shared long frames), configurable via
+    * `spark.graft.cache.level` (any `StorageLevel.fromString` name;
+    * default MEMORY_AND_DISK).
+    *
+    * Why a knob: the round-11 memory-pressure probe measured the flagship
+    * as the registry's first HARD failure under a tight heap (4 GiB over
+    * the 100× replica) — not a graceful spill. Mechanism: 32 task slots
+    * concurrently UNROLLING ~50 MB cached partitions pin unified storage
+    * memory (in-progress unroll buffers are not evictable), so a
+    * downstream HashAggregate's first page allocation sees an empty
+    * execution pool and dies with UNABLE_TO_ACQUIRE_MEMORY got-0 —
+    * Spark's documented cache-under-pressure rough edge, reproduced in
+    * `bench_records/r11_mem_*.json`. DISK_ONLY keeps the single-parse
+    * contract (each payload still shreds exactly once; downstream passes
+    * read materialized blocks) while taking cache pages out of the
+    * contended unified region — the setting a memory-tight deployment
+    * runs with, and the probe's verified mitigation.
+    */
+  private def dataCacheLevel(spark: SparkSession): StorageLevel =
+    StorageLevel.fromString(
+      spark.conf.get("spark.graft.cache.level", "MEMORY_AND_DISK"))
+
   /** Columns a property name may not collide with: the reference's
     * `withColumn(prop, ...)` would silently overwrite the payload column the
     * remaining extractions read from. We reject instead of reproducing that
@@ -154,7 +177,7 @@ object EventsVerificationPipeline {
           col("client_name") === col("channel") &&
             PayloadShred.versionExpr === col("version")),
       generics)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(dataCacheLevel(spark))
 
     // 4. Observed identifier keys per channel (event_verify.py:51-66) —
     //    filtered to the identifier spellings INSIDE the plan, so the
@@ -262,7 +285,7 @@ object EventsVerificationPipeline {
     // is channel-independent, so it rides in the cache too.
     val base = catalog
       .withColumn("extracted_version", get_json_object(col("context"), params.versionPath))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(dataCacheLevel(spark))
     val idSpellings = (params.orgIdentifiers ++ params.projectIdentifiers).distinct
 
     val perChannel = channels.map { ch =>
@@ -326,7 +349,7 @@ object EventsVerificationPipeline {
           Completeness.withValueColumnsFast(cat, chProps, Seq("event_name"))
         else Completeness.withValueColumns(cat, chProps, Seq("event_name"))
       val long = Completeness.unpivot(wide, chProps, Seq("event_name"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(dataCacheLevel(spark))
       sharedLongs += long
       val frames = eventNames.map { e =>
         val evProps =

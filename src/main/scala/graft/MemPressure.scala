@@ -56,6 +56,11 @@ object MemPressure {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // the probe's mitigation lever: SPARK_GRAFT_CACHE_LEVEL=DISK_ONLY keeps
+    // data-scale pipeline caches out of the contended unified region (see
+    // EventsVerificationPipeline.dataCacheLevel for the measured failure)
+    sys.env.get("SPARK_GRAFT_CACHE_LEVEL")
+      .foreach(spark.conf.set("spark.graft.cache.level", _))
     val listener = new SpillListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -75,7 +80,10 @@ object MemPressure {
       val outcome =
         try { val n = fn(spark, sfDir).count(); Right(n) }
         catch { case e: Throwable =>
-          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(160)) }
+          // getMessage leads with scheduler framing ("Job aborted due to
+          // stage failure: Task ..."); 320 chars reaches the root-cause
+          // class name that the first 160 cut off
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(320)) }
       val sec = (System.nanoTime() - t0) / 1e9
       // let the async listener bus drain before reading the counters
       // (listenerBus.waitUntilEmpty is private[spark]; for a diagnostic a

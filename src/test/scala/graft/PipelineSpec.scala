@@ -54,6 +54,33 @@ class PipelineSpec extends SparkTestBase {
       "na.fill(0) after the derive must zero unobserved key metrics, not total-0")
   }
 
+  test("spark.graft.cache.level=DISK_ONLY keeps data-scale caches off the unified region") {
+    // the memory-pressure mitigation knob (EventsVerificationPipeline
+    // .dataCacheLevel): under a tight heap the flagship's MEMORY_AND_DISK
+    // cache unroll starves execution memory; DISK_ONLY is the verified fix,
+    // and it must change ONLY the storage level, never a row of output
+    spark.catalog.clearCache()
+    spark.conf.set("spark.graft.cache.level", "DISK_ONLY")
+    try {
+      val out = EventsVerificationPipeline.run(catalog, specDf, params)
+      val rows = out.collect().toSet
+      assert(rows.nonEmpty)
+      val levels = spark.sparkContext.getPersistentRDDs.values
+        .map(_.getStorageLevel).toSeq
+      assert(levels.nonEmpty, "the pipeline must persist its shredded catalog")
+      assert(levels.forall(l => l.useDisk && !l.useMemory),
+        s"every pipeline cache must honor DISK_ONLY, got $levels")
+      spark.conf.unset("spark.graft.cache.level")
+      spark.catalog.clearCache()
+      val defaultRows =
+        EventsVerificationPipeline.run(catalog, specDf, params).collect().toSet
+      assert(rows == defaultRows, "storage level must not change the report")
+    } finally {
+      spark.conf.unset("spark.graft.cache.level")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("stale spec versions are dropped by the W1 latest-version pick") {
     assert(report.filter(col("prop_name") === "old_k").count() == 0)
     assert(report.filter(col("version") =!= "2.1").count() == 0)
