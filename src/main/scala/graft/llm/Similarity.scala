@@ -518,12 +518,26 @@ object Similarity {
     */
   def cosinePairs(
       df: DataFrame, idCol: String, embCol: String, blockCol: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      pairObservation: Option[Observation] = None): DataFrame = {
     val n = df.select(
       col(idCol).as("id"), asDouble(col(embCol)).as("emb"), blockCol.as("block"))
-    n.as("a")
+    val joined = n.as("a")
       .join(n.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+    // the quadratic-bomb early warning (same Observation mechanism as the
+    // ANN candObservation): candidate_pairs counts the join output BEFORE
+    // the threshold cut, blocks_with_pairs approx-counts the blocks it came
+    // from. candidate_pairs / blocks_with_pairs is the average per-block
+    // pair load ~ population²/2 — when a fixed-cardinality block column
+    // meets a growing corpus this ratio grows with the SQUARE of the data
+    // (the measured q48 157×-per-decade failure, BASELINE.md) while a
+    // scale-safe blocking (cells, bands) holds it roughly constant. Zero
+    // extra jobs; readable after the first action on the result.
+    val observed = pairObservation.fold(joined)(o => joined.observe(o,
+      count(lit(1)).as("candidate_pairs"),
+      approx_count_distinct(col("a.block")).as("blocks_with_pairs")))
+    observed
       .withColumn("score", round(fusedCosine(col("a.emb"), col("b.emb")), 6))
       .filter(col("score") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
@@ -547,8 +561,9 @@ object Similarity {
     */
   def semanticClusters(
       df: DataFrame, idCol: String, embCol: String, blockCol: Column,
-      threshold: Double): DataFrame = {
-    val pairs = cosinePairs(df, idCol, embCol, blockCol, threshold)
+      threshold: Double,
+      pairObservation: Option[Observation] = None): DataFrame = {
+    val pairs = cosinePairs(df, idCol, embCol, blockCol, threshold, pairObservation)
     val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
     semanticKeep(df, idCol, cc)
   }
@@ -559,8 +574,8 @@ object Similarity {
     * violates [[cosinePairs]]'s bounded-block precondition as data grows:
     * block population grows linearly with the corpus, so within-block
     * candidate pairs grow QUADRATICALLY — measured on the 100× replica as
-    * an 810× wall-time blowup for the label-blocked q48 (BASELINE.md
-    * round-11 scale table). Here the centroid set comes from
+    * 157× wall per 10× decade (≈840× vs sf0.1) for the label-blocked q48
+    * (BASELINE.md round-11 scale table). Here the centroid set comes from
     * `centroidFilter` (the q16 IVF convention, e.g. `id % 100 = 0`), so
     * the CELL COUNT scales with the corpus while expected cell population
     * stays constant — pair work grows linearly, the same
@@ -578,10 +593,12 @@ object Similarity {
     */
   def semanticClustersCells(
       df: DataFrame, idCol: String, embCol: String,
-      centroidFilter: Column, threshold: Double): DataFrame = {
+      centroidFilter: Column, threshold: Double,
+      pairObservation: Option[Observation] = None): DataFrame = {
     val n = vectors(df, idCol, embCol)
     val assigned = ivfAssign(n, n.filter(centroidFilter))
-    val pairs = cosinePairs(assigned, "id", "emb", col("bucket"), threshold)
+    val pairs = cosinePairs(assigned, "id", "emb", col("bucket"), threshold,
+      pairObservation)
     val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
     semanticKeep(df, idCol, cc)
   }

@@ -328,6 +328,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(!loose.exists(p => p._1 == 5L || p._2 == 5L), "blocking violated")
   }
 
+  test("cosinePairs observation: candidate load = sum over blocks of C(pop,2)") {
+    // the quadratic-bomb early warning: candidate_pairs counts the blocked
+    // join output BEFORE the threshold cut — block 0 has 4 members (6
+    // pairs), block 1 has 1 (0 pairs), so the load is 6 whatever the
+    // threshold keeps; blocks_with_pairs localizes it to one block
+    val obs = org.apache.spark.sql.Observation()
+    Similarity.cosinePairs(clusterFixture, "vec_id", "embedding", col("label"), 0.9,
+      Some(obs)).count()
+    assert(obs.get("candidate_pairs") == 6L,
+      s"expected C(4,2)=6 candidates, got ${obs.get("candidate_pairs")}")
+    assert(obs.get("blocks_with_pairs").asInstanceOf[Long] == 1L)
+  }
+
   test("semanticClusters: transitive closure, min-id canonical keep, singletons kept") {
     // at 0.7 the edges are 1-2, 1-3, 2-3, 3-4: {1,2,3,4} one cluster
     // (canonical 1, with 4 joining only through 3 — transitivity); 5 is a
