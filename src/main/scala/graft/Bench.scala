@@ -36,7 +36,8 @@ object Bench {
       results: Seq[(String, Double)],
       samples: Map[String, Seq[Double]],
       errors: Map[String, String],
-      sfDir: String): (String, String) = {
+      sfDir: String,
+      iters: Int = 5): (String, String) = {
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -57,10 +58,13 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalR = math.round(total * 1000).toDouble / 1000
+    // `iters` makes every record self-describing (ADVICE r11): a leaked
+    // SPARK_GRAFT_ITERS override is visible in the artifact itself, so a
+    // non-median-of-5 run can never masquerade as the standard protocol.
     val compact =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":${errors.size},"errors":$errsCompact,"detail":"BENCH_RESULT.json","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"iters":$iters,"failed":${errors.size},"errors":$errsCompact,"detail":"BENCH_RESULT.json","sf":${jstr(sfDir)}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"samples":$smp,"errors":$errs,"sf":${jstr(sfDir)}}"""
     (compact, full)
   }
 
@@ -68,7 +72,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: at WARN the two bounded global windows print
+    // "WindowExec: No Partition Defined" 5x/iteration; sbt drains those
+    // AFTER our stdout line, flooding the driver's 2000-char tail and
+    // turning BENCH_r10/r11 into "parsed": null. Their boundedness is
+    // proven in scaladoc + PlanAuditSpec; the warning carries no signal
+    // here. Real failures still surface via the errors map (-1 medians).
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup outside the timed loop: generic JVM/session/parquet-reader
     // init. (Deliberately NOT a per-query warmup pass: running every
@@ -204,9 +214,12 @@ object Bench {
     // (BENCH_r10) outgrew that buffer and came back "parsed": null. The
     // full line with all medians and samples goes to BENCH_RESULT.json so
     // per-query timings and variance stay auditable.
-    val (compact, full) = benchJson(results, samples, errors, sfDir)
-    println(compact)
+    val (compact, full) = benchJson(results, samples, errors, sfDir, Iterations)
     Files.writeString(Paths.get("BENCH_RESULT.json"), full + "\n")
+    // Print the compact line as the very LAST stdout act, after
+    // spark.stop(): anything Spark/sbt logs during shutdown would
+    // otherwise land after our line in the driver's bounded tail.
     spark.stop()
+    println(compact)
   }
 }

@@ -85,10 +85,24 @@ object MemPressure {
           // class name that the first 160 cut off
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(320)) }
       val sec = (System.nanoTime() - t0) / 1e9
-      // let the async listener bus drain before reading the counters
-      // (listenerBus.waitUntilEmpty is private[spark]; for a diagnostic a
-      // bounded sleep after the job returns is equivalent in practice)
-      Thread.sleep(2000)
+      // Let the async listener bus drain before reading the counters.
+      // listenerBus.waitUntilEmpty is private[spark]; a FIXED sleep can
+      // undercount when the bus is still backed up after a large job
+      // (ADVICE r11), so poll until the counters are stable across two
+      // consecutive reads, with a bounded total wait as the backstop.
+      locally {
+        def snap() = (listener.memSpilled.get, listener.diskSpilled.get,
+          listener.peakExec.get, listener.failedTasks.get)
+        var prev = snap()
+        var stable = false
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(500)
+          val cur = snap()
+          stable = cur == prev
+          prev = cur
+        }
+      }
       val base =
         f""""sec":${math.round(sec * 1000) / 1000.0},"spill_mem":${listener.memSpilled.get},"spill_disk":${listener.diskSpilled.get},"peak_exec_mem":${listener.peakExec.get},"failed_tasks":${listener.failedTasks.get}"""
       outcome match {

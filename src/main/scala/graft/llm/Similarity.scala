@@ -98,12 +98,17 @@ object Similarity {
   }
 
   /** Centroid-index width of the [[ivfAssign]] packed argmax key: dense
-    * centroid ranks occupy the low 42 bits, the shifted rounded score the
-    * high 21 (score ∈ [−1, 1] at 6 decimals → [0, 2e6] < 2^21;
-    * 2e6 × 2^42 + 2^42 − 1 ≈ 8.8e18 stays inside Long). 2^42 centroids is
-    * four orders of magnitude past any IVF list count worth building.
+    * centroid ranks occupy the low 41 bits, the shifted rounded score the
+    * high 22 (score ∈ [−2, 1] at 6 decimals — the −2.0 degenerate-vector
+    * sentinel included — offsets to [0, 3e6] < 2^22;
+    * 3e6 × 2^41 + 2^41 − 1 ≈ 6.6e18 stays inside Long). Keeping the packed
+    * key NON-NEGATIVE is load-bearing: the decode uses `% IvfIdxCap`,
+    * whose sign follows the dividend, so a negative key would decode to a
+    * rank outside the centroid set and silently drop the row at the rank
+    * join. 2^41 centroids is four orders of magnitude past any IVF list
+    * count worth building.
     */
-  private val IvfIdxCap = 1L << 42
+  private val IvfIdxCap = 1L << 41
 
   /** IVF bucket assignment: nearest centroid by cosine (ties → smaller
     * centroid id). Output: (id, emb, bucket).
@@ -138,10 +143,23 @@ object Similarity {
     val cw = Window.orderBy("c_id")
     val c = centroids.select(col("id").as("c_id"), col("emb").as("c_emb"))
       .withColumn("c_rank", row_number().over(cw).cast("long") - 1L)
+    // Degenerate-vector guard: a zero-norm embedding scores NULL against
+    // every centroid (fusedCosine's null-on-zero-division contract), and a
+    // mismatched-length pair scores NULL too; either would propagate to a
+    // null packed max → null c_rank → the row silently VANISHES from the
+    // assignment at the rank join. A NaN reaching the packing (e.g. an
+    // Infinity component) would round-cast to 0 — a middling score that
+    // can WIN a bucket. Mapping both to −2.0 (below the cosine range)
+    // keeps every input row in the output and makes degenerate vectors
+    // deterministically LOSE every score comparison, so they land in the
+    // smallest-id centroid's bucket via the documented tie-break; the
+    // +2e6 offset keeps the packed key non-negative (see [[IvfIdxCap]]).
     val scored = n.join(broadcast(c))
       .select(col("id"),
-        ((round(round(fusedCosine(col("emb"), col("c_emb")), 6) * 1e6)
-            .cast("long") + 1000000L) * IvfIdxCap
+        ((round(coalesce(
+              nanvl(round(fusedCosine(col("emb"), col("c_emb")), 6), lit(-2.0)),
+              lit(-2.0)) * 1e6)
+            .cast("long") + 2000000L) * IvfIdxCap
           + (lit(IvfIdxCap - 1L) - col("c_rank"))).as("packed"))
     val picked = scored.groupBy("id").agg(max("packed").as("mx"))
       .select(col("id"), (lit(IvfIdxCap - 1L) - (col("mx") % IvfIdxCap)).as("c_rank"))

@@ -23,9 +23,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - `path` exists: authoritative (crash before (b), or after (c) with
   *    a stale `.old`/partial `.new` left behind) — delete the side dirs.
-  *  - `path` missing, `path.new` committed (`_SUCCESS` present — step
-  *    (b) only ever runs after the `.new` write returned): crash between
-  *    (b) and (d) — roll forward: rename `.new` in, drop `.old`.
+  *  - `path` missing, `path.new` committed (`_SUCCESS` present, or —
+  *    when `marksuccessfuljobs=false` suppresses the marker — part
+  *    files present with no `_temporary`; step (b) only ever runs after
+  *    the `.new` write returned): crash between (b) and (d) — roll
+  *    forward: rename `.new` in, drop `.old`.
   *  - `path` missing, no committed `.new`, `path.old` exists: defensive
   *    roll-back (no step produces this state, but a manual cleanup
   *    might) — restore `.old`.
@@ -38,6 +40,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AtomicState {
 
+  /** Has the write into `dir` committed? `_SUCCESS` is the primary
+    * marker, but it is only written when
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=true` (the
+    * default); with the marker disabled the fallback is the committer's
+    * own state: a committed job has deleted its `_temporary` scratch dir
+    * and left at least one `part-*` data file in the final location
+    * (true for FileOutputCommitter v1 and v2 — neither leaves part
+    * files outside `_temporary` before task/job commit while
+    * `_temporary` is already gone). Without this fallback, a crash
+    * between rename-away and rename-in under
+    * `marksuccessfuljobs=false` would take heal's roll-BACK branch and
+    * discard a fully committed new generation (ADVICE r11).
+    */
+  private def hasCommittedWrite(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return true
+    !fs.exists(new Path(dir, "_temporary")) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("part-"))
+  }
+
   /** Finish or undo an interrupted [[overwrite]] swap on `path` (see
     * protocol above). Idempotent; cheap no-op when `path` is healthy.
     */
@@ -49,7 +71,7 @@ object AtomicState {
     if (fs.exists(p)) {
       fs.delete(pNew, true)
       fs.delete(pOld, true)
-    } else if (fs.exists(pNew) && fs.exists(new Path(pNew, "_SUCCESS"))) {
+    } else if (hasCommittedWrite(fs, pNew)) {
       fs.rename(pNew, p)
       fs.delete(pOld, true)
     } else if (fs.exists(pOld)) {

@@ -62,11 +62,17 @@ class PipelineSpec extends SparkTestBase {
     spark.catalog.clearCache()
     spark.conf.set("spark.graft.cache.level", "DISK_ONLY")
     try {
+      // Assert only on the persists the pipeline run ADDS: the session is
+      // shared across suites, so asserting over ALL persistent RDDs would
+      // fail spuriously if any other test leaves an RDD-level persist
+      // behind (ADVICE r11).
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val out = EventsVerificationPipeline.run(catalog, specDf, params)
       val rows = out.collect().toSet
       assert(rows.nonEmpty)
-      val levels = spark.sparkContext.getPersistentRDDs.values
-        .map(_.getStorageLevel).toSeq
+      val levels = spark.sparkContext.getPersistentRDDs
+        .collect { case (id, rdd) if !before.contains(id) => rdd.getStorageLevel }
+        .toSeq
       assert(levels.nonEmpty, "the pipeline must persist its shredded catalog")
       assert(levels.forall(l => l.useDisk && !l.useMemory),
         s"every pipeline cache must honor DISK_ONLY, got $levels")

@@ -71,6 +71,27 @@ class SimilaritySpec extends SparkTestBase {
       s"multi-probe candidates $multi must be >= single-probe $single > 0")
   }
 
+  test("ivfAssign: zero-norm (NaN-cosine) vectors deterministically lose, not win") {
+    import spark.implicits._
+    // A zero vector's cosine is NaN against every centroid. Pre-guard,
+    // round(NaN).cast(long) packed as score 0 — a middling value that could
+    // WIN over negative-similarity centroids; the nanvl(-2.0) guard makes
+    // the degenerate vector score below the whole cosine range, so ties
+    // resolve purely by the smallest centroid id (the documented
+    // tie-break), and real vectors are unaffected.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),   // aligns with centroid 10
+      (2L, Seq(-1.0, 0.0)),  // anti-aligned with 10, aligned with 20
+      (3L, Seq(0.0, 0.0))    // zero-norm: NaN vs both centroids
+    ).toDF("id", "emb")
+    val cents = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(-1.0, 0.0))).toDF("id", "emb")
+    val out = Similarity.ivfAssign(vecs, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 10L && out(2L) == 20L, s"real vectors must pick nearest: $out")
+    assert(out(3L) == 10L,
+      s"NaN scores all centroids equally-last -> smallest centroid id wins: $out")
+  }
+
   test("recall@10 calibration: IVF/LSH measured against exact ground truth") {
     // The candidate-set Observation (Similarity.observeCandidates) is a
     // recall PROXY; this is its once-per-round calibration against the real

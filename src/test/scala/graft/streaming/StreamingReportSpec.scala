@@ -128,4 +128,37 @@ class StreamingReportSpec extends SparkTestBase {
     assert(incremental == batch,
       "crash-healed incremental report must equal the batch run")
   }
+
+  test("heal rolls forward a committed .new even without _SUCCESS (marksuccessfuljobs=false)") {
+    // ADVICE r11: with mapreduce.fileoutputcommitter.marksuccessfuljobs=false
+    // no _SUCCESS marker is written; the torn-swap State B (live dir gone,
+    // committed generation in .new) must still roll FORWARD via the
+    // part-file fallback, not roll back and discard the new generation.
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft-atomicstate").toFile.getAbsolutePath
+    val path = s"$base/state"
+    AtomicState.overwrite(Seq(1, 2, 3).toDF("v"), path)
+    AtomicState.overwrite(Seq(4, 5, 6).toDF("v"), path)
+    assert(spark.read.parquet(path).as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
+    // simulate State B with the marker suppressed: committed dir renamed to
+    // .new, live gone, _SUCCESS removed
+    val p = java.nio.file.Paths.get(path)
+    val pNew = java.nio.file.Paths.get(path + ".new")
+    java.nio.file.Files.move(p, pNew)
+    java.nio.file.Files.deleteIfExists(pNew.resolve("_SUCCESS"))
+    assert(Files.list(pNew).iterator().asScala.exists(_.getFileName.toString.startsWith("part-")),
+      "fixture sanity: committed part files present")
+    AtomicState.heal(spark, path)
+    assert(Files.exists(p), "heal must roll the committed generation forward")
+    assert(!Files.exists(pNew))
+    assert(spark.read.parquet(path).as[Int].collect().sorted.toSeq == Seq(4, 5, 6),
+      "the committed new generation must survive, not the rolled-back old one")
+    // an UNcommitted .new (no _SUCCESS, no part files, _temporary present)
+    // must still roll BACK to .old
+    java.nio.file.Files.move(p, java.nio.file.Paths.get(path + ".old"))
+    java.nio.file.Files.createDirectories(pNew.resolve("_temporary"))
+    AtomicState.heal(spark, path)
+    assert(Files.exists(p), "heal must restore .old when .new is uncommitted")
+    assert(spark.read.parquet(path).as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
+  }
 }
