@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, CutSpans, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
+import graft.functions.{CosineSimilarity, CutSpans, HyperplaneBuckets, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -195,6 +195,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "bloom_probe takes exactly 2 arguments: (bloom, hashedKey)")
         BloomFilterMightContain(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(
+        classOf[HyperplaneBuckets].getName,
+        null,
+        "lsh_buckets",
+        "lsh_buckets(emb, planeBits, np, dims) - all multi-table hyperplane " +
+          "LSH bucket ids of an array<double> embedding in one pass; " +
+          "planeBits is a row-major array<long> literal of sign-packed " +
+          "planes, np per table",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "lsh_buckets takes exactly 4 arguments: (emb, planeBits, np, dims)")
+        val bits = children(1) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType, _)) if a != null =>
+            a.toLongArray().toSeq
+          case _ =>
+            throw new IllegalArgumentException(
+              "lsh_buckets planeBits must be a non-null array<long> literal")
+        }
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(i: Int, IntegerType) => i
+          case _ =>
+            throw new IllegalArgumentException(
+              s"lsh_buckets $what must be an integer literal")
+        }
+        HyperplaneBuckets(children(0), bits,
+          intLit(children(2), "np"), intLit(children(3), "dims"))
       }))
 
     ext.injectFunction((

@@ -610,6 +610,89 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
   }
 
+  /** q16g — hyperplane LSH at SCALE-ADAPTIVE geometry, the honest fix
+    * q16e's scaladoc sketched: `nPlanes` = smallest np with
+    * `32 · 2^np ≥ N` (constant expected bucket occupancy — the q48b
+    * cells-vs-labels rule applied to bucket geometry; q16e's fixed 4
+    * planes degenerated 54×/decade with candidates → 95% of the corpus)
+    * and `nTables = ⌈8 · (4/3)^(np−4)⌉` (per-table survival held at the
+    * MEASURED compensation ratio, the E2LSH polynomial table cost — see
+    * [[Similarity.adaptiveLshGeometry]]). At the 500-row fixture the rule
+    * reproduces q16e's calibrated (4 planes, 8 tables) ≥0.9-recall point
+    * EXACTLY (same seeds, same planes), so the calibration carries over
+    * at calibration scale by construction; SimilaritySpec additionally
+    * measures recall at the next geometry step.
+    *
+    * One bounded `count()` parameterizes the geometry (the q16f
+    * convention). The DuckDB twin derives np from the same integer
+    * comparison, maps np → nTables through a generated CASE carrying
+    * [[Similarity.adaptiveLshTables]]'s integer-exact values, and reads
+    * plane signs from packed-BIGINT literals (bit d = sign of dim d)
+    * generated from the SAME [[Similarity.hyperplanes]] stream — prefix-
+    * stable, so the first np planes of the 16-plane expansion are exactly
+    * the np planes the Spark side builds.
+    */
+  def annLshAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val (np, nt) = Similarity.adaptiveLshGeometry(emb.count())
+    Similarity.lshTopKTables(emb, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5,
+      nPlanes = np, nTables = nt, dims = LshDims)
+  }
+
+  /** DuckDB twin of [[annLshAdaptive]]. Geometry is count-derived in SQL
+    * through integer-only arithmetic (no cross-engine floating `pow`):
+    * np = min i with `32 · 2^i ≥ count(*)` (capped at
+    * [[Similarity.LshMaxPlanes]]), nTables via the generated CASE. Plane
+    * signs are packed one BIGINT per (table, plane) — `(bb >> d) & 1`
+    * decodes dim d's sign (arithmetic shift keeps bit 63 correct) — and
+    * the ±1.0 plane vector is rebuilt with `list_transform` so the dot
+    * product still flows through the SAME `list_dot_product` + round-6
+    * call chain as every other LSH oracle (identical fold order, the
+    * repo-wide determinism rule).
+    */
+  private val q16gOracle: String = {
+    val maxNp = Similarity.LshMaxPlanes
+    val maxTables = Similarity.adaptiveLshTables(maxNp)
+    val bitsLit = (0 until maxTables).map { t =>
+      Similarity.hyperplanes(maxNp, LshDims, 42L + t).map { p =>
+        p.zipWithIndex.collect { case (v, d) if v > 0 => 1L << d }.sum
+      }.mkString("[", ", ", "]")
+    }.mkString("[", ",\n      |    ", "]")
+    val tableCase = (1 to maxNp)
+      .map(np => s"WHEN $np THEN ${Similarity.adaptiveLshTables(np)}")
+      .mkString(" ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |prm AS (
+      |  SELECT np, CASE np $tableCase END AS lt
+      |  FROM (SELECT coalesce((SELECT CAST(min(i) AS INT) FROM range(1, ${maxNp + 1}) t(i)
+      |                         WHERE 32 * (CAST(1 AS BIGINT) << i) >= (SELECT count(*) FROM e)),
+      |                        $maxNp) AS np)),
+      |bits AS (SELECT $bitsLit AS bb),
+      |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |assigned AS (
+      |  SELECT id, emb, nrm, t.tbl,
+      |    CAST(list_sum(list_transform(range(prm.np), i ->
+      |      CASE WHEN round(list_dot_product(emb,
+      |             CAST(list_transform(range($LshDims), d ->
+      |               CASE WHEN (bb[CAST(t.tbl AS INT) + 1][CAST(i AS INT) + 1] >> d) & 1 = 1
+      |                    THEN 1.0 ELSE -1.0 END) AS DOUBLE[])), 6) > 0
+      |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+      |  FROM n, prm, bits, (SELECT unnest(range((SELECT lt FROM prm))) AS tbl) t),
+      |q AS (SELECT query_id, q_emb, q_nrm, tbl, unnest(pbs) AS bucket
+      |      FROM (SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm, tbl,
+      |              list_prepend(bucket, list_transform(range(prm.np), i ->
+      |                xor(bucket, CAST(1 AS BIGINT) << i))) AS pbs
+      |            FROM assigned, prm WHERE id % 50 = 0)),
+      |pairs AS (
+      |  SELECT DISTINCT q.query_id, a.id AS neighbor_id,
+      |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
+      |  FROM assigned a JOIN q ON a.tbl = q.tbl AND a.bucket = q.bucket
+      |    AND a.id <> q.query_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM pairs)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+  }
+
   def embedNearest(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearestInBlock(embeddings(spark, dir), "vec_id", "embedding", col("label"))
 
@@ -1361,6 +1444,12 @@ object LlmQueries {
     * a handful of natural pairs sit just over the cut), transitive closure,
     * one canonical keep per cluster — the embedding-space analogue of
     * q32's lexical clusters.
+    *
+    * Registered as `q48_semantic_dedup_labels` (round 12, the q52-oneshot
+    * naming convention): LABEL blocking has fixed cardinality, measured at
+    * 157×/decade on the round-11 scale ladder — the quadratic time bomb
+    * kept as the documented negative-result contrast. The scale path is
+    * q48b ([[semanticDedupCells]], cell blocking, 4.9×/decade).
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val corpus = EmbeddingsFixture.corpusDf(spark, dir)
@@ -1896,6 +1985,7 @@ object LlmQueries {
     "q16f_ann_ivf_adaptive" -> ((s, d) => annIvfAdaptive(s, d)),
     "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q16e_ann_lsh_tables" -> ((s, d) => annLshTables(s, d)),
+    "q16g_ann_lsh_adaptive" -> ((s, d) => annLshAdaptive(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
@@ -1920,7 +2010,7 @@ object LlmQueries {
     "q45_data_card" -> ((s, d) => corpusDataCard(s, d)),
     "q46_source_cap" -> ((s, d) => sourceCap(s, d)),
     "q47_interdoc_dup" -> ((s, d) => interDocDup(s, d)),
-    "q48_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
+    "q48_semantic_dedup_labels" -> ((s, d) => semanticDedup(s, d)),
     "q48b_semantic_dedup_cells" -> ((s, d) => semanticDedupCells(s, d)),
     "q49_quality_floor" -> ((s, d) => qualityFloor(s, d)),
     "q50_token_budget" -> ((s, d) => tokenBudget(s, d)),
@@ -1951,6 +2041,7 @@ object LlmQueries {
     "q16f_ann_ivf_adaptive" -> q16fOracle,
     "q16c_ann_lsh" -> q16cOracle,
     "q16e_ann_lsh_tables" -> q16eOracle,
+    "q16g_ann_lsh_adaptive" -> q16gOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,
@@ -1975,7 +2066,7 @@ object LlmQueries {
     "q45_data_card" -> q45Oracle,
     "q46_source_cap" -> q46Oracle,
     "q47_interdoc_dup" -> q47Oracle,
-    "q48_semantic_dedup" -> q48Oracle,
+    "q48_semantic_dedup_labels" -> q48Oracle,
     "q48b_semantic_dedup_cells" -> q48bOracle,
     "q49_quality_floor" -> q49Oracle,
     "q50_token_budget" -> q50Oracle,

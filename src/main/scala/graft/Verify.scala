@@ -10,7 +10,15 @@ object Verify {
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration escape hatch, same contract as Bench's: dump only
+    // queries whose names contain one of the substrings. The driver never
+    // sets it, so recorded correctness always covers the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       // Operators persist intermediates and document a caller-owned
       // lifecycle; in this 50-query single-session shape that caller is
       // Verify, so drop each query's cached blocks before the next one

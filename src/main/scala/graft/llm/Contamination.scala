@@ -53,13 +53,23 @@ object Contamination {
     * bound on [[overlap]]'s exact count. Probabilistic ⇒ spec-pinned
     * against the exact form, not SQL-oracled.
     *
-    * This is one of the repo's few deliberate UDFs: a sketch probe has no
-    * built-in Column form, the UDF is a pure per-row function over an
-    * executor-local broadcast (no state, no shuffle), and the alternative
-    * — exploding the corpus to join a shingle table — is exactly the cost
-    * this variant exists to avoid. Sizing: `expectedItems` must be >= the
-    * benchmark's distinct-shingle count or the realized fpp degrades
-    * (monitor with [[overlap]] on a sample).
+    * Probe path (round 12, closing the repo's last `udf(` in main): the
+    * sketch is built by the codegen'd `bloom_agg` aggregate
+    * (`BloomFilterAggregate`, xxhash64-keyed — one partial-aggregated
+    * pass, one binary row to the driver) and probed per shingle with
+    * `bloom_probe` inside a higher-order `filter` lambda — the whole
+    * per-row count stays in whole-stage codegen, no closure, no
+    * serialization boundary. The sketch re-enters the plan as a literal
+    * (the same shape as [[graft.operators.BloomPrune.prunedJoin]] and
+    * Spark's own injected runtime filters): ~1.2 MB at the 1M-item
+    * default. `BloomFilterMightContain` requires a FOLDABLE sketch
+    * argument, so a broadcast-variable probe is not expressible without
+    * a UDF — past ~10M expected items, where the task-binary literal
+    * gets heavy, size the sketch down and accept a higher fpp (still
+    * zero false negatives) or fall back to the exact [[overlap]] join.
+    * Sizing: `expectedItems` must be >= the benchmark's distinct-shingle
+    * count or the realized fpp degrades (monitor with [[overlap]] on a
+    * sample).
     */
   def overlapBloom(
       docs: DataFrame, idCol: String, textCol: String,
@@ -67,20 +77,24 @@ object Contamination {
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val shingled = docs.select(col(idCol).as("doc_id"),
       TextStats.shingles(TextStats.tokens(col(textCol)), shingleSize).as("shingles"))
-    val bf = shingled.filter(benchFilter)
+    val sketch = shingled.filter(benchFilter)
       .select(explode(col("shingles")).as("s"))
-      .stat.bloomFilter("s", expectedItems, fpp)
-    // Broadcast lifecycle: the UDF closure is the only reference, so the
-    // ContextCleaner reclaims the blocks once the returned frame becomes
-    // unreachable — no caller-side destroy() to get wrong.
-    val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+      .agg(call_function("bloom_agg", xxhash64(col("s")),
+        lit(expectedItems),
+        lit(graft.operators.BloomPrune.optimalNumBits(expectedItems, fpp))))
+      .head.getAs[Array[Byte]](0)
     // null-tolerant: a NULL text shingles to a NULL array, and one such
-    // row must not NPE the whole decontamination pass (the untrusted-
-    // corpus stance of Multimodal's guards)
-    val flagged = udf((ss: Seq[String]) =>
-      if (ss == null) 0 else ss.count(bfBc.value.mightContainString))
+    // row must not kill the whole decontamination pass (the untrusted-
+    // corpus stance of Multimodal's guards) — size(NULL) is -1, so the
+    // count is guarded to 0. An empty benchmark side yields a null
+    // sketch: nothing can be contaminated, the result is empty.
+    val nFlagged =
+      if (sketch == null) lit(0)
+      else when(col("shingles").isNull, 0).otherwise(
+        size(filter(col("shingles"),
+          s => call_function("bloom_probe", lit(sketch), xxhash64(s)))))
     shingled.filter(!benchFilter)
-      .withColumn("n_flagged_shingles", flagged(col("shingles")))
+      .withColumn("n_flagged_shingles", nFlagged)
       .filter(col("n_flagged_shingles") >= 1)
       .select("doc_id", "n_flagged_shingles")
   }

@@ -442,10 +442,22 @@ object Similarity {
       multiProbe: Boolean = true, seed: Long = 42L,
       candObservation: Option[Observation] = None): DataFrame = {
     require(nTables > 0, s"nTables must be positive, got $nTables")
-    val tables = (0 until nTables).map(t => hyperplanes(nPlanes, dims, seed + t))
     val base = vectors(vectorsDf, idCol, embCol)
+    // All L signatures through ONE native expression node
+    // ([[graft.functions.HyperplaneBuckets]], bit-identical to the
+    // composable per-table lshBucket columns — SimilaritySpec pins the
+    // equivalence): the composable form's L × np × dims expression nodes
+    // made Catalyst planning the dominant cost at adaptive geometry
+    // (measured 82 s at L=45/np=10 on the 10× replica, almost all of it
+    // off-executor).
+    val bitsPacked = (0 until nTables).flatMap { t =>
+      hyperplanes(nPlanes, dims, seed + t).map { p =>
+        p.zipWithIndex.collect { case (v, d) if v > 0 => 1L << d }.sum
+      }
+    }.toArray
     val withBuckets = base.withColumn("__buckets",
-      array(tables.map(p => lshBucket(col("emb"), p)): _*))
+      call_function("lsh_buckets", col("emb"), lit(bitsPacked),
+        lit(nPlanes), lit(dims)))
     val assigned = withBuckets.select(col("id"), col("emb"),
       posexplode(col("__buckets")).as(Seq("table", "bucket")))
     val qBase = withBuckets.filter(queryFilter)
@@ -466,6 +478,67 @@ object Similarity {
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select("query_id", "neighbor_id", "score")
     rankTopK(observeCandidates(pairs, candObservation), k)
+  }
+
+  /** Plane-count ceiling for [[adaptiveLshGeometry]]: 16 planes at target
+    * occupancy 32 covers corpora to 32·2^16 ≈ 2M vectors — two decades
+    * past the largest measured replica. Beyond the cap the geometry stops
+    * adapting (occupancy grows linearly again) and IVF-adaptive (q16f) is
+    * the documented production ANN; one BIGINT holds up to 64 plane signs
+    * per (table, plane) in the oracle's packed-literal encoding, so the
+    * cap is a policy choice, not an encoding limit.
+    */
+  val LshMaxPlanes = 16
+
+  /** Count-derived LSH operating point `(nPlanes, nTables)` — the q48b
+    * cells-vs-labels rule applied to bucket geometry, closing q16e's
+    * measured fixed-geometry degeneration (54×/decade wall, candidate set
+    * → 95% of the corpus, silent recall decay).
+    *
+    *  - `nPlanes` = smallest `np ≤ [[LshMaxPlanes]]` with
+    *    `targetOccupancy · 2^np ≥ n`: expected bucket population stays in
+    *    `(targetOccupancy/2, targetOccupancy]` at EVERY corpus size, so
+    *    per-query-per-table candidate work is a constant, not a corpus
+    *    fraction. 32 is the fixture-calibrated point: at n = 500 it yields
+    *    np = 4 — exactly the geometry whose L = 8 multi-probe recall@10
+    *    measured 0.99 (SimilaritySpec calibration), so the adaptive rule
+    *    REPRODUCES the calibrated operating point at calibration scale by
+    *    construction.
+    *  - `nTables` compensates the recall lost to longer signatures:
+    *    holding the survival `1 − (1 − p^np)^L` constant needs
+    *    `L ∝ (1/p)^(np − 4)` for per-plane collision probability `p`. The
+    *    ratio is MEASURED, not theorized: on the isotropic fixture
+    *    (hyperplane LSH's worst case) holding recall@10 ≥ 0.9 needs
+    *    L ≥ 12 at np = 6 and L ≥ 26 at np = 8 (SimilaritySpec probe),
+    *    which `(4/3)^d` satisfies at both points (15, 26) while `(7/6)^d`
+    *    — the cos-0.9 textbook value — under-shoots (11 → recall 0.88).
+    *    Computed INTEGER-EXACTLY as `⌈8 · 4^d / 3^d⌉`,
+    *    `d = max(np − 4, 0)`, in BigInt — the DuckDB twin carries the
+    *    same values as a generated `CASE np` table, so no floating-point
+    *    `pow` has to agree cross-engine. This is the honest E2LSH cost:
+    *    L grows POLYNOMIALLY in n (exponent ρ = ln(4/3)/ln 2 ≈ 0.42),
+    *    which is why hyperplane LSH stays the calibration/contrast path
+    *    and IVF-adaptive the production one.
+    */
+  def adaptiveLshGeometry(
+      n: Long, targetOccupancy: Long = 32L,
+      basePlanes: Int = 4, baseTables: Int = 8): (Int, Int) = {
+    require(n > 0, s"adaptive LSH geometry needs a non-empty corpus, got $n")
+    val np = (1 to LshMaxPlanes)
+      .find(i => (targetOccupancy << i) >= n).getOrElse(LshMaxPlanes)
+    (np, adaptiveLshTables(np, basePlanes, baseTables))
+  }
+
+  /** The table-count half of [[adaptiveLshGeometry]], factored out so the
+    * DuckDB twin's generated `CASE np` lookup is built from the SAME
+    * integer-exact arithmetic (`⌈baseTables · 4^d / 3^d⌉`,
+    * `d = max(np − basePlanes, 0)`).
+    */
+  def adaptiveLshTables(np: Int, basePlanes: Int = 4, baseTables: Int = 8): Int = {
+    val d = math.max(np - basePlanes, 0)
+    val num = BigInt(4).pow(d) * baseTables
+    val den = BigInt(3).pow(d)
+    ((num + den - 1) / den).toInt
   }
 
   /** Embedding-cosine near-dup: top-1 neighbor per vector within a blocking

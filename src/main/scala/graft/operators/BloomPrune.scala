@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * binary row (bounded: `numBits/8` bytes, ~150 KB at the defaults — a
   * sketch, never data) and re-enters the plan as a literal, exactly how
   * the optimizer's injected filter executes its scalar subquery. Past
-  * ~10M expected keys the literal gets heavy in the task binary — the
-  * switch is the broadcast-variable probe
-  * ([[graft.llm.Contamination.overlapBloom]]'s pattern, at UDF cost).
+  * ~10M expected keys the literal gets heavy in the task binary —
+  * `BloomFilterMightContain` requires a foldable sketch, so the options
+  * there are a smaller sketch at higher fpp (correctness unaffected — the
+  * join re-checks) or a broadcast-variable probe behind a UDF (the repo
+  * keeps none; [[graft.llm.Contamination.overlapBloom]] documents the same
+  * trade-off for its count-only probe, which no exact join re-checks).
   */
 object BloomPrune {
 

@@ -87,6 +87,30 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("cache-level conf matrix: every StorageLevel name takes effect on the pipeline persist") {
+    // keeps the knob from rotting (VERDICT r11 #7): for each supported
+    // level name the pipeline's own persist must carry exactly that level
+    // (asserted on the RDDs the run adds, not the shared session's total)
+    val levels = Seq(
+      "DISK_ONLY" -> ((l: org.apache.spark.storage.StorageLevel) => l.useDisk && !l.useMemory),
+      "MEMORY_ONLY" -> ((l: org.apache.spark.storage.StorageLevel) => l.useMemory && !l.useDisk),
+      "MEMORY_AND_DISK" -> ((l: org.apache.spark.storage.StorageLevel) => l.useMemory && l.useDisk),
+      "MEMORY_AND_DISK_SER" -> ((l: org.apache.spark.storage.StorageLevel) => l.useMemory && l.useDisk))
+    try levels.foreach { case (name, pred) =>
+      spark.catalog.clearCache()
+      spark.conf.set("spark.graft.cache.level", name)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      EventsVerificationPipeline.run(catalog, specDf, params).count()
+      val added = spark.sparkContext.getPersistentRDDs
+        .collect { case (id, rdd) if !before.contains(id) => rdd.getStorageLevel }
+      assert(added.nonEmpty, s"$name: pipeline must persist its shredded catalog")
+      assert(added.forall(pred), s"$name not honored, got $added")
+    } finally {
+      spark.conf.unset("spark.graft.cache.level")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("stale spec versions are dropped by the W1 latest-version pick") {
     assert(report.filter(col("prop_name") === "old_k").count() == 0)
     assert(report.filter(col("version") =!= "2.1").count() == 0)

@@ -92,9 +92,11 @@ class RegistrySpec extends SparkTestBase {
       // `x(a, b) AS (`
       val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val read = "read_csv" // q08 reads its spec CSV via function call
+      // built-in TABLE FUNCTIONS, not views: q08 reads its spec CSV via
+      // read_csv; q16g derives its plane count from `FROM range(...)`
+      val tableFns = Set("read_csv", "range", "unnest")
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase)
-        .filterNot(ctes).filterNot(_ == read).foreach { rel =>
+        .filterNot(ctes).filterNot(tableFns).foreach { rel =>
           assert(tables.contains(rel),
             s"$name references unknown relation '$rel' (not a table or CTE)")
         }

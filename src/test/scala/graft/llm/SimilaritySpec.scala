@@ -194,6 +194,94 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.1, s"adaptive recall $recall collapsed below the probed fraction")
   }
 
+  test("adaptive LSH geometry (q16g): integer-exact rule; recall holds at the next geometry step") {
+    // The rule itself, pinned value-by-value (the oracle's CASE table and
+    // the Spark side both derive from these): np = min i with 32*2^i >= n,
+    // L = ceil(8 * (4/3)^(np-4)) in exact BigInt arithmetic. The 4/3
+    // ratio is the MEASURED compensation on this fixture: (7/6)^d (the
+    // cos-0.9 textbook value) gave recall 0.88 at np=6/L=11, under the
+    // bar; holding >= 0.9 needs L >= 12 at np=6 and L >= 26 at np=8, and
+    // (4/3)^d clears both (15, 26).
+    assert(Similarity.adaptiveLshGeometry(500L) == (4, 8),
+      "fixture scale must reproduce q16e's calibrated (4 planes, 8 tables)")
+    assert(Similarity.adaptiveLshGeometry(2000L) == (6, 15))
+    assert(Similarity.adaptiveLshGeometry(20000L) == (10, 45))
+    assert(Similarity.adaptiveLshGeometry(240000L) == (13, 107))
+    // cap: geometry stops adapting past LshMaxPlanes
+    assert(Similarity.adaptiveLshGeometry(10000000L) == (16, 253))
+    assert((1 to Similarity.LshMaxPlanes).map(Similarity.adaptiveLshTables(_)).toList ==
+      List(8, 8, 8, 8, 11, 15, 19, 26, 34, 45, 60, 80, 107, 143, 190, 253),
+      "the oracle CASE table values must stay pinned")
+
+    // Recall re-calibration at the NEXT geometry steps (np=6/L=15 — what
+    // a 2000-row corpus gets — and np=8/L=26): the L-compensation must
+    // hold the calibrated >= 0.9 bar as planes grow. Measured on the same
+    // fixture as the base calibration so the numbers are comparable.
+    val emb = Tables.embeddings(spark, dir)
+    val qf = col("id") % 50 === 0
+    val ground = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val got8 = Similarity.lshTopKTables(emb, "vec_id", "embedding", qf, 10,
+      nPlanes = 8, nTables = 26)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val recall8 = (ground & got8).size.toDouble / ground.size
+    info(f"adaptive lsh (np=8, L=26): recall@10 = $recall8%.3f")
+    assert(recall8 >= 0.9,
+      f"np=8 adaptive-step recall $recall8%.3f fell below the calibrated 0.9 bar")
+    val obs = org.apache.spark.sql.Observation()
+    val df = Similarity.lshTopKTables(emb, "vec_id", "embedding", qf, 10,
+      nPlanes = 6, nTables = 15, candObservation = Some(obs))
+    val got = df.as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val recall = (ground & got).size.toDouble / ground.size
+    info(f"adaptive lsh (np=6, L=15): recall@10 = $recall%.3f, " +
+      f"candidate_pairs = ${obs.get("candidate_pairs")}")
+    assert(recall >= 0.9,
+      f"adaptive-step recall $recall%.3f fell below the calibrated 0.9 bar")
+  }
+
+  test("lsh_buckets kernel == composable per-table lshBucket columns, edges included") {
+    import spark.implicits._
+    // the kernel claims bit-identity with the composable form (including
+    // the round-6 boundary rewritten as s >= 5e-7 and the null/length
+    // poisoning semantics); this pins it on real fixture vectors plus
+    // hand-built hostile rows
+    val np = 5
+    val nt = 7
+    val dims = 64
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("emb"))
+    val hostile = Seq(
+      (100001L, Seq.fill(dims)(0.0)),                    // all-zero: every dot 0 -> bucket 0
+      (100002L, Seq.fill(3)(1.0)),                       // wrong length -> all-zero buckets
+      (100003L, Seq.tabulate(dims)(d => 4.999e-7 * (if (d == 0) 1 else 0))) // near the round-6 boundary
+    ).toDF("id", "emb")
+    val withNull = Seq(100004L).toDF("id")
+      .withColumn("emb", array((lit(null).cast("double") +:
+        Seq.fill(dims - 1)(lit(1.0))): _*))
+    val vecs = real.unionByName(hostile).unionByName(withNull)
+    val tables = (0 until nt).map(t => Similarity.hyperplanes(np, dims, 42L + t))
+    val composable = vecs.withColumn("__b",
+      array(tables.map(p => Similarity.lshBucket(col("emb"), p)): _*))
+      .select(col("id"), col("__b"))
+    val bits = tables.flatten.map { p =>
+      p.zipWithIndex.collect { case (v, d) if v > 0 => 1L << d }.sum
+    }.toArray
+    val kernel = vecs.withColumn("__b",
+      call_function("lsh_buckets", col("emb"), lit(bits), lit(np), lit(dims)))
+      .select(col("id"), col("__b"))
+    val c = composable.as[(Long, Seq[Long])].collect().toMap
+    val k = kernel.as[(Long, Seq[Long])].collect().toMap
+    assert(k.keySet == c.keySet)
+    k.foreach { case (id, bks) =>
+      // poisoned rows: the composable when(null > 0).otherwise(0) and the
+      // kernel both land on all-zero buckets, so a plain diff covers them
+      assert(bks == c(id), s"id=$id kernel=$bks composable=${c(id)}")
+    }
+    assert(k(100001L).forall(_ == 0L) && k(100002L).forall(_ == 0L) &&
+      k(100004L).forall(_ == 0L))
+  }
+
   test("ivfTopK: recall against brute force is reasonable for nprobe=1") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("id") % 50 === 0, 5)
