@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Probe-run passthrough (MemPressure mitigation experiments): extra -D
+// flags, whitespace-separated — SparkConf reads spark.* system properties
+// at session build. The driver never sets it.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -61,6 +61,15 @@ object MemPressure {
     // EventsVerificationPipeline.dataCacheLevel for the measured failure)
     sys.env.get("SPARK_GRAFT_CACHE_LEVEL")
       .foreach(spark.conf.set("spark.graft.cache.level", _))
+    // generic mitigation lever: SPARK_GRAFT_CONF="k=v;k=v" applies
+    // runtime-settable SQL confs (e.g. spark.sql.shuffle.partitions —
+    // the per-task-aggregate-state knob the q16g probe exercises). The
+    // driver never sets it; probes record the value they used in the
+    // header line below.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val listener = new SpillListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -71,7 +80,10 @@ object MemPressure {
       only.forall(_.exists(name.contains))
     }
     val heap = Runtime.getRuntime.maxMemory()
-    println(s"""{"heap_bytes":$heap,"sf":"$sfDir","queries":${selected.size}}""")
+    val confNote = if (extraConf.isEmpty) ""
+      else extraConf.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(""","conf":{""", ",", "}")
+    println(s"""{"heap_bytes":$heap,"sf":"$sfDir","queries":${selected.size}$confNote}""")
     selected.foreach { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()

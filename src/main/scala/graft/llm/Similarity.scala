@@ -428,12 +428,14 @@ object Similarity {
     * candidate set approaches all of |Q|×|N| as the corpus grows
     * (4 planes, 5 probes, 8 tables ⇒ ≈ 95% of the corpus per query) and
     * the narrow shape above merely makes that degeneration spill-safe
-    * instead of fatal. Scaling hyperplane LSH honestly requires planes ∝
-    * log N (constant expected occupancy, the q48b cells-vs-labels
-    * argument applied to bucket geometry) and re-calibrating recall at
-    * the new point; q16e stays pinned to the fixture-calibrated geometry
-    * because its oracle shares the plane literals, and IVF (q16d) remains
-    * the production ANN path at scale.
+    * instead of fatal. The registered fix (round 12) is q16g /
+    * [[adaptiveLshGeometry]]: planes ∝ log N (constant expected
+    * occupancy, the q48b cells-vs-labels argument applied to bucket
+    * geometry) with the table count compensated to hold the calibrated
+    * recall — measured 2.3× faster than this fixed geometry at the 100×
+    * replica WITH its recall contract intact. q16e stays registered at
+    * the fixture-calibrated point as the degeneration contrast, and IVF
+    * (q16d/q16f) remains the production ANN path at scale.
     */
   def lshTopKTables(
       vectorsDf: DataFrame, idCol: String, embCol: String,
@@ -467,10 +469,36 @@ object Similarity {
         posexplode(col("__buckets")).as(Seq("table", "bucket")))
       .select(col("query_id"), col("table"),
         explode(lshProbes(col("bucket"), nPlanes, multiProbe)).as("bucket"))
+    // Memory-pressure shape (r12 probe, 4 GiB heap × 100× replica —
+    // bench_records/r12_mem_q16g_4g_100x.jsonl): two deliberate choices
+    // keep the candidate stage spill-safe instead of heap-fatal.
+    //
+    // 1. The probe-set join is NOT hint-forced to broadcast: the probe
+    //    side grows as |Q|·L·(np+1) under adaptive geometry (≈6M rows at
+    //    the 100× replica), and a forced broadcast both pins that build
+    //    on every task's heap and leaves the join output partitioned by
+    //    the corpus SCAN — the full N·L exploded fan-out funnels through
+    //    ~32 map tasks. Un-hinted, AQE sees the real shuffle sizes: tiny
+    //    probe sets at calibration scale still broadcast, scale-decade
+    //    probe sets become a distributed hash join on (table, bucket),
+    //    whose constant expected occupancy (the whole point of adaptive
+    //    geometry) makes an even, skew-free key.
+    // 2. The pair dedup SHUFFLES FIRST (repartition on the group keys),
+    //    then aggregates: a bare distinct() would partial-aggregate
+    //    map-side over the join's raw fan-out, and the probe measured
+    //    that sort-fallback merge dying in spill-reader allocation
+    //    (OOM in UnsafeSorterSpillReader.<init>; the 1 MB reader buffer
+    //    is unmanaged heap and Spark 4's conf floor forbids shrinking
+    //    it). Hash-distributing the narrow 16-byte pairs first is one
+    //    linear spill-safe exchange; partial+final aggregation both run
+    //    post-shuffle on slices sized by spark.sql.shuffle.partitions —
+    //    per-task state drops from pairs/maps to pairs/shufflePartitions,
+    //    the knob a deployment actually turns.
     val cand = assigned.select(col("id"), col("table"), col("bucket"))
-      .join(broadcast(q), Seq("table", "bucket"))
+      .join(q, Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"))
+      .repartition(col("query_id"), col("neighbor_id"))
       .distinct()
     val pairs = cand
       .join(base.select(col("id").as("neighbor_id"), col("emb")), Seq("neighbor_id"))
