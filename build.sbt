@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED instead of via sbt's [info]
+// logger: the driver parses Bench's compact stdout JSON line from a bounded
+// tail, and the "[info] {...}" frame was the last thing keeping it
+// "parsed": null (VERDICT r12 ask #2). Applies to runMain too.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

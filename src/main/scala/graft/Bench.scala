@@ -32,19 +32,24 @@ object Bench {
     * O(errors), not O(registry) — it cannot outgrow the tail again as the
     * registry grows.
     */
+  /** Minimal JSON string escaping — shared with the diagnostic mains
+    * (MemPressure's conf header, ADVICE r12) so every emitted record stays
+    * parseable whatever the interpolated value contains.
+    */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private[graft] def benchJson(
       results: Seq[(String, Double)],
       samples: Map[String, Seq[Double]],
       errors: Map[String, String],
       sfDir: String,
       iters: Int = 5): (String, String) = {
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val smp = results.map { case (k, _) =>
       s"${jstr(k)}:${samples(k).mkString("[", ",", "]")}"
@@ -184,21 +189,32 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
-    val results = selected.map { case (name, fn) =>
-      // Level the heap between queries: earlier queries' unreferenced
-      // broadcast/persist blocks otherwise pile up until a mid-measurement
-      // full GC lands on whichever query triggers it.
+    // Interleaved rounds (VERDICT r12 ask #4): iteration 1 of every query,
+    // then iteration 2, … — NOT 5 back-to-back samples per query. Both
+    // driver-round false alarms (q10 r11, q41 r12) were minutes-long host
+    // bursts landing entirely inside one query's 5-sample window and
+    // dragging its median; round-robin spreads any burst thinly across ALL
+    // medians at zero protocol cost (same sample count, same per-sample
+    // clearCache/System.gc isolation, all samples still recorded in order).
+    // A query that has already failed is skipped in later rounds — its
+    // short sample vector yields the same -1 median either way.
+    var acc = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to Iterations; (name, fn) <- selected if !errors.contains(name)) {
+      // isolate samples from each other's persisted state; level the heap
+      // so one query's unreferenced broadcast/persist blocks can't land a
+      // full GC inside another's timed body
+      spark.catalog.clearCache()
       System.gc()
-      val times = (1 to Iterations).flatMap { _ =>
-        // isolate iterations/queries from each other's persisted state
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          None
-        }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        acc += name -> (acc(name) :+ (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+    }
+    val results = selected.map { case (name, _) =>
+      val times = acc(name)
       samples += name -> times
       // A query that failed on ANY iteration is a failed query (-1), even if
       // other iterations succeeded — so `errors` keys never overlap with

@@ -571,6 +571,13 @@ object LlmQueries {
     * bar as q16d. Candidate cost stays linear in L (the big side
     * replicates ×8 through the one bucket-join shuffle — see
     * [[Similarity.lshTopKTables]]).
+    *
+    * Registered as `q16e_ann_lsh_fixed` (renamed r13, VERDICT r12 ask #6):
+    * the FIXED geometry is this query's declared role — a measured
+    * contrast whose recall silently decays as the corpus grows (54×/decade
+    * wall at the 100× replica, BASELINE.md r12 ladder). The scale paths
+    * are q16g (adaptive LSH, recall held by construction) and q16f
+    * (adaptive IVF, the production ANN).
     */
   def annLshTables(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopKTables(embeddings(spark, dir), "vec_id", "embedding",
@@ -1984,7 +1991,7 @@ object LlmQueries {
     "q16d_ann_ivf_nprobe4" -> ((s, d) => annIvfNprobe4(s, d)),
     "q16f_ann_ivf_adaptive" -> ((s, d) => annIvfAdaptive(s, d)),
     "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
-    "q16e_ann_lsh_tables" -> ((s, d) => annLshTables(s, d)),
+    "q16e_ann_lsh_fixed" -> ((s, d) => annLshTables(s, d)),
     "q16g_ann_lsh_adaptive" -> ((s, d) => annLshAdaptive(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
@@ -2040,7 +2047,7 @@ object LlmQueries {
     "q16d_ann_ivf_nprobe4" -> q16dOracle,
     "q16f_ann_ivf_adaptive" -> q16fOracle,
     "q16c_ann_lsh" -> q16cOracle,
-    "q16e_ann_lsh_tables" -> q16eOracle,
+    "q16e_ann_lsh_fixed" -> q16eOracle,
     "q16g_ann_lsh_adaptive" -> q16gOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,

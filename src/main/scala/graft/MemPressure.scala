@@ -80,10 +80,12 @@ object MemPressure {
       only.forall(_.exists(name.contains))
     }
     val heap = Runtime.getRuntime.maxMemory()
+    // Bench.jstr escaping: a conf value containing a quote or backslash
+    // must not break the diagnostic record's parseability (ADVICE r12)
     val confNote = if (extraConf.isEmpty) ""
-      else extraConf.map { case (k, v) => s""""$k":"$v"""" }
+      else extraConf.map { case (k, v) => s"${Bench.jstr(k)}:${Bench.jstr(v)}" }
         .mkString(""","conf":{""", ",", "}")
-    println(s"""{"heap_bytes":$heap,"sf":"$sfDir","queries":${selected.size}$confNote}""")
+    println(s"""{"heap_bytes":$heap,"sf":${Bench.jstr(sfDir)},"queries":${selected.size}$confNote}""")
     selected.foreach { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()

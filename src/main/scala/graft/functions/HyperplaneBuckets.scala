@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -42,7 +44,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *    the hot loop;
   *  - a null element or a length ≠ dims poisons the composable dot to
   *    null for EVERY plane (`zip_with` pads with nulls), and `null > 0`
-  *    is false — so such rows take all-zero buckets, reproduced here.
+  *    is false — so such rows take all-zero buckets, reproduced here;
+  *  - a null ARRAY takes the same all-zero buckets (the composable
+  *    `when(null > 0).otherwise(0)` kept such rows in table-0 buckets;
+  *    the default null-propagating `nullSafeEval` would instead return
+  *    NULL and the downstream `posexplode` would silently DROP the row —
+  *    ADVICE r12), so the expression is non-nullable by construction and
+  *    [[eval]]/[[doGenCode]] handle the null child themselves.
   *
   * Registered by [[graft.GraftExtensions]].
   */
@@ -65,16 +73,27 @@ case class HyperplaneBuckets(child: Expression, planeBits: Seq[Long], np: Int, d
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def nullable: Boolean = false
+
   @transient private lazy val kernel =
     new HyperplaneKernel(planeBits.toArray, np, dims)
 
-  override protected def nullSafeEval(input: Any): Any =
-    kernel.buckets(input.asInstanceOf[ArrayData])
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => kernel.zeroBuckets()
+    case a => kernel.buckets(a.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hyperplaneKernel", kernel,
       classOf[HyperplaneKernel].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.buckets($a);")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = ${childGen.isNull} ?
+          $ref.zeroBuckets() : $ref.buckets(${childGen.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
@@ -91,6 +110,16 @@ class HyperplaneKernel(planeBits: Array[Long], np: Int, dims: Int)
 
   private val nTables = planeBits.length / np
 
+  /** The all-zero bucket row poisoned inputs (null array, null element,
+    * wrong length) map to. Fresh array per call: `GenericArrayData` is
+    * handed to consumers that may retain it across rows.
+    */
+  def zeroBuckets(): ArrayData = {
+    val out = new Array[Any](nTables)
+    java.util.Arrays.fill(out, 0L)
+    new GenericArrayData(out)
+  }
+
   def buckets(input: ArrayData): ArrayData = {
     val out = new Array[Any](nTables)
     var ok = input.numElements() == dims
@@ -98,10 +127,7 @@ class HyperplaneKernel(planeBits: Array[Long], np: Int, dims: Int)
       var d = 0
       while (ok && d < dims) { if (input.isNullAt(d)) ok = false; d += 1 }
     }
-    if (!ok) {
-      java.util.Arrays.fill(out, 0L)
-      return new GenericArrayData(out)
-    }
+    if (!ok) return zeroBuckets()
     val e = new Array[Double](dims)
     var d = 0
     while (d < dims) { e(d) = input.getDouble(d); d += 1 }

@@ -154,11 +154,19 @@ object Similarity {
     // deterministically LOSE every score comparison, so they land in the
     // smallest-id centroid's bucket via the documented tie-break; the
     // +2e6 offset keeps the packed key non-negative (see [[IvfIdxCap]]).
+    // guarded = NaN→−2, NULL→−2, and (ADVICE r12) ±Infinity→−2: Spark's
+    // round passes Infinity through, Inf*1e6 casts to Long.MaxValue, and
+    // the packing then overflows to a garbage key decoding to an
+    // out-of-range rank — the same silent row drop this guard closes.
+    // abs(x) > 2 catches exactly the non-finite cases (real cosines are in
+    // [−1,1] after round-6; the −2 sentinel itself passes |−2| > 2 = false).
+    val guarded = coalesce(
+      nanvl(round(fusedCosine(col("emb"), col("c_emb")), 6), lit(-2.0)),
+      lit(-2.0))
+    val finite = when(abs(guarded) > 2.0, lit(-2.0)).otherwise(guarded)
     val scored = n.join(broadcast(c))
       .select(col("id"),
-        ((round(coalesce(
-              nanvl(round(fusedCosine(col("emb"), col("c_emb")), 6), lit(-2.0)),
-              lit(-2.0)) * 1e6)
+        ((round(finite * 1e6)
             .cast("long") + 2000000L) * IvfIdxCap
           + (lit(IvfIdxCap - 1L) - col("c_rank"))).as("packed"))
     val picked = scored.groupBy("id").agg(max("packed").as("mx"))

@@ -45,19 +45,27 @@ object AtomicState {
     * `mapreduce.fileoutputcommitter.marksuccessfuljobs=true` (the
     * default); with the marker disabled the fallback is the committer's
     * own state: a committed job has deleted its `_temporary` scratch dir
-    * and left at least one `part-*` data file in the final location
-    * (true for FileOutputCommitter v1 and v2 — neither leaves part
-    * files outside `_temporary` before task/job commit while
-    * `_temporary` is already gone). Without this fallback, a crash
-    * between rename-away and rename-in under
+    * (true for FileOutputCommitter v1 and v2 — both create `_temporary`
+    * at setup and remove it only at job commit). Without this fallback,
+    * a crash between rename-away and rename-in under
     * `marksuccessfuljobs=false` would take heal's roll-BACK branch and
     * discard a fully committed new generation (ADVICE r11).
+    *
+    * Deliberately NO part-file requirement: a committed write of an
+    * EMPTY zero-partition DataFrame leaves a directory with no `part-*`
+    * files, and requiring one would discard that committed empty
+    * generation (ADVICE r12). The `_temporary`-absence test alone is
+    * sound inside [[overwrite]]'s protocol: heal only consults `.new`
+    * when the primary `path` is already gone, and step (b) renames the
+    * primary away strictly AFTER the `.new` write returned — so any
+    * `.new` directory seen from that branch is a finished write, and
+    * "no `_temporary`" distinguishes committed from a crash mid-write
+    * (which keeps the scratch dir).
     */
   private def hasCommittedWrite(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean = {
     if (!fs.exists(dir)) return false
     if (fs.exists(new Path(dir, "_SUCCESS"))) return true
-    !fs.exists(new Path(dir, "_temporary")) &&
-      fs.listStatus(dir).exists(_.getPath.getName.startsWith("part-"))
+    !fs.exists(new Path(dir, "_temporary"))
   }
 
   /** Finish or undo an interrupted [[overwrite]] swap on `path` (see

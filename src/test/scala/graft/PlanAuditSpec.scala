@@ -342,4 +342,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-k must be a bounded heap, not a global sort:\n$p")
   }
+
+  test("q16g adaptive LSH: plan size stays CONSTANT in geometry (lsh_buckets kernel, not a per-table tree)") {
+    // Round-12 scale finding (VERDICT r12 ask #7): a logical plan whose
+    // EXPRESSION tree grows with a count-derived parameter is a scale bug —
+    // the composable per-table lshBucket form built L × np × dims nodes
+    // (~29k at the adaptive 10× geometry np=10/L=45, duplicated into both
+    // the candidate and the query branch) and Catalyst analysis/optimization
+    // dominated q16g's wall (82.3 s of planning → 4.66 s with the kernel).
+    // This pins the fix: force a geometry two adaptive steps PAST the
+    // registered one and assert the analyzed plan's total expression node
+    // count is (a) bounded by a small constant and (b) within the known
+    // np-linear slack of the base geometry — the only np-dependent
+    // expression left is the multi-probe array (np+1 probes, ~4 nodes per
+    // plane). Unwinding lsh_buckets back into composable signatures blows
+    // both bounds by two orders of magnitude.
+    import graft.llm.Similarity
+    import graft.sources.Tables
+    def exprNodes(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n =>
+        n.expressions.map(e => e.collect { case _ => 1 }.size).sum
+      }.sum
+    val emb = Tables.embeddings(spark, dir)
+    def planAt(np: Int, nt: Int): Int =
+      exprNodes(Similarity.lshTopKTables(emb, "vec_id", "embedding",
+        col("id") % 50 === 0, k = 10, nPlanes = np, nTables = nt))
+    val base = planAt(4, 8)     // the calibrated geometry (q16e's point)
+    val large = planAt(10, 45)  // the 10×-replica adaptive geometry
+    info(s"expression nodes: base(np=4,L=8)=$base large(np=10,L=45)=$large")
+    assert(large < 1500,
+      s"adaptive-geometry plan grew to $large expression nodes — the " +
+        "composable per-table signature is back (expected O(100), saw the " +
+        "kernel keep this ~constant; the composable form measured ~29k)")
+    assert(large - base <= 60,
+      s"plan grew ${large - base} nodes from np=4/L=8 to np=10/L=45 — only " +
+        "the multi-probe array may grow with np (~4 nodes/plane); anything " +
+        "table-count-dependent means a per-table expression leaked back in")
+  }
 }

@@ -259,7 +259,13 @@ class SimilaritySpec extends SparkTestBase {
     val withNull = Seq(100004L).toDF("id")
       .withColumn("emb", array((lit(null).cast("double") +:
         Seq.fill(dims - 1)(lit(1.0))): _*))
+    // null ARRAY (not just null element): the composable
+    // when(null > 0).otherwise(0) keeps the row in all-zero buckets; the
+    // kernel must match rather than null-propagate and drop it (ADVICE r12)
+    val nullArray = Seq(100005L).toDF("id")
+      .withColumn("emb", lit(null).cast("array<double>"))
     val vecs = real.unionByName(hostile).unionByName(withNull)
+      .unionByName(nullArray)
     val tables = (0 until nt).map(t => Similarity.hyperplanes(np, dims, 42L + t))
     val composable = vecs.withColumn("__b",
       array(tables.map(p => Similarity.lshBucket(col("emb"), p)): _*))
@@ -279,7 +285,7 @@ class SimilaritySpec extends SparkTestBase {
       assert(bks == c(id), s"id=$id kernel=$bks composable=${c(id)}")
     }
     assert(k(100001L).forall(_ == 0L) && k(100002L).forall(_ == 0L) &&
-      k(100004L).forall(_ == 0L))
+      k(100004L).forall(_ == 0L) && k(100005L).forall(_ == 0L))
   }
 
   test("ivfTopK: recall against brute force is reasonable for nprobe=1") {

@@ -130,12 +130,16 @@ class StreamingHeavyHittersSpec extends SparkTestBase {
     assert(StreamingHeavyHitters.heavyHittersToDate(spark, stateB, denom)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
 
-    // State C — crash with only an UNcommitted .new (no _SUCCESS) and the
-    // old dir renamed aside: recovery must restore .old, not trust .new.
+    // State C — crash with only an UNcommitted .new (write still in
+    // flight: `_temporary` scratch present, no _SUCCESS) and the old dir
+    // renamed aside: recovery must restore .old, not trust .new. A bare
+    // empty dir with NO `_temporary` would instead read as a committed
+    // zero-row generation (ADVICE r12 — the committer contract only
+    // guarantees "_temporary removed at commit", not ">=1 part file").
     val stateC = Files.createTempDirectory("graft-hh-c").toFile.getAbsolutePath
     copyTree(Paths.get(dir), Paths.get(stateC))
     Files.move(Paths.get(s"$stateC/cms"), Paths.get(s"$stateC/cms.old"))
-    Files.createDirectories(Paths.get(s"$stateC/cms.new")) // partial: no _SUCCESS
+    Files.createDirectories(Paths.get(s"$stateC/cms.new/_temporary")) // in-flight write
     assert(StreamingHeavyHitters.heavyHittersToDate(spark, stateC, denom)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
 

@@ -161,4 +161,41 @@ class StreamingReportSpec extends SparkTestBase {
     assert(Files.exists(p), "heal must restore .old when .new is uncommitted")
     assert(spark.read.parquet(path).as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
   }
+
+  test("heal rolls forward a committed EMPTY generation (no part files, no _SUCCESS)") {
+    // ADVICE r12: a committed write of a zero-partition DataFrame leaves a
+    // directory with NO part-* files; under marksuccessfuljobs=false there
+    // is no _SUCCESS either. The old part-file-requiring fallback read that
+    // as uncommitted and rolled BACK — discarding a committed (empty)
+    // generation. "Directory exists, no _temporary" alone must count as
+    // committed: inside the swap protocol .new is only consulted when the
+    // primary is gone, which implies the .new write already returned.
+    val base = Files.createTempDirectory("graft-atomicstate-empty").toFile.getAbsolutePath
+    val path = s"$base/state"
+    import scala.jdk.CollectionConverters._
+    def partFiles(dir: java.nio.file.Path): Seq[String] =
+      Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSeq
+    // Simulate State B with the marker suppressed: committed EMPTY dir in
+    // .new (a finished write that produced no part files — e.g. an
+    // object-store committer on a zero-row job — with _SUCCESS suppressed
+    // and _temporary long gone), live dir absent, the superseded prior
+    // generation lingering in .old. Built by hand: local Spark pads a
+    // zero-partition write with one empty part task, but the committer
+    // contract only guarantees "_temporary removed at commit", not
+    // ">=1 part file".
+    val p = java.nio.file.Paths.get(path)
+    val pNew = java.nio.file.Paths.get(path + ".new")
+    java.nio.file.Files.createDirectories(pNew)
+    AtomicState.overwrite(Seq(9).toDF("v"), path + ".old-src")
+    java.nio.file.Files.move(java.nio.file.Paths.get(path + ".old-src"),
+      java.nio.file.Paths.get(path + ".old"))
+    AtomicState.heal(spark, path)
+    assert(Files.exists(p), "heal must roll the committed empty generation forward")
+    assert(!Files.exists(pNew))
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".old")))
+    assert(partFiles(p).isEmpty,
+      "the committed EMPTY generation must survive; rolling back to .old here " +
+        "would resurrect superseded state")
+  }
 }
