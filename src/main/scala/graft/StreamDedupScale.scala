@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+import graft.sources.Tables
+import graft.streaming.StreamingNearDedup
+
+/** Scale-evidence probe for the near-dup INGEST loop (VERDICT r12 ask #5):
+  * [[graft.streaming.StreamingNearDedup]] had correctness coverage but no
+  * measured scale point — its 100 TB claim ("per-trigger cost scales with
+  * the batch, never the corpus") was argued from the plan shape alone.
+  * This main drives the loop over a replica documents table split into N
+  * equal hash-slices and prints one JSON line per trigger:
+  *
+  *  - `ingest_sec` — the trigger's wall (sign + probe-join + verify +
+  *    index fold). The claim under test: flat across triggers while the
+  *    INDEX behind the probe grows N-fold. Any per-trigger growth here is
+  *    index-scan/shuffle work leaking into the trigger path.
+  *  - `pairs_appended`, `bands_rows`/`shingles_rows`/`index_bytes` — the
+  *    emitted output and the index-to-date, so growth (expected, append-only)
+  *    is visible next to the per-trigger cost (required flat).
+  *
+  * The final lines run the BATCH pipeline ([[Dedup.minhashPairs]], q12
+  * semantics) over the same full corpus and check cumulative incremental ≡
+  * batch pair-for-pair — StreamingNearDedupSpec's equivalence, re-proven at
+  * replica scale.
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BATCHES=10 \
+  *   sbt -batch "runMain graft.StreamDedupScale"
+  * }}}
+  */
+object StreamDedupScale {
+
+  private def dirBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
+    val skipBatchCheck = sys.env.get("SPARK_GRAFT_SKIP_BATCH_CHECK").contains("1")
+    val base = Files.createTempDirectory("graft-dedupscale").toString
+    val indexDir = s"$base/index"
+    val pairsDir = s"$base/pairs"
+    val spark = GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // Deterministic equal-size hash slices (the StreamScale convention):
+    // every micro-batch is a same-size sample of the corpus, so a flat
+    // per-trigger line cannot be explained by shrinking batches.
+    val sliced = docs.withColumn("__slice",
+      pmod(xxhash64(col("doc_id")), lit(nBatches)))
+    val total = docs.count()
+    println(s"""{"sf":${Bench.jstr(sfDir)},"rows":$total,"batches":$nBatches,"index":${Bench.jstr(indexDir)}}""")
+
+    (0 until nBatches).foreach { b =>
+      val batch = sliced.filter(col("__slice") === b).drop("__slice")
+      val t0 = System.nanoTime()
+      val nPairs = StreamingNearDedup.ingestBatch(
+        batch, "doc_id", "text", indexDir, pairsDir)
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val bandsRows = spark.read.parquet(s"$indexDir/bands").count()
+      val shinglesRows = spark.read.parquet(s"$indexDir/shingles").count()
+      println(s"""{"batch":$b,"ingest_sec":${math.round(ingestSec * 1000) / 1000.0},"pairs_appended":$nPairs,"bands_rows":$bandsRows,"shingles_rows":$shinglesRows,"index_bytes":${dirBytes(Paths.get(indexDir))}}""")
+    }
+
+    if (!skipBatchCheck) {
+      // the contrast: one full batch near-dup over the same corpus, and the
+      // exactness check that makes the per-trigger numbers meaningful
+      val t1 = System.nanoTime()
+      val batchPairs = Dedup.minhashPairs(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchN = batchPairs.count()
+      val batchSec = (System.nanoTime() - t1) / 1e9
+      val incremental = spark.read.parquet(pairsDir)
+      val diff = incremental.exceptAll(batchPairs).count() +
+        batchPairs.exceptAll(incremental).count()
+      println(s"""{"batch_q12_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q12_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
+    }
+    spark.stop()
+  }
+}
