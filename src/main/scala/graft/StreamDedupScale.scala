@@ -48,6 +48,10 @@ object StreamDedupScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
     val skipBatchCheck = sys.env.get("SPARK_GRAFT_SKIP_BATCH_CHECK").contains("1")
+    // maintenance cadence: compact the index every K triggers (0 = never) —
+    // the probe for the measured small-file growth term (see
+    // StreamingNearDedup.compactIndex)
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
     val base = Files.createTempDirectory("graft-dedupscale").toString
     val indexDir = s"$base/index"
     val pairsDir = s"$base/pairs"
@@ -72,6 +76,12 @@ object StreamDedupScale {
       val bandsRows = spark.read.parquet(s"$indexDir/bands").count()
       val shinglesRows = spark.read.parquet(s"$indexDir/shingles").count()
       println(s"""{"batch":$b,"ingest_sec":${math.round(ingestSec * 1000) / 1000.0},"pairs_appended":$nPairs,"bands_rows":$bandsRows,"shingles_rows":$shinglesRows,"index_bytes":${dirBytes(Paths.get(indexDir))}}""")
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0 && b + 1 < nBatches) {
+        val tc = System.nanoTime()
+        val written = StreamingNearDedup.compactIndex(spark, indexDir)
+        val compactSec = (System.nanoTime() - tc) / 1e9
+        println(s"""{"compact_after":$b,"compact_sec":${math.round(compactSec * 1000) / 1000.0},"files":${written.map { case (k, v) => s"${Bench.jstr(k)}:$v" }.mkString("{", ",", "}")}}""")
+      }
     }
 
     if (!skipBatchCheck) {

@@ -104,4 +104,23 @@ object AtomicState {
     fs.rename(pNew, p)
     fs.delete(pOld, true)
   }
+
+  /** Promote an externally WRITTEN `path.new` through [[overwrite]]'s swap
+    * tail — for rewrites that can't go through a single `df.write` (e.g.
+    * [[graft.sources.Tables.compactParquet]], which sizes and sorts its
+    * output itself). Caller contract: `heal(path)` BEFORE writing
+    * `path.new` (a pre-existing live dir would otherwise delete the fresh
+    * `.new`), then write `path.new` to completion, then `promote`. A crash
+    * anywhere leaves one of the three heal-recoverable states.
+    */
+  def promote(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val pNew = new Path(path + ".new")
+    val pOld = new Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pNew), s"promote: $path.new missing — write it first")
+    if (fs.exists(p)) fs.rename(p, pOld)
+    fs.rename(pNew, p)
+    fs.delete(pOld, true)
+  }
 }

@@ -65,6 +65,16 @@ object StreamingNearDedup {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         like.schema)
     }
+    // Measured negative result (r13, bench_records/r13_neardup_smallbatch
+    // _100x{,_pruned}.jsonl): broadcast-semi-pruning the index to the
+    // batch's band keys before the cap window — the "obvious" fix for the
+    // full-index exchange — made every trigger ~0.5 s SLOWER (the extra
+    // per-trigger broadcast job) and did NOT flatten the observed growth,
+    // because the measured O(index) term at fixed batch size is the
+    // APPEND-ONLY FILE COUNT (scan planning over ~20 new part files per
+    // trigger), not the band-key shuffle (16-byte rows; ~0.4 s at 2M
+    // rows). The operational answer is [[compactIndex]], not a plan
+    // change — so the probe keeps the shared-exchange q41 plan unmodified.
     val pairs = Dedup.incrementalMinhashPairsFromArtifacts(
       readOrEmpty(bandsPath, batchBands), readOrEmpty(shinglesPath, shingled),
       batchBands, shingled, threshold, maxBucketSize)
@@ -80,6 +90,48 @@ object StreamingNearDedup {
     batchBands.unpersist(false)
     shingled.unpersist(false)
     n
+  }
+
+  /** Compact the append-only LSH index — the maintenance step the ingest
+    * loop needs at scale, and the MEASURED answer to the r13 small-batch
+    * ladder: with fixed 5k-doc triggers against the 100× corpus,
+    * per-trigger cost crept ~+5% per 2M index rows, and the growth term
+    * is the index's accumulating part files (~20 per append; scan
+    * planning + footer reads are O(files) every trigger), not any shuffle
+    * — see `bench_records/r13_neardup_smallbatch_100x*.jsonl`. Each index
+    * table is rewritten to ~`targetFileBytes` files — bands range-laid on
+    * (band_id, band_hash) and shingles on id, so row-group min/max
+    * pruning works on the probe keys afterwards — and swapped in through
+    * the [[AtomicState]] protocol, so a crash mid-compaction never loses
+    * the index (heal rolls forward or back; the at-rest analogue of
+    * q63's partition compaction). Returns table → files written.
+    *
+    * At 100 TB this runs on whatever maintenance cadence keeps file count
+    * bounded (e.g. every N triggers, as `graft.StreamDedupScale`'s
+    * `SPARK_GRAFT_COMPACT_EVERY` probe drives it); ingest keeps appending
+    * between compactions, exactly like any log-structured store.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+    import graft.sources.Compaction
+    Seq(
+      "bands" -> Seq("band_id", "band_hash", "id"),
+      "shingles" -> Seq("id")
+    ).map { case (sub, sortCols) =>
+      val path = s"$indexDir/$sub"
+      AtomicState.heal(spark, path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      sub -> (if (!fs.exists(p)) 0
+      else {
+        val files =
+          Compaction.compactParquet(spark, path, path + ".new", targetFileBytes, sortCols)
+        AtomicState.promote(spark, path)
+        files
+      })
+    }.toMap
   }
 
   /** The `foreachBatch` function: `stream.writeStream.foreachBatch(

@@ -121,4 +121,42 @@ class StreamingNearDedupSpec extends SparkTestBase {
     val b2 = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     assert(StreamingNearDedup.ingestBatch(b2, "doc_id", "text", indexDir, pairsDir) == 1L)
   }
+
+  test("compactIndex: fewer files, identical rows, and ingest continues against the compacted index") {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft-neardup-compact").toFile
+    val indexDir = s"${tmp.getAbsolutePath}/index"
+    val pairsDir = s"${tmp.getAbsolutePath}/pairs"
+    def parts(sub: String): Int =
+      Files.list(java.nio.file.Paths.get(s"$indexDir/$sub")).iterator().asScala
+        .count(_.getFileName.toString.startsWith("part-"))
+    // several appends -> a small-file mess, the state the maintenance step
+    // exists for
+    (0 until 5).foreach { i =>
+      val b = Seq((i * 2L, s"alpha beta gamma delta epsilon zeta doc$i"),
+        (i * 2L + 1L, s"totally different words here nothing shared at all run$i"))
+        .toDF("doc_id", "text")
+      StreamingNearDedup.ingestBatch(b, "doc_id", "text", indexDir, pairsDir)
+    }
+    val bandsBefore = spark.read.parquet(s"$indexDir/bands")
+      .collect().map(_.toSeq).toSet
+    val shinglesBefore = spark.read.parquet(s"$indexDir/shingles")
+      .select("id").as[Long].collect().toSet
+    val filesBefore = parts("bands")
+    val written = StreamingNearDedup.compactIndex(spark, indexDir)
+    assert(written("bands") >= 1 && written("shingles") >= 1)
+    assert(parts("bands") < filesBefore,
+      s"compaction must shrink the ${filesBefore}-file append mess")
+    // compaction is a no-op on the data
+    assert(spark.read.parquet(s"$indexDir/bands").collect().map(_.toSeq).toSet
+      == bandsBefore, "band rows must survive compaction bit-for-bit")
+    assert(spark.read.parquet(s"$indexDir/shingles")
+      .select("id").as[Long].collect().toSet == shinglesBefore)
+    // the loop keeps working: a new doc matching an OLD one still pairs
+    // through the compacted index
+    val b6 = Seq((100L, "alpha beta gamma delta epsilon zeta doc0"))
+      .toDF("doc_id", "text")
+    val n = StreamingNearDedup.ingestBatch(b6, "doc_id", "text", indexDir, pairsDir)
+    assert(n >= 1L, "probe against the compacted index must still find the near-dup")
+  }
 }
