@@ -110,12 +110,28 @@ object StreamingNearDedup {
     * bounded (e.g. every N triggers, as `graft.StreamDedupScale`'s
     * `SPARK_GRAFT_COMPACT_EVERY` probe drives it); ingest keeps appending
     * between compactions, exactly like any log-structured store.
+    *
+    * Second measured lesson (same r13 probe, `_compact20` run): the
+    * compacted layout must still FAN OUT across the executor slots. A
+    * first cut compacted the whole index toward the 128 MB target — one
+    * file per table at probe scale — and `files.maxPartitionBytes` then
+    * capped every later index scan at 1–2 input splits: triggers ran
+    * ~30% SLOWER than against the uncompacted small-file mess (7.6 →
+    * 10.9 s median). So the file count floors at `minFiles` (default:
+    * `defaultParallelism`) whenever the table has at least that many
+    * bytes; the byte target only takes over once the table outgrows
+    * `minFiles × targetFileBytes` — which a 100 TB index always has,
+    * making the floor a no-op exactly where the 128 MB convention is
+    * right.
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
-      targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 0): Map[String, Int] = {
     import graft.sources.Compaction
+    val floor = math.max(1,
+      if (minFiles > 0) minFiles else spark.sparkContext.defaultParallelism)
     Seq(
       "bands" -> Seq("band_id", "band_hash", "id"),
       "shingles" -> Seq("id")
@@ -126,8 +142,13 @@ object StreamingNearDedup {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       sub -> (if (!fs.exists(p)) 0
       else {
+        val bytes = Compaction.dataBytes(spark, path)
+        // honor the parallelism floor by shrinking the per-file target
+        // when the table is small: files ≈ max(bytes/target, floor)
+        val effTarget = math.max(1L, math.min(targetFileBytes,
+          (bytes + floor - 1) / floor))
         val files =
-          Compaction.compactParquet(spark, path, path + ".new", targetFileBytes, sortCols)
+          Compaction.compactParquet(spark, path, path + ".new", effTarget, sortCols)
         AtomicState.promote(spark, path)
         files
       })
