@@ -28,7 +28,19 @@ object GraftSession {
   val scaleDefaults: Map[String, String] = Map(
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-    "spark.sql.adaptive.skewJoin.enabled" -> "true")
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Generated-class cache (static conf, default 100 entries): a pipeline
+    // running many distinct operators — this library registers 83 queries,
+    // each compiling several WholeStageCodegen/expression units — overflows
+    // 100 entries and then RE-COMPILES every unit on every execution
+    // (measured: the r13 interleaved bench, which cycles all 83 queries
+    // between samples instead of repeating one query back-to-back, rose
+    // 63.5 → 94.3 s total on an idle box purely from per-sample Janino
+    // recompiles; see BASELINE.md round-13 protocol note). 5000 entries
+    // keeps every unit warm at bounded memory — generated classes are
+    // small, and on a 1000-executor cluster the same eviction would bite
+    // every task launch after any workload mix wider than 100 units.
+    "spark.sql.codegen.cache.maxEntries" -> "5000")
 
   /** A builder carrying [[required]] + [[scaleDefaults]]; callers add
     * master/app/site config and `getOrCreate()`.

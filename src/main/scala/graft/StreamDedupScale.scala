@@ -4,9 +4,10 @@ import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.Dedup
+import graft.fixtures.EmbeddingsFixture
+import graft.llm.{Dedup, Similarity}
 import graft.sources.Tables
-import graft.streaming.StreamingNearDedup
+import graft.streaming.{StreamingNearDedup, StreamingSemanticDedup}
 
 /** Scale-evidence probe for the near-dup INGEST loop (VERDICT r12 ask #5):
   * [[graft.streaming.StreamingNearDedup]] had correctness coverage but no
@@ -32,6 +33,18 @@ import graft.streaming.StreamingNearDedup
   * SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BATCHES=10 \
   *   sbt -batch "runMain graft.StreamDedupScale"
   * }}}
+  *
+  * `SPARK_GRAFT_MODE=semantic` runs the same ladder over
+  * [[graft.streaming.StreamingSemanticDedup]] — the embedding-space twin
+  * — using q48b's cell-blocking convention: the centroid set is derived
+  * ONCE from the full catalog (`vec_id % 100 = 0`, the q16 IVF
+  * convention) before ingest starts, exactly as a 100 TB pipeline trains
+  * centroids offline, and each arriving batch is assigned row-locally
+  * against the broadcast centroids ([[Similarity.ivfAssign]]). Because
+  * assignment is row-local and the centroid set is pinned, per-batch
+  * assignment ≡ full-corpus assignment, so cumulative incremental pairs
+  * must equal the batch [[Similarity.cosinePairs]] over the assigned
+  * corpus pair-for-pair — the check the final line performs.
   */
 object StreamDedupScale {
 
@@ -57,6 +70,12 @@ object StreamDedupScale {
     val pairsDir = s"$base/pairs"
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (sys.env.get("SPARK_GRAFT_MODE").contains("semantic")) {
+      runSemantic(spark, sfDir, nBatches, skipBatchCheck, indexDir, pairsDir)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     // Deterministic equal-size hash slices (the StreamScale convention):
@@ -98,5 +117,59 @@ object StreamDedupScale {
       println(s"""{"batch_q12_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q12_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
     }
     spark.stop()
+  }
+
+  /** The semantic ladder ([[StreamingSemanticDedup]]): same slicing and
+    * per-trigger JSON as the lexical mode, cell-blocked the q48b way. The
+    * centroid set is pinned from the full catalog BEFORE ingest (offline
+    * training, the 100 TB convention), so batch-at-a-time assignment is
+    * row-for-row identical to the one-shot assignment and the final
+    * incremental ≡ batch check is exact, not approximate.
+    */
+  private def runSemantic(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int, skipBatchCheck: Boolean,
+      indexDir: String, pairsDir: String): Unit = {
+    val threshold = 0.4 // q48/q48b CosineDupThreshold (LlmQueries.scala)
+    val corpus = EmbeddingsFixture.corpusDf(spark, sfDir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("id"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = corpus.count()
+    val nCentroids = centroids.count()
+    println(s"""{"mode":"semantic","sf":${Bench.jstr(sfDir)},"rows":$total,"centroids":$nCentroids,"batches":$nBatches,"index":${Bench.jstr(indexDir)}}""")
+
+    val sliced = corpus.withColumn("__slice",
+      pmod(xxhash64(col("vec_id")), lit(nBatches)))
+    (0 until nBatches).foreach { b =>
+      val batch = sliced.filter(col("__slice") === b).drop("__slice")
+      val t0 = System.nanoTime()
+      val assigned = Similarity.ivfAssign(
+        batch.select(col("vec_id").as("id"), col("emb")), centroids)
+      val nPairs = StreamingSemanticDedup.ingestBatch(
+        assigned, "id", "emb", "bucket", indexDir, pairsDir, threshold)
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val indexRows = spark.read.parquet(s"$indexDir/vectors").count()
+      println(s"""{"batch":$b,"ingest_sec":${math.round(ingestSec * 1000) / 1000.0},"pairs_appended":$nPairs,"index_rows":$indexRows,"index_bytes":${dirBytes(Paths.get(indexDir))}}""")
+    }
+
+    if (!skipBatchCheck) {
+      // contrast: the one-shot q48b pair stage over the same pinned
+      // centroids, and the exactness check on the cumulative pair set
+      val t1 = System.nanoTime()
+      val assignedAll = Similarity.ivfAssign(
+        corpus.select(col("vec_id").as("id"), col("emb")), centroids)
+      val batchPairs = Similarity.cosinePairs(
+        assignedAll, "id", "emb", col("bucket"), threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchN = batchPairs.count()
+      val batchSec = (System.nanoTime() - t1) / 1e9
+      val incremental = spark.read.parquet(pairsDir)
+      val diff = incremental.exceptAll(batchPairs).count() +
+        batchPairs.exceptAll(incremental).count()
+      println(s"""{"batch_q48b_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q48b_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
+    }
   }
 }

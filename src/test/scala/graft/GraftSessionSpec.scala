@@ -10,12 +10,19 @@ class GraftSessionSpec extends SparkTestBase {
     }
   }
 
-  test("scale defaults are the AQE runtime re-plan knobs, all enabled") {
+  test("scale defaults: AQE re-plan knobs all enabled + codegen cache sized") {
     assert(GraftSession.scaleDefaults.keySet == Set(
       "spark.sql.adaptive.enabled",
       "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.adaptive.skewJoin.enabled"))
-    assert(GraftSession.scaleDefaults.values.forall(_ == "true"))
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.codegen.cache.maxEntries"))
+    assert(GraftSession.scaleDefaults.filter(_._1.startsWith("spark.sql.adaptive"))
+      .values.forall(_ == "true"))
+    // the 100-entry default silently recompiles every codegen unit once a
+    // workload mix exceeds it — measured +40% on the 83-query interleaved
+    // bench (BASELINE.md r13 protocol note); must stay well above the
+    // registry's unit count
+    assert(GraftSession.scaleDefaults("spark.sql.codegen.cache.maxEntries").toInt >= 1000)
   }
 
   test("native functions resolve through a GraftSession-configured session") {
