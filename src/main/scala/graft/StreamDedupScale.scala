@@ -72,7 +72,7 @@ object StreamDedupScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (sys.env.get("SPARK_GRAFT_MODE").contains("semantic")) {
-      runSemantic(spark, sfDir, nBatches, skipBatchCheck, indexDir, pairsDir)
+      runSemantic(spark, sfDir, nBatches, skipBatchCheck, compactEvery, indexDir, pairsDir)
       spark.stop()
       return
     }
@@ -128,7 +128,7 @@ object StreamDedupScale {
     */
   private def runSemantic(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      nBatches: Int, skipBatchCheck: Boolean,
+      nBatches: Int, skipBatchCheck: Boolean, compactEvery: Int,
       indexDir: String, pairsDir: String): Unit = {
     val threshold = 0.4 // q48/q48b CosineDupThreshold (LlmQueries.scala)
     val corpus = EmbeddingsFixture.corpusDf(spark, sfDir)
@@ -153,6 +153,12 @@ object StreamDedupScale {
       val ingestSec = (System.nanoTime() - t0) / 1e9
       val indexRows = spark.read.parquet(s"$indexDir/vectors").count()
       println(s"""{"batch":$b,"ingest_sec":${math.round(ingestSec * 1000) / 1000.0},"pairs_appended":$nPairs,"index_rows":$indexRows,"index_bytes":${dirBytes(Paths.get(indexDir))}}""")
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0 && b + 1 < nBatches) {
+        val tc = System.nanoTime()
+        val written = StreamingSemanticDedup.compactIndex(spark, indexDir)
+        val compactSec = (System.nanoTime() - tc) / 1e9
+        println(s"""{"compact_after":$b,"compact_sec":${math.round(compactSec * 1000) / 1000.0},"files":${written.map { case (k, v) => s"${Bench.jstr(k)}:$v" }.mkString("{", ",", "}")}}""")
+      }
     }
 
     if (!skipBatchCheck) {

@@ -123,4 +123,42 @@ object AtomicState {
     fs.rename(pNew, p)
     fs.delete(pOld, true)
   }
+
+  /** Compact one append-only state parquet dir in place through the swap
+    * protocol: heal, rewrite to `path.new` at ~`targetFileBytes` files
+    * range-laid on `sortCols`, promote. Returns files written (0 when the
+    * dir doesn't exist yet — a loop may compact before its first append).
+    *
+    * The file count floors at `minFiles` (default `defaultParallelism`)
+    * by shrinking the per-file byte target when the table is small —
+    * the r13 measured lesson that a compacted state table must still fan
+    * out across the executor slots (`files.maxPartitionBytes` caps a
+    * 1-file table at 1–2 input splits and every later scan of it runs
+    * ~30% slower than the uncompacted mess; see
+    * [[StreamingNearDedup.compactIndex]]). At 100 TB the floor is a
+    * no-op: the table dwarfs `minFiles × targetFileBytes` and the byte
+    * target governs.
+    */
+  def compactSwap(
+      spark: SparkSession,
+      path: String,
+      sortCols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 0): Int = {
+    import graft.sources.Compaction
+    heal(spark, path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val floor = math.max(1,
+        if (minFiles > 0) minFiles else spark.sparkContext.defaultParallelism)
+      val bytes = Compaction.dataBytes(spark, path)
+      val effTarget = math.max(1L, math.min(targetFileBytes,
+        (bytes + floor - 1) / floor))
+      val files = Compaction.compactParquet(spark, path, path + ".new", effTarget, sortCols)
+      promote(spark, path)
+      files
+    }
+  }
 }

@@ -51,6 +51,15 @@ object StreamingNearDedup {
     val spark = batch.sparkSession
     val bandsPath = s"$indexDir/bands"
     val shinglesPath = s"$indexDir/shingles"
+    // Heal BEFORE reading or appending: a [[compactIndex]] swap that
+    // crashed between rename-away and rename-in leaves the live path
+    // missing with the committed rewrite parked at `.new`. Without this,
+    // the trigger would silently probe an EMPTY index (missing every
+    // cross pair) and append the batch's artifacts to a fresh directory —
+    // which the next heal would treat as authoritative, discarding the
+    // entire pre-crash index. Cheap no-op when the paths are healthy.
+    AtomicState.heal(spark, bandsPath)
+    AtomicState.heal(spark, shinglesPath)
 
     val shingled = Dedup.shingleFrame(batch, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -128,32 +137,14 @@ object StreamingNearDedup {
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
       targetFileBytes: Long = 128L << 20,
-      minFiles: Int = 0): Map[String, Int] = {
-    import graft.sources.Compaction
-    val floor = math.max(1,
-      if (minFiles > 0) minFiles else spark.sparkContext.defaultParallelism)
+      minFiles: Int = 0): Map[String, Int] =
     Seq(
       "bands" -> Seq("band_id", "band_hash", "id"),
       "shingles" -> Seq("id")
     ).map { case (sub, sortCols) =>
-      val path = s"$indexDir/$sub"
-      AtomicState.heal(spark, path)
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      sub -> (if (!fs.exists(p)) 0
-      else {
-        val bytes = Compaction.dataBytes(spark, path)
-        // honor the parallelism floor by shrinking the per-file target
-        // when the table is small: files ≈ max(bytes/target, floor)
-        val effTarget = math.max(1L, math.min(targetFileBytes,
-          (bytes + floor - 1) / floor))
-        val files =
-          Compaction.compactParquet(spark, path, path + ".new", effTarget, sortCols)
-        AtomicState.promote(spark, path)
-        files
-      })
+      sub -> AtomicState.compactSwap(
+        spark, s"$indexDir/$sub", sortCols, targetFileBytes, minFiles)
     }.toMap
-  }
 
   /** The `foreachBatch` function: `stream.writeStream.foreachBatch(
     * StreamingNearDedup.pairSink(...)).start()`.

@@ -14,10 +14,10 @@ import graft.llm.Similarity
   * of [[StreamingNearDedup]]'s lexical loop.
   *
   * Index layout (plain parquet): `<indexDir>/vectors` holds
-  * (id, emb DOUBLE[], block) rows. Append-only; at 100 TB compact and
-  * bucket it BY THE BLOCK KEY ([[graft.sources.Tables]] bucketing /
-  * [[graft.sources.Compaction]]) so the per-trigger probe join reads only
-  * the blocks the batch actually hits.
+  * (id, emb DOUBLE[], block) rows. Append-only between maintenance;
+  * [[compactIndex]] rewrites it block-key-sorted on whatever cadence
+  * keeps the file count bounded, so the per-trigger probe join plans a
+  * bounded scan and row-group pruning works on the block key.
   *
   * Failure semantics match [[StreamingNearDedup]]: `foreachBatch` is
   * at-least-once, so a replayed batch re-appends its pairs and vectors;
@@ -48,6 +48,12 @@ object StreamingSemanticDedup {
       threshold: Double = 0.9): Long = {
     val spark = batch.sparkSession
     val vectorsPath = s"$indexDir/vectors"
+    // Heal BEFORE reading or appending (same crash window as
+    // [[StreamingNearDedup.ingestBatch]]): an interrupted [[compactIndex]]
+    // swap leaves the live dir missing and the committed rewrite at
+    // `.new`; probing without healing would miss every cross pair this
+    // trigger and the fresh append would doom the parked index.
+    AtomicState.heal(spark, vectorsPath)
 
     val b = batch.select(
       col(idCol).as("id"),
@@ -95,6 +101,25 @@ object StreamingSemanticDedup {
     b.unpersist(false)
     n
   }
+
+  /** Compact the append-only vector index — the same maintenance the
+    * lexical loop's [[StreamingNearDedup.compactIndex]] ships, with the
+    * same measured rationale (the per-trigger O(index) term is the
+    * accumulating part-file count, and the rewrite must keep at least
+    * `defaultParallelism` files — BASELINE.md r13). Vectors are
+    * range-laid on (block, id), so after compaction the per-trigger
+    * probe join's index scan gets row-group min/max pruning on the
+    * block key — the scaladoc's "compact and bucket BY THE BLOCK KEY"
+    * made operational. Swapped in through the [[AtomicState]] protocol;
+    * crash mid-compaction never loses the index.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 0): Map[String, Int] =
+    Map("vectors" -> AtomicState.compactSwap(
+      spark, s"$indexDir/vectors", Seq("block", "id"), targetFileBytes, minFiles))
 
   /** The `foreachBatch` function: `stream.writeStream.foreachBatch(
     * StreamingSemanticDedup.pairSink(...)).start()`.

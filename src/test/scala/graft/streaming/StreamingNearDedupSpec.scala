@@ -159,4 +159,34 @@ class StreamingNearDedupSpec extends SparkTestBase {
     val n = StreamingNearDedup.ingestBatch(b6, "doc_id", "text", indexDir, pairsDir)
     assert(n >= 1L, "probe against the compacted index must still find the near-dup")
   }
+
+  test("ingest heals an interrupted compaction swap instead of probing an empty index") {
+    val tmp = Files.createTempDirectory("graft-neardup-heal").toFile
+    val indexDir = s"${tmp.getAbsolutePath}/index"
+    val pairsDir = s"${tmp.getAbsolutePath}/pairs"
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "completely different content about spark engines")).toDF("doc_id", "text")
+    StreamingNearDedup.ingestBatch(b1, "doc_id", "text", indexDir, pairsDir)
+    // simulate a compactIndex crash between rename-away and rename-in on
+    // BOTH tables: live dirs gone, committed rewrites parked at `.new`
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "shingles").foreach { sub =>
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"),
+        new org.apache.hadoop.fs.Path(s"$indexDir/$sub.new")))
+    }
+    // next trigger: without the heal this probes an EMPTY index — no
+    // cross pair — and its append dooms the parked generation
+    val b2 = Seq((3L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val n = StreamingNearDedup.ingestBatch(b2, "doc_id", "text", indexDir, pairsDir)
+    assert(n == 1L, "the healed index must yield the cross pair")
+    val pairs = spark.read.parquet(pairsDir)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+    assert(spark.read.parquet(s"$indexDir/shingles")
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 9L),
+      "no artifact may be lost across the healed swap")
+  }
 }
