@@ -903,6 +903,72 @@ object LlmQueries {
        |WHERE l.doc_id % $BenchMod <> 0
        |GROUP BY l.doc_id""".stripMargin
 
+  // ---- q24b: semantic decontamination ----------------------------------
+
+  /** Benchmark membership for the semantic pass: `vec_id % 48 = 5`. The
+    * modulus is deliberately coprime-ish to the fixture's +10000 id
+    * offset (48 ∤ 10000), so a benchmark original's injected exact twin
+    * (identical vector, id+10000 ≡ 21 mod 48) lands on the TRAINING side
+    * — guaranteed cosine-1.0 contamination hits on top of the natural
+    * over-threshold pairs. A 100-divisible modulus (the q48b mistake to
+    * avoid here) would put every twin back in the benchmark set and
+    * leave only the natural pairs.
+    */
+  private val SemBenchMod = 48
+  private val SemBenchRem = 5
+  private val SemNprobe = 2
+
+  /** q24b — embedding-space decontamination, the semantic twin of q24:
+    * training vectors whose cosine against any benchmark vector reaches
+    * the q48 duplicate threshold are flagged with hit count + max score.
+    * Cell-blocked corpus side (single nearest-centroid assignment, q16
+    * `%100` centroid convention), benchmark side multi-probed at
+    * nprobe=2 and broadcast — the corpus never shuffles, exactly q24's
+    * "benchmark is small" scale shape transplanted to embedding space.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    Contamination.semanticOverlap(
+      EmbeddingsFixture.corpusDf(spark, dir), "vec_id", "embedding",
+      col("id") % SemBenchMod === SemBenchRem, col("id") % 100 === 0,
+      CosineDupThreshold, SemNprobe)
+
+  /** Twin: q48b's assignment CTE split into the training side (top-1
+    * cell) and the benchmark side (top-`nprobe` cells, the
+    * [[Similarity.probeBuckets]] window), joined on bucket. A training
+    * vector occupies exactly one cell, so no pair dedup is needed before
+    * the per-vector aggregate — same argument as the Spark plan.
+    *
+    * A `def`, not a `val`: it interpolates [[CosineDupThreshold]], which
+    * is declared LATER in this object — a val here would capture the
+    * pre-initialization 0.0 (Scala object vals initialize in declaration
+    * order) and silently oracle a different query than Spark runs. The
+    * `oracles` map is itself a def, so this builds after full init.
+    */
+  private def q24bOracle: String =
+    s"""WITH corpus AS (${EmbeddingsFixture.corpusSql()}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM corpus),
+       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE id % 100 = 0),
+       |train AS (
+       |  SELECT id, emb, nrm, c_id AS bucket FROM (
+       |    SELECT n.id, n.emb, n.nrm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+       |    FROM n, c WHERE n.id % $SemBenchMod <> $SemBenchRem) WHERE r = 1),
+       |bench AS (
+       |  SELECT id, emb, nrm, c_id AS bucket FROM (
+       |    SELECT n.id, n.emb, n.nrm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+       |    FROM n, c WHERE n.id % $SemBenchMod = $SemBenchRem) WHERE r <= $SemNprobe),
+       |hits AS (
+       |  SELECT t.id AS vec_id,
+       |    round(list_dot_product(t.emb, b.emb) / (t.nrm * b.nrm), 6) AS score
+       |  FROM train t JOIN bench b ON t.bucket = b.bucket)
+       |SELECT vec_id, count(*) AS n_bench_hits, max(score) AS max_score
+       |FROM hits WHERE score >= $CosineDupThreshold
+       |GROUP BY vec_id""".stripMargin
+
   // ---- q28: deterministic mixing sample --------------------------------
 
   /** Data-mixing primitives end-to-end: a deterministic 50% hash sample
@@ -2002,6 +2068,7 @@ object LlmQueries {
     "q22_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q23_repetition" -> ((s, d) => repetitionStats(s, d)),
     "q24_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q24b_semantic_decontaminate" -> ((s, d) => semanticDecontaminate(s, d)),
     "q28_mix_sample" -> ((s, d) => mixSample(s, d)),
     "q29_curation" -> ((s, d) => curation(s, d)),
     "q32_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -2058,6 +2125,7 @@ object LlmQueries {
     "q22_pii_redact" -> q22Oracle,
     "q23_repetition" -> q23Oracle,
     "q24_decontaminate" -> q24Oracle,
+    "q24b_semantic_decontaminate" -> q24bOracle,
     "q28_mix_sample" -> q28Oracle,
     "q29_curation" -> q29Oracle,
     "q32_dedup_clusters" -> q32Oracle,

@@ -60,6 +60,9 @@ object StreamScale {
     val batchTo = sys.env.getOrElse("SPARK_GRAFT_BATCH_TO", (nBatches - 1).toString).toInt
     val stateDir = sys.env.getOrElse("SPARK_GRAFT_STATE_DIR",
       Files.createTempDirectory("graft-streamscale").toString)
+    // maintenance cadence: compact the partials every K triggers (0 =
+    // never) — drives [[StreamingReport.compactPartials]]
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,6 +89,12 @@ object StreamScale {
       val keysRows = spark.read.parquet(s"$stateDir/keys").count()
       val valuesRows = spark.read.parquet(s"$stateDir/values").count()
       println(f"""{"batch":$b,"ingest_sec":${math.round(ingestSec * 1000) / 1000.0},"report_sec":${math.round(reportSec * 1000) / 1000.0},"report_rows":$reportRows,"keys_rows":$keysRows,"values_rows":$valuesRows,"state_bytes":${dirBytes(Paths.get(stateDir))}}""")
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0 && b < batchTo) {
+        val tc = System.nanoTime()
+        val written = StreamingReport.compactPartials(spark, stateDir)
+        val compactSec = (System.nanoTime() - tc) / 1e9
+        println(s"""{"compact_after":$b,"compact_sec":${math.round(compactSec * 1000) / 1000.0},"files":${written.map { case (k, v) => s"${Bench.jstr(k)}:$v" }.mkString("{", ",", "}")}}""")
+      }
     }
 
     // the contrast — one full batch rebuild over the same corpus and the

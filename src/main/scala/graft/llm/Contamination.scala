@@ -98,4 +98,50 @@ object Contamination {
       .filter(col("n_flagged_shingles") >= 1)
       .select("doc_id", "n_flagged_shingles")
   }
+
+  /** Embedding-space decontamination — the semantic twin of [[overlap]]:
+    * flag every training vector whose cosine against ANY benchmark vector
+    * reaches `threshold` (a paraphrased eval question shares no shingles
+    * with its source, so lexical overlap alone under-flags; scoring in
+    * embedding space is the standard complement in public LLM data
+    * pipelines). One row per contaminated training vector with the hit
+    * count and the max score, so the caller can anti-join (drop) or audit
+    * (rank by `max_score`).
+    *
+    * Scale shape — cell-blocked like [[Similarity.semanticClustersCells]],
+    * multi-probed like [[Similarity.ivfTopK]]: the corpus side is assigned
+    * to its single nearest-centroid cell (row-local against broadcast
+    * centroids, never shuffled), while the BENCHMARK side — small by
+    * nature, like [[overlap]]'s shingle set — probes its `nprobe` nearest
+    * cells and broadcasts. The bucket join therefore touches only corpus
+    * rows whose cell some benchmark vector probes; everything else dies
+    * map-side, and the per-doc aggregation runs over candidate hits only.
+    * A training vector sits in exactly one cell, so a (train, bench) pair
+    * can arise from at most one probed bucket — counts need no dedup.
+    *
+    * Recall contract: unlike [[overlapBloom]]'s no-false-negative
+    * guarantee, cell blocking can miss a pair straddling a cell border
+    * (the q48b trade). Multi-probing the benchmark side is the cheap
+    * recall lever — |bench| × nprobe broadcast rows recover border pairs
+    * at ZERO extra corpus-side cost; raise `nprobe` (or fall back to the
+    * exact brute-force join over a corpus SAMPLE to measure the realized
+    * miss rate) when eval leakage matters more than compute.
+    */
+  def semanticOverlap(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      benchFilter: Column, centroidFilter: Column,
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    val n = vectorsDf.select(col(idCol).as("id"),
+      Similarity.asDouble(col(embCol)).as("emb"))
+    val centroids = n.filter(centroidFilter)
+    val train = Similarity.ivfAssign(n.filter(!benchFilter), centroids)
+    val bench = Similarity.probeBuckets(n.filter(benchFilter), centroids, nprobe)
+    train.join(broadcast(bench), Seq("bucket"))
+      .withColumn("score",
+        round(Similarity.fusedCosine(col("emb"), col("q_emb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("id").as("vec_id"), col("score"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max("score").as("max_score"))
+  }
 }

@@ -62,6 +62,12 @@ object StreamingReport {
       dir: String): Boolean = {
     val spark = batch.sparkSession
     if (committedIds(spark, dir).contains(batchId)) return false
+    // heal before appending: appending into the live-dir-missing state of
+    // an interrupted [[compactPartials]] swap would create a fresh dir
+    // that the next heal treats as authoritative, discarding the parked
+    // compacted generation (the StreamingNearDedup.ingestBatch lesson)
+    AtomicState.heal(spark, keysDir(dir))
+    AtomicState.heal(spark, valuesDir(dir))
     val p = EventsVerificationPipeline.prepare(
       batch, spec, params, readObserved(spark, dir))
     try {
@@ -98,6 +104,11 @@ object StreamingReport {
       spec: DataFrame,
       params: VerificationParams,
       dir: String): DataFrame = {
+    // roll an interrupted [[compactPartials]] swap forward before reading
+    // (cheap no-op when healthy) — without this, a crash mid-swap would
+    // leave the live dir missing and the report would fail or undercount
+    AtomicState.heal(spark, keysDir(dir))
+    AtomicState.heal(spark, valuesDir(dir))
     val info = EventsVerificationPipeline.parseSpec(spec, params)
     val keyCounts = spark.read.parquet(keysDir(dir))
       .groupBy("channel", "event_name", "exploded_key")
@@ -115,13 +126,42 @@ object StreamingReport {
     * guard as [[StreamingDistinct.hasSketches]] — the dir alone can exist
     * mid-write).
     */
-  def hasPartials(spark: SparkSession, dir: String): Boolean =
+  def hasPartials(spark: SparkSession, dir: String): Boolean = {
+    AtomicState.heal(spark, committedDir(dir))
     hasCommittedFile(spark, committedDir(dir))
+  }
 
-  private def committedIds(spark: SparkSession, dir: String): Set[Long] =
+  /** Compact the append-only partials — each trigger appends a handful of
+    * part files to keys/values/_committed forever, and scan planning over
+    * the accumulated mess is the measured O(triggers) term every
+    * [[reportToDate]] pays (the same file-count creep
+    * `StreamingNearDedup.compactIndex` was built for; BASELINE.md r13).
+    * Row-level no-op: files are merged range-laid on the group keys, so
+    * the summed partials — and therefore the report — are unchanged.
+    * Each dir swaps through the [[AtomicState]] protocol independently; a
+    * crash anywhere leaves every dir recoverable, and readers heal first.
+    * Run it on a maintenance cadence between triggers, never concurrently
+    * with the sink (the usual log-structured-store contract).
+    */
+  def compactPartials(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 0): Map[String, Int] =
+    Seq(
+      "keys" -> (keysDir(dir), Seq("channel", "event_name", "exploded_key")),
+      "values" -> (valuesDir(dir), Seq("channel", "version", "event_name")),
+      "_committed" -> (committedDir(dir), Seq("batch_id"))
+    ).map { case (name, (path, sortCols)) =>
+      name -> AtomicState.compactSwap(spark, path, sortCols, targetFileBytes, minFiles)
+    }.toMap
+
+  private def committedIds(spark: SparkSession, dir: String): Set[Long] = {
+    AtomicState.heal(spark, committedDir(dir))
     if (!hasCommittedFile(spark, committedDir(dir))) Set.empty
     else spark.read.parquet(committedDir(dir))
       .collect().map(_.getLong(0)).toSet
+  }
 
   private def readObserved(
       spark: SparkSession, dir: String): Map[String, Seq[String]] = {

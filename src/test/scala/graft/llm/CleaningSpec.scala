@@ -114,6 +114,37 @@ class CleaningSpec extends SparkTestBase {
     assert(!out.contains(0L), "bench docs themselves are never flagged")
   }
 
+  test("semanticOverlap: cell-blocked bench hits; multi-probe recovers the cross-cell pair") {
+    // two orthogonal centroid cells (ids 100/200, the %100 convention —
+    // centroid rows stay ordinary corpus members); bench vector 7 sits in
+    // cell A and probes A then B at nprobe=2
+    val vecs = Seq(
+      (100L, Seq(1f, 0f)),   // centroid A; train — cos .995 vs bench → hit
+      (200L, Seq(0f, 1f)),   // centroid B; train — cos .0995 → below
+      (7L, Seq(1f, 0.1f)),   // bench
+      (1L, Seq(2f, 0f)),     // cell A — cos .995037 → hit
+      (2L, Seq(0f, 3f)),     // cell B — cos .0995 → below threshold
+      (3L, Seq(-1f, 0f)),    // cell B (0 beats −1) — cos −.995 → below
+      (5L, Seq(0.9f, 1f))    // cell B, cos .74 vs bench: reachable ONLY
+                             // via the bench's second probe
+    ).toDF("vec_id", "embedding")
+    val bench = col("id") === 7
+    val cent = col("id") % 100 === 0
+    def run(nprobe: Int): Map[Long, (Long, Double)] =
+      Contamination.semanticOverlap(vecs, "vec_id", "embedding", bench, cent,
+        threshold = 0.5, nprobe = nprobe)
+        .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val top1 = run(1)
+    assert(top1.keySet == Set(1L, 100L), s"top-1 cell blocking: got $top1")
+    assert(top1(1L)._1 == 1L && math.abs(top1(1L)._2 - 0.995037) < 1e-6,
+      s"rounded max cosine: got ${top1(1L)}")
+    val top2 = run(2)
+    assert(top2.keySet == Set(1L, 5L, 100L),
+      s"multi-probing the bench side must recover the cross-cell pair, got $top2")
+    assert(top2(5L)._1 == 1L && top2(5L)._2 >= 0.5 && top2(5L)._2 < 0.8)
+    assert(!top2.contains(7L), "bench vectors themselves are never flagged")
+  }
+
   test("overlapBloom: never misses a truly contaminated doc, counts upper-bound the exact form") {
     // run the sketch variant on the real corpus fixture at sf0.001 so the
     // probe covers hundreds of docs, and pin it against the exact join

@@ -66,6 +66,44 @@ class StreamingReportSpec extends SparkTestBase {
     assert(twice == once, "replayed batch must not change any count")
   }
 
+  test("compactPartials is a report no-op and ingest keeps working; mid-swap crash heals") {
+    val dir = Files.createTempDirectory("graft-streport-compact").toFile.getAbsolutePath
+    val spec = EventCatalogFixture.specDf(spark)
+    val params = PipelineQueries.params
+    val catalog = EventCatalogFixture.catalogDf(spark, dataDir)
+    val rows = catalog.as[CatRow].collect()
+    val (b0, rest) = rows.splitAt(rows.length / 3)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+
+    assert(StreamingReport.ingestBatch(b0.toSeq.toDF(), 0L, spec, params, dir))
+    assert(StreamingReport.ingestBatch(b1.toSeq.toDF(), 1L, spec, params, dir))
+    val before = StreamingReport.reportToDate(spark, spec, params, dir).collect().toSet
+
+    // maintenance: merge the per-trigger part-file mess; report unchanged
+    val written = StreamingReport.compactPartials(spark, dir)
+    assert(written("keys") >= 1 && written("values") >= 1 && written("_committed") >= 1,
+      s"compaction must rewrite all three partial dirs, got $written")
+    assert(StreamingReport.reportToDate(spark, spec, params, dir).collect().toSet
+      == before, "compaction must not change the report")
+    // the replay guard survives compaction of _committed
+    assert(!StreamingReport.ingestBatch(b0.toSeq.toDF(), 0L, spec, params, dir),
+      "compacted commit log must still skip replayed batch ids")
+
+    // simulate a compactPartials crash between rename-away and rename-in
+    // on the keys dir: live dir missing, committed rewrite parked at .new
+    val keys = java.nio.file.Paths.get(s"$dir/keys")
+    Files.move(keys, java.nio.file.Paths.get(s"$dir/keys.new"))
+    // ingest must heal first — appending into a fresh keys dir would doom
+    // the parked generation
+    assert(StreamingReport.ingestBatch(b2.toSeq.toDF(), 2L, spec, params, dir))
+    val incremental = StreamingReport.reportToDate(spark, spec, params, dir)
+    val batch = EventsVerificationPipeline.run(catalog, spec, params)
+    val incSet = incremental.collect().toSet
+    val batchSet = batch.collect().toSet
+    assert(incSet == batchSet,
+      s"post-compaction+crash incremental != batch:\nonly-inc=${incSet -- batchSet}\nonly-batch=${batchSet -- incSet}")
+  }
+
   test("a crash mid-swap of the observed-key set never loses it") {
     import java.nio.file.{Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
