@@ -969,6 +969,64 @@ object LlmQueries {
        |FROM hits WHERE score >= $CosineDupThreshold
        |GROUP BY vec_id""".stripMargin
 
+  /** q24c — semantic decontamination at SCALE-ADAPTIVE geometry, the
+    * q16f treatment applied to q24b: k = ⌈√N⌉ centroids (stride-selected,
+    * count-derived identically in the oracle) and the probed fraction
+    * held at [[AdaptiveProbeFraction]] (`nprobe = ⌈0.2·k⌉`) instead of a
+    * fixed probe count. Fixes both of q24b's fixture-convention decay
+    * modes at once: the `%100` centroid set grows linearly with the
+    * corpus (assignment N×N/100, quadratic — q24b's measured ladder
+    * turns 9.5×/decade at the second decade,
+    * `bench_records/r13_scale_q24b.jsonl`), and a FIXED nprobe probes an
+    * ever-smaller fraction of an ever-finer cell grid, silently decaying
+    * recall each decade — the q16 lesson, now applied to the eval-leakage
+    * check where silent decay means contamination shipping to training.
+    */
+  def semanticDecontaminateAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = EmbeddingsFixture.corpusDf(spark, dir)
+    val n = corpus.count()
+    require(n > 0, "adaptive semantic decontamination needs a non-empty corpus")
+    val kCent = math.ceil(math.sqrt(n.toDouble)).toLong
+    val stride = math.max(1L, n / kCent)
+    val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+    Contamination.semanticOverlap(corpus, "vec_id", "embedding",
+      col("id") % SemBenchMod === SemBenchRem, col("id") % stride === 0,
+      CosineDupThreshold, nprobe)
+  }
+
+  /** [[q24bOracle]] with the q16f count-derived geometry CTE: stride and
+    * nprobe come from `count(*)` over the corpus through the identical
+    * integer/double arithmetic the Spark side runs.
+    */
+  private def q24cOracle: String =
+    s"""WITH corpus AS (${EmbeddingsFixture.corpusSql()}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM corpus),
+       |p AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
+       |             CAST(ceil($AdaptiveProbeFraction * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe
+       |      FROM e),
+       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
+       |      WHERE id % (SELECT stride FROM p) = 0),
+       |train AS (
+       |  SELECT id, emb, nrm, c_id AS bucket FROM (
+       |    SELECT n.id, n.emb, n.nrm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+       |    FROM n, c WHERE n.id % $SemBenchMod <> $SemBenchRem) WHERE r = 1),
+       |bench AS (
+       |  SELECT id, emb, nrm, c_id AS bucket FROM (
+       |    SELECT n.id, n.emb, n.nrm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+       |    FROM n, c WHERE n.id % $SemBenchMod = $SemBenchRem) WHERE r <= (SELECT nprobe FROM p)),
+       |hits AS (
+       |  SELECT t.id AS vec_id,
+       |    round(list_dot_product(t.emb, b.emb) / (t.nrm * b.nrm), 6) AS score
+       |  FROM train t JOIN bench b ON t.bucket = b.bucket)
+       |SELECT vec_id, count(*) AS n_bench_hits, max(score) AS max_score
+       |FROM hits WHERE score >= $CosineDupThreshold
+       |GROUP BY vec_id""".stripMargin
+
   // ---- q28: deterministic mixing sample --------------------------------
 
   /** Data-mixing primitives end-to-end: a deterministic 50% hash sample
@@ -2069,6 +2127,7 @@ object LlmQueries {
     "q23_repetition" -> ((s, d) => repetitionStats(s, d)),
     "q24_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q24b_semantic_decontaminate" -> ((s, d) => semanticDecontaminate(s, d)),
+    "q24c_semantic_decontaminate_adaptive" -> ((s, d) => semanticDecontaminateAdaptive(s, d)),
     "q28_mix_sample" -> ((s, d) => mixSample(s, d)),
     "q29_curation" -> ((s, d) => curation(s, d)),
     "q32_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -2126,6 +2185,7 @@ object LlmQueries {
     "q23_repetition" -> q23Oracle,
     "q24_decontaminate" -> q24Oracle,
     "q24b_semantic_decontaminate" -> q24bOracle,
+    "q24c_semantic_decontaminate_adaptive" -> q24cOracle,
     "q28_mix_sample" -> q28Oracle,
     "q29_curation" -> q29Oracle,
     "q32_dedup_clusters" -> q32Oracle,

@@ -126,6 +126,17 @@ object Contamination {
     * at ZERO extra corpus-side cost; raise `nprobe` (or fall back to the
     * exact brute-force join over a corpus SAMPLE to measure the realized
     * miss rate) when eval leakage matters more than compute.
+    *
+    * Centroid-cardinality caveat (measured, `bench_records/
+    * r13_scale_q24b.jsonl`): with the fixture's `%100` centroid
+    * convention the broadcast assignment scores N × N/100 pairs —
+    * quadratic, exactly the term q16f's √N geometry exists to kill —
+    * and the solo ladder shows it arriving: 1.3 s → 5.5 s → 52 s across
+    * the sf0.1 → 10× → 100× decades (4.3×, then 9.5×). At 100 TB pin a
+    * FIXED centroid set trained offline (the
+    * [[graft.streaming.StreamingSemanticDedup]] ingest convention) or
+    * derive k = ⌈√N⌉ the q16f way; the operator takes whatever
+    * `centroidFilter` selects, so the fix is the caller's one line.
     */
   def semanticOverlap(
       vectorsDf: DataFrame, idCol: String, embCol: String,

@@ -41,12 +41,14 @@ class PlanAuditSpec extends SparkTestBase {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      // q15/q16/q24b: the ANN tier's scoring joins against a BOUNDED
+      // q15/q16/q24b/q24c: the ANN tier's scoring joins against a BOUNDED
       // broadcast side (centroid set, query set, probed benchmark set)
       // are deliberate all-pairs — the nested loop is the operator, with
-      // the small side's cardinality the documented bound
+      // the small side's cardinality the documented bound. Plain q24
+      // (lexical) stays under the general ban.
       assert(!p.contains("BroadcastNestedLoopJoin") || name.startsWith("q15") ||
-        name.startsWith("q16") || name.startsWith("q24b"),
+        name.startsWith("q16") || name.startsWith("q24b") ||
+        name.startsWith("q24c"),
         s"$name plans a BroadcastNestedLoopJoin")
     }
   }
