@@ -334,6 +334,108 @@ object Multimodal {
     }(Encoders.product[MediaFrame])
   }
 
+  /** Perceptual difference-hash (dHash, public image-dedup practice: a
+    * 64-bit row-wise gradient sign over a 9×8 downscale — robust to
+    * re-encoding, resizing, and small edits, which byte-level dedup
+    * misses entirely). The downscale is a pure integer-bucketed area
+    * average over the decoded pixels — deliberately NOT `Graphics2D`
+    * (whose interpolation is JVM/platform-dependent), so the hash is
+    * bit-identical on every executor and across reruns, the property
+    * every blocking key in this repo must have. None when the bytes
+    * don't decode ([[readImageGuarded]]'s bomb guard included) or the
+    * image is smaller than the 9×8 grid (no meaningful gradient exists).
+    */
+  private[llm] def dhash(media: Array[Byte]): Option[Long] = {
+    val gw = 9
+    val gh = 8
+    try {
+      readImageGuarded(media).flatMap { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w < gw || h < gh) None
+        else {
+          val sums = Array.ofDim[Double](gh, gw)
+          val counts = Array.ofDim[Long](gh, gw)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            val gy = (y.toLong * gh / h).toInt
+            var x = 0
+            while (x < w) {
+              val gx = (x.toLong * gw / w).toInt
+              val rgb = row(x)
+              sums(gy)(gx) += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              counts(gy)(gx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var bits = 0L
+          var i = 0
+          var gy = 0
+          while (gy < gh) {
+            var gx = 0
+            while (gx < gw - 1) {
+              if (sums(gy)(gx) / counts(gy)(gx) <
+                  sums(gy)(gx + 1) / counts(gy)(gx + 1)) bits |= 1L << i
+              i += 1
+              gx += 1
+            }
+            gy += 1
+          }
+          Some(bits)
+        }
+      }
+    } catch {
+      case _: Exception => None // unreadable bytes: no hash, row drops out
+    }
+  }
+
+  /** One (id, dhash) row per payload that decodes as a ≥9×8 image — the
+    * batched mapPartitions decode shape of [[extractFeatures]] (binary
+    * decode is the one justified mapPartitions site), emitting the
+    * narrow hash frame every downstream pairing step runs on. Rows whose
+    * payload isn't a decodable image drop out here, so the expensive
+    * banding never sees them.
+    */
+  def imageHashes(ds: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder setup would live here
+        batch.iterator.flatMap(r => dhash(r.media).map(dh => (r.id, dh)))
+      }
+    }.toDF("id", "dhash")
+  }
+
+  /** Near-duplicate IMAGE pairs: dHash every decodable payload, then run
+    * the hashes through the exact banded machinery text SimHash uses
+    * ([[Dedup.simhashPairs]] with the identity sketch — the pigeonhole
+    * band join, the observable hot-bucket cap, and the exact final
+    * Hamming verify are shared code, so image and text near-dup can
+    * never drift in blocking semantics). Defaults: 64-bit hash in 8
+    * bands of 8 ⇒ any pair within Hamming 7 shares a band by
+    * pigeonhole; `maxHamming = 6` keeps the guarantee with margin.
+    *
+    * Scale shape is [[Dedup.simhashPairs]]'s: one decode pass, band
+    * explode on 16-byte rows, capped bucket self-join — never all-pairs
+    * on the corpus. Not SQL-expressible (the hash needs a real pixel
+    * decode), so correctness is spec-pinned like [[overlapBloom]]:
+    * determinism, identical-image Hamming 0, small-edit locality, and
+    * the shared-band guarantee are asserted in `MultimodalSpec`.
+    */
+  def imageDupPairs(
+      ds: Dataset[MediaRecord],
+      bands: Int = 8,
+      maxHamming: Int = 6,
+      maxBucketSize: Int = 10000): DataFrame =
+    Dedup.simhashPairs(imageHashes(ds), "id", "dhash",
+      bits = 64, bands = bands, maxHamming = maxHamming,
+      sketchOf = (c, _) => c, maxBucketSize = maxBucketSize)
+
   /** Declarative (oracle-able) feature projection over the same binary
     * column: pure built-in expressions, no stub — the path to prefer when
     * features are expressible in SQL (stays inside codegen).

@@ -225,6 +225,57 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  private def grayImage(px: (Int, Int) => Int, w: Int = 18, h: Int = 16,
+      fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out))
+    out.toByteArray
+  }
+
+  test("dhash: deterministic, re-encoding invariant, small-edit local, sub-grid images None") {
+    // a horizontal ramp: every gradient bit is 1 (right cell brighter)
+    val ramp = (x: Int, _: Int) => x * 14
+    val a = Multimodal.dhash(grayImage(ramp))
+    assert(a.contains(Multimodal.dhash(grayImage(ramp)).get), "bit-identical across calls")
+    assert(a.get == -1L, s"ramp: every right cell is brighter, all 64 bits set; got ${a.get.toHexString}")
+    // same pixels through a different CODEC hash identically — the
+    // re-encoding robustness byte-dedup lacks
+    assert(Multimodal.dhash(grayImage(ramp, fmt = "bmp")) == a)
+    // one perturbed pixel moves only its grid cell's two adjacent bits
+    val edited = (x: Int, y: Int) => if (x == 4 && y == 3) 255 else x * 14
+    val b = Multimodal.dhash(grayImage(edited))
+    assert(b.isDefined && java.lang.Long.bitCount(a.get ^ b.get) <= 2,
+      s"local edit must stay local: hamming ${java.lang.Long.bitCount(a.get ^ b.get)}")
+    // smaller than the 9x8 grid: no meaningful gradient, no hash
+    assert(Multimodal.dhash(grayImage(ramp, w = 8, h = 4)).isEmpty)
+    assert(Multimodal.dhash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageDupPairs: identical images pair at hamming 0, edits pair near, others don't") {
+    import spark.implicits._
+    val ramp = (x: Int, _: Int) => x * 14
+    val edited = (x: Int, y: Int) => if (x == 4 && y == 3) 255 else x * 14
+    val vramp = (_: Int, y: Int) => y * 15 // vertical ramp: all gradient bits 0
+    val media = Seq(
+      MediaRecord(1L, "image", grayImage(ramp), 0L),
+      MediaRecord(2L, "image", grayImage(ramp, fmt = "bmp"), 0L), // re-encoded twin
+      MediaRecord(3L, "image", grayImage(edited), 0L),            // near-dup edit
+      MediaRecord(4L, "image", grayImage(vramp), 0L),             // unrelated
+      MediaRecord(5L, "image", "corrupt".getBytes("UTF-8"), 0L)   // undecodable: drops out
+    ).toDS()
+    val pairs = Multimodal.imageDupPairs(media)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"cross-codec twin + local edit pair, nothing else: $pairs")
+    assert(pairs((1L, 2L)) == 0L, "identical pixels across codecs: hamming 0")
+    assert(pairs((1L, 3L)) <= 2L && pairs((1L, 3L)) >= 1L, "the edit is a near, not exact, match")
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()
