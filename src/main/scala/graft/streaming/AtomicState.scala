@@ -151,14 +151,21 @@ object AtomicState {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else {
-      val floor = math.max(1,
-        if (minFiles > 0) minFiles else spark.sparkContext.defaultParallelism)
       val bytes = Compaction.dataBytes(spark, path)
-      val effTarget = math.max(1L, math.min(targetFileBytes,
-        (bytes + floor - 1) / floor))
-      val files = Compaction.compactParquet(spark, path, path + ".new", effTarget, sortCols)
-      promote(spark, path)
-      files
+      // a committed EMPTY generation (zero-partition write: dir with no
+      // part files — the heal-preserved state ADVICE r12 pinned) has
+      // nothing to compact, and reading it for a rewrite would die in
+      // schema inference — skip, don't crash the maintenance pass
+      if (bytes == 0L) 0
+      else {
+        val floor = math.max(1,
+          if (minFiles > 0) minFiles else spark.sparkContext.defaultParallelism)
+        val effTarget = math.max(1L, math.min(targetFileBytes,
+          (bytes + floor - 1) / floor))
+        val files = Compaction.compactParquet(spark, path, path + ".new", effTarget, sortCols)
+        promote(spark, path)
+        files
+      }
     }
   }
 }

@@ -104,6 +104,32 @@ class StreamingReportSpec extends SparkTestBase {
       s"post-compaction+crash incremental != batch:\nonly-inc=${incSet -- batchSet}\nonly-batch=${batchSet -- incSet}")
   }
 
+  test("compactSwap on a committed EMPTY generation is a safe no-op") {
+    // a zero-partition write leaves a committed dir with no part files
+    // (the state heal preserves per ADVICE r12); compacting it must not
+    // die in schema inference, must not touch the dir
+    val dir = Files.createTempDirectory("graft-compact-empty").toFile.getAbsolutePath
+    val path = s"$dir/state"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .write.parquet(path)
+    // this Spark version emits zero-row part files even for an empty RDD;
+    // strip them to produce the documented worst case — committed dir,
+    // _SUCCESS only, not one data byte
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(path)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .foreach(Files.delete)
+    assert(AtomicState.compactSwap(spark, path, Seq("id")) == 0)
+    assert(Files.exists(java.nio.file.Paths.get(path)),
+      "the committed empty generation must survive the no-op")
+    assert(AtomicState.compactSwap(spark, s"$dir/never-written", Seq("id")) == 0,
+      "a missing dir is also a no-op")
+  }
+
   test("a crash mid-swap of the observed-key set never loses it") {
     import java.nio.file.{Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
