@@ -524,6 +524,92 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
   }
 
+  /** Fraction of the corpus the binary-quantized scan keeps as re-rank
+    * candidates per query: the measured ≥0.9-recall@5 point on the
+    * calibration fixture (0.68 / 0.88 / 0.92 / 0.94 / 0.96 at fraction
+    * 0.05 / 0.1 / 0.15 / 0.2 / 0.3 — SimilaritySpec). A FRACTION, not an
+    * absolute count, for the same reason as [[AdaptiveProbeFraction]]:
+    * fixed-C candidate sets cover a 10×-smaller corpus share every decade
+    * and recall silently decays.
+    */
+  private val BinaryCandFraction = 0.15
+
+  /** q15c — ANN over 1-bit sign-quantized signatures: xor/popcount Hamming
+    * scan proposes ⌈0.15·N⌉ candidates per query, exact cosine over the
+    * raw vectors re-ranks to top-5. The third quantization point of the
+    * storage/recall ladder (float32 q15 → int8 q15b → 1-bit q15c: 1× /
+    * 4× / 32× scan-bandwidth reduction); geometry is count-derived like
+    * q16f so the oracle reproduces the exact candidate cut from its own
+    * `count(*)`.
+    */
+  def annBinary(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val n = emb.count()
+    require(n > 0, "binary ANN candidate geometry needs a non-empty corpus")
+    val cand = math.ceil(BinaryCandFraction * n).toInt
+    Similarity.binaryTopK(emb, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5, candidates = cand)
+  }
+
+  /** DuckDB twin of sign-pack → Hamming candidate cut → exact re-rank.
+    * The signature packing mirrors [[Similarity.signSig]] word-for-word
+    * (32-bit words, bit j set iff the RAW component is > 0 — single-element
+    * compares need no rounding step), the candidate cut is the identical
+    * integer-keyed `row_number` (hamming asc, id asc), and the re-rank is
+    * q15's rounded-cosine ranking.
+    */
+  private val q15cOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p AS (SELECT CAST(ceil($BinaryCandFraction * count(*)) AS BIGINT) AS cand FROM e),
+      |sg AS (SELECT vec_id, emb,
+      |  list_transform(range((len(emb)+31)//32), w ->
+      |    CAST(list_sum(list_transform(range(32), b ->
+      |      CASE WHEN w*32+b+1 <= len(emb) AND emb[w*32+b+1] > 0
+      |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)) AS sig
+      |  FROM e),
+      |q AS (SELECT vec_id AS query_id, sig AS q_sig FROM sg WHERE vec_id % 50 = 0),
+      |ham AS (SELECT q.query_id, c.vec_id AS id,
+      |    CAST(list_sum(list_transform(range(len(c.sig)), w ->
+      |      bit_count(xor(c.sig[w+1], q.q_sig[w+1])))) AS BIGINT) AS hamming
+      |  FROM sg c, q WHERE c.vec_id <> q.query_id),
+      |cand AS (SELECT query_id, id FROM (
+      |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY hamming, id) AS rn
+      |    FROM ham) WHERE rn <= (SELECT cand FROM p)),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |scored AS (SELECT cand.query_id, cand.id AS neighbor_id,
+      |    round(list_dot_product(c.emb, qq.emb) / (c.nrm * qq.nrm), 6) AS score
+      |  FROM cand JOIN n c ON c.vec_id = cand.id JOIN n qq ON qq.vec_id = cand.query_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
+  /** q73 — per-label mean-pooled embedding, long format: the
+    * bit-deterministic DECIMAL-summed centroid/mean-pool table
+    * ([[Similarity.meanPool]]) that [[Similarity.refineCentroidsFrom]]'s
+    * scaladoc promises ("if bit-stable centroids are ever needed,
+    * aggregate in DECIMAL like the q61 co-moments") — the
+    * collapse-chunks-to-document-vector / publish-centroid-table step of
+    * an embedding pipeline, oracle-checked.
+    */
+  def labelMeanPool(spark: SparkSession, dir: String): DataFrame =
+    Similarity.meanPool(Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), "label", "embedding")
+
+  /** Twin: identical arithmetic — 6-decimal round, DECIMAL(18,6) exact
+    * sum, double division, 6-decimal round — via a struct-unnest (DuckDB
+    * has no posexplode; `list_transform(range(...))` + `unnest` carries
+    * the 1-based position).
+    */
+  private val q73Oracle: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |x AS (SELECT label,
+      |        unnest(list_transform(range(len(emb)), i ->
+      |          {'pos': i + 1, 'xd': CAST(round(emb[i+1], 6) AS DECIMAL(18,6))})) AS u
+      |      FROM e)
+      |SELECT label, u.pos AS dim_pos,
+      |  round(CAST(sum(u.xd) AS DOUBLE) / count(*), 6) AS mean_val,
+      |  count(*) AS n_vecs
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   private val LshPlanes = 4
   private val LshDims = 64
 
@@ -2110,6 +2196,7 @@ object LlmQueries {
     "q64_simhash_pairs" -> ((s, d) => simhashNearDup(s, d)),
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
     "q15b_ann_quantized" -> ((s, d) => annQuantized(s, d)),
+    "q15c_ann_binary" -> ((s, d) => annBinary(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
     "q16d_ann_ivf_nprobe4" -> ((s, d) => annIvfNprobe4(s, d)),
@@ -2155,7 +2242,8 @@ object LlmQueries {
     "q53_temp_sample" -> ((s, d) => tempSample(s, d)),
     "q68_heavy_hitters" -> ((s, d) => heavyHitterTerms(s, d)),
     "q70_unigram_surprisal" -> ((s, d) => unigramSurprisal(s, d)),
-    "q72_bpe_pairs" -> ((s, d) => bpePairs(s, d))
+    "q72_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "q73_mean_pool" -> ((s, d) => labelMeanPool(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2168,6 +2256,7 @@ object LlmQueries {
     "q64_simhash_pairs" -> q64Oracle,
     "q15_ann_topk" -> q15Oracle,
     "q15b_ann_quantized" -> q15bOracle,
+    "q15c_ann_binary" -> q15cOracle,
     "q16_ann_ivf" -> q16Oracle,
     "q16b_ann_ivf_nprobe2" -> q16bOracle,
     "q16d_ann_ivf_nprobe4" -> q16dOracle,
@@ -2215,6 +2304,7 @@ object LlmQueries {
     "q53_temp_sample" -> q53Oracle,
     "q68_heavy_hitters" -> q68Oracle,
     "q70_unigram_surprisal" -> q70Oracle,
-    "q72_bpe_pairs" -> q72Oracle
+    "q72_bpe_pairs" -> q72Oracle,
+    "q73_mean_pool" -> q73Oracle
   )
 }

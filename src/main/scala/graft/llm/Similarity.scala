@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Join-strategy choice for [[Similarity.nearestInBlock]]: explicit
   * broadcast / salted-shuffle, or auto-sized at construction time (runs one
@@ -226,6 +227,37 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("emb"))
 
+  /** Bit-deterministic element-wise mean pooling in LONG format: one row
+    * per (group, dimension) with the group's 6-decimal mean of that
+    * component and the member count — the oracle-grade twin of
+    * [[refineCentroidsFrom]]'s Lloyd-step mean (whose plain double `avg`
+    * is documented there as NOT order-stable). The standard use at 100 TB
+    * is collapsing per-chunk embeddings to one document/cluster vector
+    * (mean pooling) or publishing a centroid table for an external
+    * serving tier.
+    *
+    * Determinism discipline (the q61/q70 pattern): each component is
+    * rounded to 6 decimals and cast to DECIMAL(18,6), summed EXACTLY (no
+    * shuffle-order dependence), and only then divided in double — so the
+    * same rows give the same means on any partitioning, any engine. Scale
+    * shape: `posexplode` to (group, dim) rows partial-aggregates map-side
+    * before the single |groups|×d exchange — the distributed-k-means
+    * aggregation tree, identical to [[refineCentroidsFrom]]'s; output
+    * stays long-format (no collect_list repack) because downstream
+    * consumers (and the DuckDB twin) compare per-component.
+    *
+    * Output: (groupCol, dim_pos: bigint 1-based, mean_val: double 6-dec,
+    * n_vecs: bigint).
+    */
+  def meanPool(vectorsDf: DataFrame, groupCol: String, embCol: String): DataFrame =
+    vectorsDf
+      .select(col(groupCol), posexplode(asDouble(col(embCol))).as(Seq("pos0", "x")))
+      .select(col(groupCol), (col("pos0") + 1).cast("bigint").as("dim_pos"),
+        round(col("x"), 6).cast(DecimalType(18, 6)).as("xd"))
+      .groupBy(col(groupCol), col("dim_pos"))
+      .agg(round(sum(col("xd")).cast("double") / count(lit(1)), 6).as("mean_val"),
+        count(lit(1)).as("n_vecs"))
+
   /** The `nprobe` nearest centroid buckets per query vector (same scoring
     * and tie-break as [[ivfAssign]], so nprobe=1 probes exactly the query's
     * own bucket). Output: (query_id, q_emb, bucket) — one row per probed
@@ -332,6 +364,111 @@ object Similarity {
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
     rankTopK(pairs, k)
+  }
+
+  // ---- binary (1-bit sign) quantization --------------------------------
+
+  /** Word width of [[signSig]] signatures. 32 bits per 64-bit word keeps
+    * every packed value strictly positive (max 2³²−1), so the packing
+    * never touches the sign bit — DuckDB's `<<` and Spark's shift agree on
+    * [0, 31] unconditionally, and no two's-complement edge case can leak
+    * into the oracle compare (the reason the signature is NOT one 64-bit
+    * word per 64 dims).
+    */
+  private val SignWordBits = 32
+
+  /** 1-bit sign quantization: bit `j` of the signature is set iff
+    * component `j` of the raw embedding is `> 0` — no rounding step, a
+    * single-element comparison is already bit-exact cross-engine (unlike
+    * the dot products behind [[lshBucket]], which fold and must round
+    * first). Packs ⌈d/32⌉ words of 32 bits each (see [[SignWordBits]]).
+    *
+    * This is the 32× at-rest/bandwidth reduction of public
+    * binary-quantization vector search (sign of each component =
+    * hyperplane LSH with the coordinate basis as planes, d planes —
+    * Charikar sign-random-projection specialized to axis planes): angle
+    * tracks Hamming distance, so a cheap xor/popcount scan ranks
+    * candidates and only a small re-rank set ever touches float vectors.
+    * A null/absent embedding yields a null signature and drops out of the
+    * candidate scan (same contract as the other ANN variants).
+    *
+    * Plan-size note (the q16g lesson): the packing is ONE
+    * transform+aggregate tree whose node count is constant in `d` — the
+    * dimension parameterizes `sequence` lengths at runtime, never the
+    * expression tree.
+    */
+  def signSig(emb: Column): Column =
+    transform(
+      sequence(lit(0),
+        // Column `/` is double division; floor+cast recovers ⌈d/32⌉−1 exactly
+        floor((size(emb) + SignWordBits - 1) / SignWordBits).cast("int") - 1),
+      w => aggregate(
+        sequence(lit(0), lit(SignWordBits - 1)), lit(0L),
+        (acc, b) => {
+          val idx = w * SignWordBits + b + 1 // element_at is 1-based
+          acc + when(idx <= size(emb) && element_at(emb, idx) > 0,
+            pow(lit(2.0), b).cast("long")).otherwise(lit(0L))
+        }))
+
+  /** Hamming distance between two [[signSig]] signatures: per-word
+    * xor/popcount, summed. Narrow integer math — the whole candidate scan
+    * moves ⌈d/32⌉ longs per row instead of d floats.
+    */
+  def hammingSig(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Binary-quantized ANN top-k: Hamming scan over 1-bit signatures
+    * proposes `candidates` ids per query, exact cosine over the RAW
+    * vectors re-ranks them to top-k — the standard two-stage
+    * binary-quantization search. Output and tie-breaks match
+    * [[bruteForceTopK]] exactly (6-decimal rounded score, ties →
+    * smaller neighbor id); the candidate cut is fully deterministic too
+    * (Hamming asc, id asc row_number — integer keys, no float ties).
+    *
+    * Scale shape, stage by stage: (1) signatures are computed ROW-LOCALLY
+    * (no shuffle); the Hamming scan joins the corpus against a BROADCAST
+    * query-signature set and carries only (query_id, id, hamming) — three
+    * longs per pair, ~32× less scan bandwidth than the float brute scan
+    * it replaces. (2) The per-query candidate cut is a `row_number`
+    * rank-filter that Spark lowers to WindowGroupLimit — per-partition
+    * top-C then one |Q|-keyed exchange of C-bounded groups, never a full
+    * sort of the pair set (PlanAuditSpec pins the lowering). (3) Re-rank
+    * re-attaches raw vectors by joining the corpus against the BROADCAST
+    * |Q|·C candidate set — the full-precision column is only ever read
+    * for candidates, never shuffled corpus-wide.
+    *
+    * Choosing `candidates`: a constant FRACTION of the corpus holds
+    * recall scale-stably (the q16f lesson — a fixed absolute C probes a
+    * 10×-smaller fraction every decade and recall silently decays);
+    * q15c registers ⌈0.15·N⌉, the measured ≥0.9-recall@5 point on the
+    * calibration fixture (0.68/0.88/0.92/0.94/0.96 at fraction
+    * 0.05/0.1/0.15/0.2/0.3 — SimilaritySpec pins the operating point).
+    */
+  def binaryTopK(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      queryFilter: Column, k: Int, candidates: Int,
+      candObservation: Option[Observation] = None): DataFrame = {
+    require(candidates >= k, s"candidate width $candidates < k=$k")
+    val n = vectors(vectorsDf, idCol, embCol)
+    val sg = n.withColumn("sig", signSig(col("emb")))
+    val q = sg.filter(queryFilter)
+      .select(col("id").as("query_id"), col("sig").as("q_sig"))
+    val ham = sg.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        hammingSig(col("sig"), col("q_sig")).as("hamming"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("id"))
+    val cand = ham.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= candidates)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val qEmb = n.filter(queryFilter)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val pairs = n.join(broadcast(cand), col("id") === col("neighbor_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    rankTopK(observeCandidates(pairs, candObservation), k)
   }
 
   // ---- random-hyperplane LSH ANN ---------------------------------------

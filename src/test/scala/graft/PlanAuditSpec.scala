@@ -349,6 +349,33 @@ class PlanAuditSpec extends SparkTestBase {
       s"the top-k must be a bounded heap, not a global sort:\n$p")
   }
 
+  test("q15c binary ANN: candidate cut lowers to WindowGroupLimit, both stages broadcast the small side") {
+    // The 100 TB contract of the two-stage binary search: (1) the Hamming
+    // scan joins the corpus against a BROADCAST query-signature set and its
+    // per-query cut is a WindowGroupLimit (per-partition top-C heaps, never
+    // a full sort of the pair set); (2) the float re-rank joins the corpus
+    // against the BROADCAST |Q|·C candidate set — full-precision vectors
+    // are only read for candidates, never shuffled corpus-wide.
+    val p = plan(LlmQueries.annBinary(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"hamming candidate cut must lower to WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"scan and re-rank joins must broadcast their small sides:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"binary ANN must not cartesian or sort-merge at this scale:\n$p")
+  }
+
+  test("q73 mean pool: posexplode partial-aggregates map-side into ONE groups-by-dim exchange") {
+    // The distributed-centroid shape: d×N exploded rows never shuffle raw —
+    // map-side combine reduces them to |groups|×d before the single
+    // exchange (same tree as refineCentroidsFrom, now DECIMAL-exact).
+    val p = plan(LlmQueries.labelMeanPool(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"dim sums must partial-aggregate map-side:\n$p")
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"mean pool must shuffle once (plus AQE read):\n$p")
+  }
+
   test("q16g adaptive LSH: plan size stays CONSTANT in geometry (lsh_buckets kernel, not a per-table tree)") {
     // Round-12 scale finding (VERDICT r12 ask #7): a logical plan whose
     // EXPRESSION tree grows with a count-derived parameter is a scale bug —

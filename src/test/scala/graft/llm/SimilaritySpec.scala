@@ -503,4 +503,84 @@ class SimilaritySpec extends SparkTestBase {
         s"cluster $c canonical-keep contract violated: ${members.toSeq}")
     }
   }
+
+  test("signSig: hand-packed 32-bit words, cross-word boundary, zero/negative excluded") {
+    // dim 34 -> two words; positives at 1-based positions 1, 3, 34:
+    // word0 = bit0 + bit2 = 5; word1 = bit(34-33) = 2. Position 4 is an
+    // exact 0.0 (NOT set: the rule is strictly > 0) and the rest negative.
+    val emb = (1 to 34).map {
+      case 1 => 1.0; case 3 => 2.0; case 34 => 0.25; case 4 => 0.0; case _ => -0.5
+    }
+    val sig = Seq(Tuple1(emb)).toDF("emb")
+      .select(Similarity.signSig(col("emb")).as("sig"))
+      .as[Seq[Long]].head()
+    assert(sig == Seq(5L, 2L), s"packed $sig")
+    // every word stays strictly below 2^32: the packing never touches the
+    // long's sign bit (the cross-engine guarantee the 32-bit width buys)
+    val allSet = Seq(Tuple1((1 to 64).map(_ => 1.0))).toDF("emb")
+      .select(Similarity.signSig(col("emb")).as("sig")).as[Seq[Long]].head()
+    assert(allSet == Seq((1L << 32) - 1, (1L << 32) - 1), s"all-set packed $allSet")
+  }
+
+  test("hammingSig: per-word xor/popcount sum") {
+    val df = Seq((Seq(5L, 2L), Seq(1L, 2L)), (Seq(0L, 0L), Seq((1L << 32) - 1, 1L)))
+      .toDF("a", "b")
+    val out = df.select(Similarity.hammingSig(col("a"), col("b")).as("h"))
+      .as[Long].collect()
+    assert(out.toSeq == Seq(1L, 33L), s"hamming ${out.toSeq}")
+  }
+
+  test("binaryTopK: full candidate width IS brute force; recall curve monotone with the 0.15 point pinned") {
+    val emb = Tables.embeddings(spark, dir)
+    val qf = col("id") % 50 === 0
+    val n = emb.count().toInt
+
+    // candidates = N reduces the Hamming cut to a no-op, so the re-rank
+    // must reproduce the exact searcher row-for-row
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Similarity.binaryTopK(emb, "vec_id", "embedding", qf, 5, candidates = n)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == exact, "full-width binary search must equal brute force")
+
+    val ground = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val curve = Seq(0.05, 0.15, 0.30).map { frac =>
+      val cand = math.ceil(frac * n).toInt
+      val obs = org.apache.spark.sql.Observation()
+      val got = Similarity.binaryTopK(emb, "vec_id", "embedding", qf, 5, cand, Some(obs))
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+      val r = (ground & got).size.toDouble / ground.size
+      val pairs = obs.get("candidate_pairs").asInstanceOf[Long]
+      info(f"binary frac=$frac: recall@5 = $r%.3f, rerank pairs = $pairs")
+      (r, pairs)
+    }
+    assert(curve.map(_._1) == curve.map(_._1).sorted,
+      s"recall must be monotone in candidate width: $curve")
+    assert(curve.map(_._2) == curve.map(_._2).sorted,
+      s"re-rank pair count must be monotone in candidate width: $curve")
+    // the registered q15c operating point (fraction 0.15) on this fixture;
+    // the gate fixture (sf0.01) measures 0.92 — both deterministic
+    assert(curve(1)._1 >= 0.85,
+      s"fraction-0.15 recall@5 regressed below the fixture's 0.86: ${curve(1)}")
+  }
+
+  test("meanPool: hand-computed means; bit-stable across partitioning") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(2.0f, 4.0f)), ("b", Seq(-1.5f, 0.0f))
+    ).toDF("g", "emb")
+    val out = Similarity.meanPool(df, "g", "emb")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(out == Set(("a", 1L, 1.5, 2L), ("a", 2L, 3.0, 2L),
+      ("b", 1L, -1.5, 1L), ("b", 2L, 0.0, 1L)), s"got $out")
+
+    // DECIMAL exact sums: identical output bit-for-bit on any partitioning
+    // (the order-stability refineCentroidsFrom's plain double avg lacks)
+    val emb = Tables.embeddings(spark, dir)
+    val one = Similarity.meanPool(emb.repartition(1), "label", "embedding")
+      .collect().toSet
+    val many = Similarity.meanPool(emb.repartition(13), "label", "embedding")
+      .collect().toSet
+    assert(one == many, "meanPool must be partitioning-independent")
+  }
 }
