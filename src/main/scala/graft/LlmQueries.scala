@@ -610,6 +610,54 @@ object LlmQueries {
       |  count(*) AS n_vecs
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** q74 — Gopher-style quality rule filter ([[TextStats.gopherFlags]])
+    * over the rule-exercising fixture corpus (each arm injects one
+    * failure mode the single-line synthetic docs cannot produce —
+    * bullets, symbol runs, truncation, ellipsis line-ends, digit
+    * floods). Reports per-rule metrics beside the keep bit so curation
+    * can re-threshold without re-scanning.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextStats.gopherFlags(
+      DocumentsFixture.gopherCorpusDf(spark, dir), "doc_id", "text")
+
+  /** Twin: identical fixture arms, identical metric arithmetic (counts →
+    * 6-decimal-rounded double ratios → threshold conjunction; zero-word
+    * docs null out and fail the CASE exactly as Spark's three-valued
+    * `when` does). `regexp_extract_all` length stands in for Spark's
+    * `regexp_count` (this DuckDB predates it) — same leftmost
+    * non-overlapping match semantics.
+    */
+  private val q74Oracle: String = {
+    val stop = dWordHits("toks", TextStats.enStopwords)
+    import TextStats.GopherRules._
+    s"""WITH corpus AS (${DocumentsFixture.gopherCorpusSql()}),
+      |t AS (SELECT doc_id, text, $dToks AS toks, string_split(text, chr(10)) AS lines FROM corpus),
+      |m AS (SELECT doc_id,
+      |  len(toks) AS n_words,
+      |  list_sum(list_transform(toks, t -> len(t))) AS sum_len,
+      |  len(regexp_extract_all(text, '${TextStats.symbolPattern}')) AS sym_cnt,
+      |  len(list_filter(lines, l -> substr(trim(l),1,1) = '-' OR substr(trim(l),1,1) = '*' OR substr(trim(l),1,1) = '•')) AS bullet_cnt,
+      |  len(list_filter(lines, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS ell_cnt,
+      |  len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_cnt,
+      |  len(lines) AS n_lines,
+      |  $stop AS stop_hits
+      |FROM t),
+      |r AS (SELECT doc_id, n_words,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE round(CAST(sum_len AS DOUBLE)/n_words, 6) END AS mean_word_len,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE round(CAST(sym_cnt AS DOUBLE)/n_words, 6) END AS symbol_ratio,
+      |  CASE WHEN n_lines = 0 THEN NULL ELSE round(CAST(bullet_cnt AS DOUBLE)/n_lines, 6) END AS bullet_ratio,
+      |  CASE WHEN n_lines = 0 THEN NULL ELSE round(CAST(ell_cnt AS DOUBLE)/n_lines, 6) END AS ellipsis_ratio,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE round(CAST(alpha_cnt AS DOUBLE)/n_words, 6) END AS alpha_ratio,
+      |  stop_hits FROM m)
+      |SELECT *, CASE WHEN n_words BETWEEN $MinWords AND $MaxWords
+      |  AND mean_word_len BETWEEN $MinMeanLen AND $MaxMeanLen
+      |  AND symbol_ratio <= $MaxSymbolRatio AND bullet_ratio <= $MaxBulletRatio
+      |  AND ellipsis_ratio <= $MaxEllipsisRatio AND alpha_ratio >= $MinAlphaRatio
+      |  AND stop_hits >= $MinStopHits THEN 1 ELSE 0 END AS keep
+      |FROM r""".stripMargin
+  }
+
   private val LshPlanes = 4
   private val LshDims = 64
 
@@ -2243,7 +2291,8 @@ object LlmQueries {
     "q68_heavy_hitters" -> ((s, d) => heavyHitterTerms(s, d)),
     "q70_unigram_surprisal" -> ((s, d) => unigramSurprisal(s, d)),
     "q72_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
-    "q73_mean_pool" -> ((s, d) => labelMeanPool(s, d))
+    "q73_mean_pool" -> ((s, d) => labelMeanPool(s, d)),
+    "q74_gopher_rules" -> ((s, d) => gopherRules(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2305,6 +2354,7 @@ object LlmQueries {
     "q68_heavy_hitters" -> q68Oracle,
     "q70_unigram_surprisal" -> q70Oracle,
     "q72_bpe_pairs" -> q72Oracle,
-    "q73_mean_pool" -> q73Oracle
+    "q73_mean_pool" -> q73Oracle,
+    "q74_gopher_rules" -> q74Oracle
   )
 }

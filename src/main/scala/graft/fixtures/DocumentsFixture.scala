@@ -49,6 +49,41 @@ object DocumentsFixture {
       .repartition(spark.sparkContext.defaultParallelism)
   }
 
+  /** Quality-rule corpus for the Gopher-style filter (q74): the synthetic
+    * docs are single-line word soup, so each rule's failure mode is
+    * injected by its own arm — bullet-led lines, symbol runs, a truncated
+    * tail under the word-count floor, ellipsis line endings, and a
+    * digit-token flood that sinks the alphabetic-word ratio. Same shared
+    * Spark/DuckDB dialect as every fixture (replace/chr/repeat/substr only).
+    */
+  private val gopherArms = Seq(
+    "SELECT doc_id, text FROM %s",
+    // bullet-structured: every ' a ' separator becomes a newline + '- '
+    "SELECT doc_id + 50000 AS doc_id, replace(text, ' a ', chr(10) || '- ') AS text " +
+      "FROM %s WHERE doc_id % 7 = 0",
+    // symbol runs: hash/ellipsis mass pushes symbol-to-word past the cap
+    "SELECT doc_id + 60000 AS doc_id, text || ' ' || repeat('# ... ', 12) || '…' AS text " +
+      "FROM %s WHERE doc_id % 13 = 0",
+    // truncated: a handful of words, under the word-count floor
+    "SELECT doc_id + 70000 AS doc_id, substr(text, 1, 30) AS text " +
+      "FROM %s WHERE doc_id % 17 = 0",
+    // ellipsis line-ends: every ' the ' becomes '...' + a newline
+    "SELECT doc_id + 80000 AS doc_id, replace(text, ' the ', '...' || chr(10)) AS text " +
+      "FROM %s WHERE doc_id % 19 = 0",
+    // digit flood: 80 numeric tokens sink the alphabetic-word ratio
+    "SELECT doc_id + 90000 AS doc_id, text || ' ' || repeat('42 ', 80) AS text " +
+      "FROM %s WHERE doc_id % 23 = 0")
+
+  def gopherCorpusSql(rel: String = "documents"): String =
+    gopherArms.map(_.replace("%s", rel)).mkString(" UNION ALL ")
+
+  def gopherCorpusDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.createOrReplaceTempView("__docs_fixture")
+    spark.sql(gopherCorpusSql("__docs_fixture"))
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Unicode-hostile corpus for the normalization operator (q62): the
     * synthetic docs are pure ASCII, so the interesting inputs are injected
     * — decomposed accents (e + U+0301), zero-width space/non-joiner, word

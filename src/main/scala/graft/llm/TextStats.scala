@@ -123,6 +123,84 @@ object TextStats {
       lit(0.3) * least(lit(1.0), stop * 5.0 / n)
   }
 
+  /** Gopher-style quality-rule thresholds (Rae et al. 2021 appendix A —
+    * the published rule set, public knowledge). A doc is kept only if
+    * EVERY rule passes; q74 reports the per-rule metrics beside the
+    * decision so downstream curation can loosen one rule without
+    * recomputing the corpus scan.
+    */
+  object GopherRules {
+    val MinWords = 50
+    val MaxWords = 100000
+    val MinMeanLen = 3.0
+    val MaxMeanLen = 10.0
+    val MaxSymbolRatio = 0.1
+    val MaxBulletRatio = 0.9
+    val MaxEllipsisRatio = 0.3
+    val MinAlphaRatio = 0.8
+    val MinStopHits = 2
+  }
+
+  /** '#', a literal three-dot ellipsis, or the unicode ellipsis — the
+    * Gopher symbol set. Escapes parse identically in Java and RE2, and
+    * both engines count leftmost non-overlapping matches.
+    */
+  val symbolPattern: String = "#|\\.\\.\\.|…"
+
+  /** Per-doc Gopher rule metrics + keep decision, one corpus scan:
+    * word count, mean word length, symbol-to-word ratio, bullet-led and
+    * ellipsis-ended line fractions, alphabetic-word ratio, stopword hits.
+    * All ratios are 6-decimal rounded BEFORE the threshold compares, so
+    * the keep bit can never hinge on sub-ulp division differences
+    * (repo determinism rule); zero-word docs get null ratios and fail the
+    * conjunction (three-valued logic → `otherwise(0)`), identically in
+    * the DuckDB twin's CASE.
+    *
+    * Scale shape: a narrow per-row projection — no shuffle, no join; the
+    * only non-codegen pieces are the array lambdas (same budget as
+    * [[qualityScore]]). `toks`/`lines` are materialized in their own
+    * projection first so the filter/aggregate lambdas reference bound
+    * columns (CollapseProject keeps multi-referenced non-cheap aliases
+    * out of lambda bodies — the [[graft.llm.Similarity.quantizedTopK]]
+    * O(d²) re-evaluation trap).
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import GopherRules._
+    val staged = df.select(col(idCol), col(textCol).as("text"),
+      tokens(col(textCol)).as("toks"), split(col(textCol), "\n").as("lines"))
+    val counted = staged.select(col(idCol),
+      size(col("toks")).cast("bigint").as("n_words"),
+      aggregate(transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, v) => a + v).as("sum_len"),
+      regexp_count(col("text"), lit(symbolPattern)).cast("bigint").as("sym_cnt"),
+      size(filter(col("lines"),
+        l => substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("bigint").as("bullet_cnt"),
+      size(filter(col("lines"),
+        l => endswith(trim(l), lit("...")) || endswith(trim(l), lit("…"))))
+        .cast("bigint").as("ell_cnt"),
+      size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("bigint").as("alpha_cnt"),
+      size(col("lines")).cast("bigint").as("n_lines"),
+      wordHits(col("toks"), enStopwords).cast("bigint").as("stop_hits"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    counted.select(col(idCol), col("n_words"),
+      ratio(col("sum_len"), col("n_words")).as("mean_word_len"),
+      ratio(col("sym_cnt"), col("n_words")).as("symbol_ratio"),
+      ratio(col("bullet_cnt"), col("n_lines")).as("bullet_ratio"),
+      ratio(col("ell_cnt"), col("n_lines")).as("ellipsis_ratio"),
+      ratio(col("alpha_cnt"), col("n_words")).as("alpha_ratio"),
+      col("stop_hits"))
+      .withColumn("keep",
+        when(col("n_words").between(MinWords, MaxWords) &&
+          col("mean_word_len").between(MinMeanLen, MaxMeanLen) &&
+          col("symbol_ratio") <= MaxSymbolRatio &&
+          col("bullet_ratio") <= MaxBulletRatio &&
+          col("ellipsis_ratio") <= MaxEllipsisRatio &&
+          col("alpha_ratio") >= MinAlphaRatio &&
+          col("stop_hits") >= MinStopHits, lit(1)).otherwise(lit(0)))
+  }
+
   /** Marker-word sets per language for the n-gram/stopword language-ID
     * heuristic (public common-word lists).
     */

@@ -242,4 +242,43 @@ class CleaningSpec extends SparkTestBase {
       .filter(col("doc_id") === 9L).select("clean_text").as[String].head()
     assert(cleaned == (1 to 50).map(i => s"u$i").mkString("\n"))
   }
+
+  test("gopherFlags: each rule fails on exactly its crafted doc; the clean doc keeps") {
+    // one doc per rule violation, each otherwise passing: the keep bit must
+    // isolate the single failed threshold
+    val good = ("the quick brown fox and the lazy dog ran to the old mill " * 6).trim // 72 words, stopwords, alpha
+    val docs = Seq(
+      (1L, good),                                            // keeps
+      (2L, "the of and to is in a"),                         // under the 50-word floor
+      (3L, good + " " + Seq.fill(20)("# ... #").mkString(" ")), // symbol ratio > 0.1
+      (4L, (1 to 60).map(_ => "- bullet").mkString("\n") + "\nthe a of is plain"), // bullet lines > 0.9
+      (5L, (1 to 60).map(_ => "the end comes...").mkString("\n")), // ellipsis line-ends > 0.3
+      (6L, good + " " + Seq.fill(300)("42").mkString(" ")),   // alpha ratio < 0.8
+      (7L, Seq.fill(60)("zzz qqq www").mkString(" "))         // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherFlags(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1, "clean doc must keep")
+    (2L to 7L).foreach(id => assert(out(id) == 0, s"doc $id must fail its rule"))
+
+    // the metric columns isolate WHICH rule fired
+    val m = TextStats.gopherFlags(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(2L).getLong(1) < 50, "doc 2 fails on word count")
+    assert(m(3L).getDouble(3) > 0.1, "doc 3 fails on symbol ratio")
+    assert(m(4L).getDouble(4) > 0.9, "doc 4 fails on bullet ratio")
+    assert(m(5L).getDouble(5) > 0.3, "doc 5 fails on ellipsis ratio")
+    assert(m(6L).getDouble(6) < 0.8, "doc 6 fails on alpha ratio")
+    assert(m(7L).getLong(7) < 2, "doc 7 fails on stopword hits")
+
+    // empty doc: null ratios, three-valued conjunction -> keep 0, no NPE
+    val empty = TextStats.gopherFlags(Seq((8L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_words", "keep").as[(Long, Int)].head()
+    assert(empty == ((0L, 0)), "empty doc must report 0 words and drop")
+
+    // scale shape: a pure narrow projection — no exchange anywhere
+    val p = TextStats.gopherFlags(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gopherFlags must not shuffle:\n$p")
+  }
 }
