@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, CutSpans, HyperplaneBuckets, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
+import graft.functions.{CosineSimilarity, CutSpans, HammingSig, HyperplaneBuckets, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -27,6 +27,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("hamming_sig"),
+      new ExpressionInfo(
+        classOf[HammingSig].getName,
+        null,
+        "hamming_sig",
+        "hamming_sig(a, b) - Hamming distance between two packed bit " +
+          "signatures (array<bigint> of 32-bit words)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hamming_sig takes exactly 2 arguments")
+        HammingSig(children(0), children(1))
       }))
 
     ext.injectFunction((

@@ -524,61 +524,50 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
   }
 
-  /** Fraction of the corpus the binary-quantized scan keeps as re-rank
-    * candidates per query: the measured ≥0.9-recall@5 point on the
-    * calibration fixture (0.68 / 0.88 / 0.92 / 0.94 / 0.96 at fraction
-    * 0.05 / 0.1 / 0.15 / 0.2 / 0.3 — SimilaritySpec). A FRACTION, not an
-    * absolute count, for the same reason as [[AdaptiveProbeFraction]]:
-    * fixed-C candidate sets cover a 10×-smaller corpus share every decade
-    * and recall silently decays.
+  /** The q15c Hamming radius: candidates within 27 bits of the query
+    * survive to the exact re-rank — the measured ≥0.9-recall@5 point on
+    * the gate fixture (recall/survivor-fraction 0.24/0.008 at R=22,
+    * 0.58/0.032 at 24, 0.88/0.088 at 26, **0.92/0.132 at 27**, 0.94/0.194
+    * at 28, 0.98/0.360 at 30). A fixed RADIUS is scale-stable without any
+    * count-derived geometry: the admitted fraction follows the corpus's
+    * angle distribution, not N (see [[Similarity.binaryTopK]]'s scaladoc
+    * for why the per-query top-C form this replaced was a measured scale
+    * bug).
     */
-  private val BinaryCandFraction = 0.15
+  private val BinaryMaxHamming = 27
 
   /** q15c — ANN over 1-bit sign-quantized signatures: xor/popcount Hamming
-    * scan proposes ⌈0.15·N⌉ candidates per query, exact cosine over the
-    * raw vectors re-ranks to top-5. The third quantization point of the
-    * storage/recall ladder (float32 q15 → int8 q15b → 1-bit q15c: 1× /
-    * 4× / 32× scan-bandwidth reduction); geometry is count-derived like
-    * q16f so the oracle reproduces the exact candidate cut from its own
-    * `count(*)`.
+    * radius scan keeps ~13% of pairs, exact cosine over the raw vectors
+    * re-ranks to top-5, all in one codegen stage. The third quantization
+    * point of the storage/recall ladder (float32 q15 → int8 q15b → 1-bit
+    * q15c: 1× / 4× / 32× per-pair scan-work reduction).
     */
-  def annBinary(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
-    val n = emb.count()
-    require(n > 0, "binary ANN candidate geometry needs a non-empty corpus")
-    val cand = math.ceil(BinaryCandFraction * n).toInt
-    Similarity.binaryTopK(emb, "vec_id", "embedding",
-      col("id") % 50 === 0, k = 5, candidates = cand)
-  }
+  def annBinary(spark: SparkSession, dir: String): DataFrame =
+    Similarity.binaryTopK(embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5, maxHamming = BinaryMaxHamming)
 
-  /** DuckDB twin of sign-pack → Hamming candidate cut → exact re-rank.
+  /** DuckDB twin of sign-pack → Hamming radius cut → exact re-rank.
     * The signature packing mirrors [[Similarity.signSig]] word-for-word
     * (32-bit words, bit j set iff the RAW component is > 0 — single-element
-    * compares need no rounding step), the candidate cut is the identical
-    * integer-keyed `row_number` (hamming asc, id asc), and the re-rank is
-    * q15's rounded-cosine ranking.
+    * compares need no rounding step), the radius compare is pure integer,
+    * and the re-rank is q15's rounded-cosine ranking.
     */
   private val q15cOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |p AS (SELECT CAST(ceil($BinaryCandFraction * count(*)) AS BIGINT) AS cand FROM e),
       |sg AS (SELECT vec_id, emb,
       |  list_transform(range((len(emb)+31)//32), w ->
       |    CAST(list_sum(list_transform(range(32), b ->
       |      CASE WHEN w*32+b+1 <= len(emb) AND emb[w*32+b+1] > 0
       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)) AS sig
       |  FROM e),
-      |q AS (SELECT vec_id AS query_id, sig AS q_sig FROM sg WHERE vec_id % 50 = 0),
-      |ham AS (SELECT q.query_id, c.vec_id AS id,
-      |    CAST(list_sum(list_transform(range(len(c.sig)), w ->
-      |      bit_count(xor(c.sig[w+1], q.q_sig[w+1])))) AS BIGINT) AS hamming
-      |  FROM sg c, q WHERE c.vec_id <> q.query_id),
-      |cand AS (SELECT query_id, id FROM (
-      |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY hamming, id) AS rn
-      |    FROM ham) WHERE rn <= (SELECT cand FROM p)),
-      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-      |scored AS (SELECT cand.query_id, cand.id AS neighbor_id,
-      |    round(list_dot_product(c.emb, qq.emb) / (c.nrm * qq.nrm), 6) AS score
-      |  FROM cand JOIN n c ON c.vec_id = cand.id JOIN n qq ON qq.vec_id = cand.query_id),
+      |n AS (SELECT vec_id, emb, sig, sqrt(list_dot_product(emb, emb)) AS nrm FROM sg),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb, sig AS q_sig, nrm AS q_nrm
+      |      FROM n WHERE vec_id % 50 = 0),
+      |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS score
+      |  FROM n c, q WHERE c.vec_id <> q.query_id
+      |    AND list_sum(list_transform(range(len(c.sig)), w ->
+      |      bit_count(xor(c.sig[w+1], q.q_sig[w+1])))) <= $BinaryMaxHamming),
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 

@@ -349,20 +349,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"the top-k must be a bounded heap, not a global sort:\n$p")
   }
 
-  test("q15c binary ANN: candidate cut lowers to WindowGroupLimit, both stages broadcast the small side") {
-    // The 100 TB contract of the two-stage binary search: (1) the Hamming
-    // scan joins the corpus against a BROADCAST query-signature set and its
-    // per-query cut is a WindowGroupLimit (per-partition top-C heaps, never
-    // a full sort of the pair set); (2) the float re-rank joins the corpus
-    // against the BROADCAST |Q|·C candidate set — full-precision vectors
-    // are only read for candidates, never shuffled corpus-wide.
-    val p = plan(LlmQueries.annBinary(spark, dir))
+  test("q15c binary ANN: one broadcast-join stage (radius cut + re-rank fused), only the k-bounded top-k shuffles") {
+    // The 100 TB contract of the radius-cut binary search: the corpus joins
+    // ONE broadcast query set; the Hamming filter and the exact-cosine
+    // re-rank run in that same stage (the candidate's raw vector is already
+    // in the scanned row — no join-back, no second scan); the only window
+    // is rankTopK's k=5, which lowers to WindowGroupLimit. The fraction-
+    // sized per-query top-C this replaced shuffled the ENTIRE pair set
+    // (its WindowGroupLimit cannot prune below a fraction-sized C) and was
+    // measurably slower than the float brute scan at the 10x replica.
+    val df = LlmQueries.annBinary(spark, dir)
+    val p = plan(df)
+    // the all-pairs scan is the deliberate broadcast nested loop every
+    // brute-ish searcher uses (q15's shape): corpus × BROADCAST query set
+    assert(p.contains("BroadcastExchange"),
+      s"the query set must broadcast into the scan stage:\n$p")
     assert(p.contains("WindowGroupLimit"),
-      s"hamming candidate cut must lower to WindowGroupLimit:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"scan and re-rank joins must broadcast their small sides:\n$p")
+      s"the k=5 top-k must lower to WindowGroupLimit:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      s"binary ANN must not cartesian or sort-merge at this scale:\n$p")
+      s"binary ANN must not cartesian or sort-merge:\n$p")
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1,
+      s"only the final top-k may hash-shuffle (got $shuffles):\n$p")
   }
 
   test("q73 mean pool: posexplode partial-aggregates map-side into ONE groups-by-dim exchange") {

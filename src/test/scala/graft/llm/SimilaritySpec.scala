@@ -530,39 +530,59 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 33L), s"hamming ${out.toSeq}")
   }
 
-  test("binaryTopK: full candidate width IS brute force; recall curve monotone with the 0.15 point pinned") {
+  test("hamming_sig kernel: bit-identical to the composable form, including poisoned inputs") {
+    // normal pairs, a length mismatch, a null element, and a null array —
+    // the kernel must reproduce the zip_with/aggregate null semantics on
+    // every one (all NULL except the well-formed rows)
+    val df = Seq[(Seq[java.lang.Long], Seq[java.lang.Long])](
+      (Seq(5L, 2L), Seq(1L, 2L)),
+      (Seq(0L, (1L << 32) - 1), Seq((1L << 32) - 1, 0L)),
+      (Seq(7L), Seq(7L, 0L)),                    // length mismatch -> null
+      (Seq(7L, null), Seq(7L, 0L)),              // null element -> null
+      (null, Seq(1L, 2L))                        // null array -> null
+    ).toDF("a", "b")
+    val both = df.select(
+      Similarity.hammingSig(col("a"), col("b")).as("c"),
+      Similarity.fusedHamming(col("a"), col("b")).as("k"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    both.zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c == k, s"row $i: composable $c != kernel $k")
+    }
+    assert(both(2)._2.isEmpty && both(3)._2.isEmpty && both(4)._2.isEmpty,
+      "poisoned rows must be null")
+    assert(both(0)._2.contains(1L) && both(1)._2.contains(64L))
+  }
+
+  test("binaryTopK: radius >= dims IS brute force; recall curve monotone in radius, R=27 point pinned") {
     val emb = Tables.embeddings(spark, dir)
     val qf = col("id") % 50 === 0
-    val n = emb.count().toInt
 
-    // candidates = N reduces the Hamming cut to a no-op, so the re-rank
-    // must reproduce the exact searcher row-for-row
+    // radius >= d admits every pair, so the re-rank must reproduce the
+    // exact searcher row-for-row
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 5)
       .as[(Long, Long, Double)].collect().toSet
-    val full = Similarity.binaryTopK(emb, "vec_id", "embedding", qf, 5, candidates = n)
+    val full = Similarity.binaryTopK(emb, "vec_id", "embedding", qf, 5, maxHamming = 64)
       .as[(Long, Long, Double)].collect().toSet
-    assert(full == exact, "full-width binary search must equal brute force")
+    assert(full == exact, "full-radius binary search must equal brute force")
 
-    val ground = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qf, 5)
-      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
-    val curve = Seq(0.05, 0.15, 0.30).map { frac =>
-      val cand = math.ceil(frac * n).toInt
+    val ground = exact.map(t => (t._1, t._2))
+    val curve = Seq(22, 27, 30).map { radius =>
       val obs = org.apache.spark.sql.Observation()
-      val got = Similarity.binaryTopK(emb, "vec_id", "embedding", qf, 5, cand, Some(obs))
+      val got = Similarity.binaryTopK(emb, "vec_id", "embedding", qf, 5, radius, Some(obs))
         .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
       val r = (ground & got).size.toDouble / ground.size
       val pairs = obs.get("candidate_pairs").asInstanceOf[Long]
-      info(f"binary frac=$frac: recall@5 = $r%.3f, rerank pairs = $pairs")
+      info(f"binary R=$radius: recall@5 = $r%.3f, surviving pairs = $pairs")
       (r, pairs)
     }
     assert(curve.map(_._1) == curve.map(_._1).sorted,
-      s"recall must be monotone in candidate width: $curve")
+      s"recall must be monotone in the Hamming radius: $curve")
     assert(curve.map(_._2) == curve.map(_._2).sorted,
-      s"re-rank pair count must be monotone in candidate width: $curve")
-    // the registered q15c operating point (fraction 0.15) on this fixture;
-    // the gate fixture (sf0.01) measures 0.92 — both deterministic
+      s"survivor count must be monotone in the Hamming radius: $curve")
+    // the registered q15c operating point (R=27): 0.86 on this fixture,
+    // 0.92 on the gate fixture (sf0.01) — both deterministic
     assert(curve(1)._1 >= 0.85,
-      s"fraction-0.15 recall@5 regressed below the fixture's 0.86: ${curve(1)}")
+      s"R=27 recall@5 regressed below the fixture's 0.86: ${curve(1)}")
   }
 
   test("meanPool: hand-computed means; bit-stable across partitioning") {
