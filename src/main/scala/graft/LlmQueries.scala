@@ -2221,6 +2221,74 @@ object LlmQueries {
        |SELECT pair, count(*) AS n_pairs FROM p GROUP BY 1
        |ORDER BY n_pairs DESC, pair LIMIT $BpePairTopK""".stripMargin
 
+  /** Size of the learned merge table q75 applies. Fixed and small so the
+    * merge passes ride the plan as literals; each registered pair is
+    * guaranteed distinct-sided (`tok_a ≠ tok_b`), the precondition that
+    * makes the simultaneous merge pass exact ([[TextStats.bpeMergeStep]]).
+    */
+  private val BpeMergeCount = 5
+
+  /** q75 — BPE tokenizer APPLICATION: learn the top-[[BpeMergeCount]]
+    * adjacent-pair merges (the q72 trainer's ordering — count desc, pair
+    * asc — restricted to distinct-sided pairs) with one bounded
+    * metadata-collect, then apply them corpus-wide in rank order. The
+    * apply side is a shuffle-free projection chain; the learn side is
+    * q72's single partial-aggregated shuffle. Completes the tokenizer
+    * story: q72 counts merge candidates, q35/q42 build the vocabulary,
+    * q75 tokenizes the corpus with the learned table.
+    */
+  def bpeApplyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = TextStats.bpeishTokens(col("text"))
+    val n = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+    val merges = docs.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("tok_a", split(col("pair"), " ").getItem(0))
+      .withColumn("tok_b", split(col("pair"), " ").getItem(1))
+      .filter(col("tok_a") =!= col("tok_b"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(BpeMergeCount)
+      .select("tok_a", "tok_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    require(merges.size == BpeMergeCount,
+      s"corpus yielded only ${merges.size} distinct-sided merge pairs")
+    TextStats.bpeApply(docs, "doc_id", "text", merges)
+  }
+
+  /** Twin: the merge table derives in SQL with the identical ordering
+    * (scalar row_number over count desc, pair asc; `split_part` is safe
+    * because bpeish tokens never contain whitespace), and each rank's
+    * merge pass is one generated CTE — the same stateless per-position
+    * CASE as [[TextStats.bpeMergeStep]], exact because ranked pairs are
+    * distinct-sided. Chained s1..s[[BpeMergeCount]] apply in rank order.
+    */
+  private val q75Oracle: String = {
+    def step(j: Int, src: String): String =
+      s"""s$j AS (SELECT doc_id, list_filter(list_transform(range(1, len(toks)+1), i ->
+        |    CASE WHEN toks[i] = m$j.a AND i < len(toks) AND toks[i+1] = m$j.b THEN m$j.a || m$j.b
+        |         WHEN i > 1 AND toks[i-1] = m$j.a AND toks[i] = m$j.b THEN NULL
+        |         ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+        |  FROM $src, (SELECT tok_a AS a, tok_b AS b FROM m WHERE rn = $j) m$j)""".stripMargin
+    val steps = (1 to BpeMergeCount)
+      .map(j => step(j, if (j > 1) s"s${j - 1}" else "t")).mkString(",\n")
+    s"""WITH t AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS toks
+      |  FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+      |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t),
+      |pc AS (SELECT pair, split_part(pair, ' ', 1) AS tok_a, split_part(pair, ' ', 2) AS tok_b,
+      |         count(*) AS n FROM p GROUP BY 1, 2, 3),
+      |m AS (SELECT tok_a, tok_b, row_number() OVER (ORDER BY n DESC, pair) AS rn
+      |      FROM pc WHERE tok_a <> tok_b),
+      |$steps
+      |SELECT t.doc_id, len(t.toks) AS n_before, len(s$BpeMergeCount.toks) AS n_after,
+      |  array_to_string(s$BpeMergeCount.toks, ' ') AS tokens
+      |FROM t JOIN s$BpeMergeCount ON t.doc_id = s$BpeMergeCount.doc_id""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2281,7 +2349,8 @@ object LlmQueries {
     "q70_unigram_surprisal" -> ((s, d) => unigramSurprisal(s, d)),
     "q72_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q73_mean_pool" -> ((s, d) => labelMeanPool(s, d)),
-    "q74_gopher_rules" -> ((s, d) => gopherRules(s, d))
+    "q74_gopher_rules" -> ((s, d) => gopherRules(s, d)),
+    "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2344,6 +2413,7 @@ object LlmQueries {
     "q70_unigram_surprisal" -> q70Oracle,
     "q72_bpe_pairs" -> q72Oracle,
     "q73_mean_pool" -> q73Oracle,
-    "q74_gopher_rules" -> q74Oracle
+    "q74_gopher_rules" -> q74Oracle,
+    "q75_bpe_apply" -> q75Oracle
   )
 }

@@ -261,6 +261,63 @@ object TextStats {
       .limit(topK)
   }
 
+  /** One simultaneous BPE merge pass over a token array: every adjacent
+    * (a, b) occurrence collapses to the single token `a+b`, leftmost-greedy.
+    * REQUIRES a ≠ b: then no two matches can overlap (a match ending at
+    * position i means toks(i)=b≠a, so no match starts there), which makes
+    * the simultaneous pass EXACTLY the sequential leftmost-greedy result —
+    * the property that lets both engines express the pass as one stateless
+    * per-position projection instead of a fold. Position i keeps its token
+    * unless the previous position started a merge (then it drops); a
+    * position that starts a merge emits the concatenation.
+    *
+    * All element accesses are index-guarded by short-circuit conjunctions
+    * (Spark's `And` evaluates right only when left holds, interpreted and
+    * codegen), so the pass is ANSI-safe; an empty array passes through
+    * untouched (`sequence(1, 0)` would DESCEND, hence the explicit guard).
+    */
+  def bpeMergeStep(toks: Column, a: String, b: String): Column = {
+    require(a != b, s"bpeMergeStep needs distinct tokens, got '$a' twice")
+    val n = size(toks)
+    val replaced = transform(sequence(lit(1), n), i =>
+      when(i < n && element_at(toks, i) === a && element_at(toks, i + 1) === b,
+        lit(a + b))
+        .when(i > 1 && element_at(toks, i - 1) === a && element_at(toks, i) === b,
+          lit(null).cast("string"))
+        .otherwise(element_at(toks, i)))
+    when(n === 0, toks).otherwise(filter(replaced, t => t.isNotNull))
+  }
+
+  /** Apply a learned merge table in rank order — the tokenizer APPLICATION
+    * step that pairs with [[bpePairStats]]'s trainer: merge 1's pass runs
+    * corpus-wide, then merge 2's pass over its output, and so on (the real
+    * BPE apply algorithm: merges fire in learned priority order, not
+    * best-in-document order). Each pass is its own projection so the
+    * multi-referenced token array stays materialized between steps
+    * (CollapseProject would otherwise inline the previous pass's ~10-node
+    * subtree once per element access — the q15b O(d²) trap). Plan size is
+    * linear in the FIXED merge-table size, never in any count-derived
+    * parameter (the q16g rule).
+    *
+    * Scale shape: a narrow per-document projection chain — no shuffle, no
+    * join; the merge table rides in the plan as literals (in a real
+    * deployment: a few thousand merges — still literal-sized). Interpreted
+    * HOF cost is per-ROW (docs), not per-pair, so no kernel is needed
+    * (contrast [[graft.functions.HammingSig]], whose cost was per-PAIR).
+    */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = df.select(col(idCol), bpeishTokens(col(textCol)).as("toks"))
+      .withColumn("n_before", size(col("toks")).cast("bigint"))
+    val applied = merges.foldLeft(base) { case (acc, (a, b)) =>
+      acc.withColumn("toks", bpeMergeStep(col("toks"), a, b))
+    }
+    applied.select(col(idCol),
+      col("n_before"),
+      size(col("toks")).cast("bigint").as("n_after"),
+      concat_ws(" ", col("toks")).as("tokens"))
+  }
+
   /** Corpus vocabulary statistics: per term, total occurrences and document
     * frequency, the top `topK` terms by df (ties broken by term, so the cut
     * is a deterministic total order). The inputs to tokenizer-training /

@@ -45,6 +45,49 @@ class VocabularySpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("bpeMergeStep: leftmost-greedy pass, distinct-sided precondition enforced") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b")),      // two disjoint matches
+      (2L, Seq("x", "a", "b", "b")),      // match mid-array, trailing b kept
+      (3L, Seq("b", "a")),                // reversed pair: no match
+      (4L, Seq.empty[String])             // empty passes through
+    ).toDF("id", "toks")
+    val out = df.select(col("id"), TextStats.bpeMergeStep(col("toks"), "a", "b").as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("ab", "ab"), s"got ${out(1L)}")
+    assert(out(2L) == Seq("x", "ab", "b"), s"got ${out(2L)}")
+    assert(out(3L) == Seq("b", "a"))
+    assert(out(4L) == Seq.empty[String])
+    intercept[IllegalArgumentException] {
+      TextStats.bpeMergeStep(col("toks"), "a", "a")
+    }
+  }
+
+  test("bpeApply: merges fire in rank order and consume their operands") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c"), (2L, "b c a")).toDF("doc_id", "text")
+    // rank order matters: merge 2's left side ("ab") only exists AFTER
+    // merge 1 ran — applying in order tokenizes doc 1 to the single "abc"
+    val byId = TextStats.bpeApply(docs, "doc_id", "text",
+      Seq(("a", "b"), ("ab", "c"))).collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 3 && byId(1L).getLong(2) == 1 &&
+      byId(1L).getString(3) == "abc", s"doc 1: ${byId(1L)}")
+    // merges consume operands: (b,c) never fires in doc 2's "b c a"? it
+    // DOES fire (b,c are adjacent) — but after (a,b) consumed nothing
+    val consumed = TextStats.bpeApply(docs, "doc_id", "text",
+      Seq(("a", "b"), ("b", "c"))).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 "a b c": (a,b) -> [ab, c]; then (b,c) finds no bare b -> [ab, c]
+    assert(consumed(1L).getString(3) == "ab c", s"doc 1: ${consumed(1L)}")
+    // doc 2 "b c a": (a,b) no match; (b,c) -> [bc, a]
+    assert(consumed(2L).getString(3) == "bc a", s"doc 2: ${consumed(2L)}")
+
+    // the apply side is a pure projection chain: no exchange anywhere
+    val p = TextStats.bpeApply(docs, "doc_id", "text", Seq(("a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bpeApply must not shuffle:\n$p")
+  }
+
   test("vocabulary plan: top-k lowers to TakeOrderedAndProject, never a global sort") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = TextStats.vocabulary(docs, "doc_id", "text", 10)
