@@ -566,6 +566,10 @@ object LlmQueries {
       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
       |    round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS score
       |  FROM n c, q WHERE c.vec_id <> q.query_id
+      |    -- length guard mirrors the kernel's length-mismatch null-poisoning:
+      |    -- without it DuckDB's list_sum would SKIP the NULLs an out-of-range
+      |    -- q_sig[w+1] produces and admit mixed-dim pairs on a prefix sum
+      |    AND len(c.sig) = len(q.q_sig)
       |    AND list_sum(list_transform(range(len(c.sig)), w ->
       |      bit_count(xor(c.sig[w+1], q.q_sig[w+1])))) <= $BinaryMaxHamming),
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
@@ -580,8 +584,7 @@ object LlmQueries {
     * an embedding pipeline, oracle-checked.
     */
   def labelMeanPool(spark: SparkSession, dir: String): DataFrame =
-    Similarity.meanPool(Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism), "label", "embedding")
+    Similarity.meanPool(embeddings(spark, dir), "label", "embedding")
 
   /** Twin: identical arithmetic — 6-decimal round, DECIMAL(18,6) exact
     * sum, double division, 6-decimal round — via a struct-unnest (DuckDB
@@ -2240,18 +2243,13 @@ object LlmQueries {
   def bpeApplyDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val toks = TextStats.bpeishTokens(col("text"))
-    val n = greatest(size(toks) - 1, lit(0))
-    val pairs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
-      (a, b) => concat_ws(" ", a, b))
-    val merges = docs.select(explode(pairs).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("n"))
-      .withColumn("tok_a", split(col("pair"), " ").getItem(0))
-      .withColumn("tok_b", split(col("pair"), " ").getItem(1))
-      .filter(col("tok_a") =!= col("tok_b"))
-      .orderBy(desc("n"), asc("pair"))
-      .limit(BpeMergeCount)
-      .select("tok_a", "tok_b")
+    // the learn side IS q72's trainer (same pair definition, same count
+    // desc / pair asc ordering), restricted to the distinct-sided pairs
+    // bpeMergeStep may merge — one shared pipeline, no drift
+    val merges = TextStats.bpePairStats(docs, "text", BpeMergeCount,
+        distinctSided = true)
+      .select(split(col("pair"), " ").getItem(0).as("tok_a"),
+        split(col("pair"), " ").getItem(1).as("tok_b"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     require(merges.size == BpeMergeCount,
       s"corpus yielded only ${merges.size} distinct-sided merge pairs")

@@ -390,15 +390,23 @@ object Similarity {
     * tracks Hamming distance, so a cheap xor/popcount scan ranks
     * candidates and only a small re-rank set ever touches float vectors.
     * A null/absent embedding yields a null signature and drops out of the
-    * candidate scan (same contract as the other ANN variants).
+    * candidate scan (same contract as the other ANN variants). A
+    * ZERO-LENGTH embedding yields a zero-length signature (the guard
+    * matters: without it the word-count expression is −1, `sequence(0,−1)`
+    * DESCENDS — the same trap [[graft.llm.TextStats.bpeMergeStep]]
+    * documents — and `element_at` throws under ANSI on indices −31..0).
+    * Against another empty signature the Hamming distance is 0, so two
+    * empty embeddings pair up and fall to the exact re-rank's
+    * degenerate-vector handling; against any real signature the kernel's
+    * length-mismatch null-poisoning drops the pair.
     *
     * Plan-size note (the q16g lesson): the packing is ONE
     * transform+aggregate tree whose node count is constant in `d` — the
     * dimension parameterizes `sequence` lengths at runtime, never the
     * expression tree.
     */
-  def signSig(emb: Column): Column =
-    transform(
+  def signSig(emb: Column): Column = {
+    val words = transform(
       sequence(lit(0),
         // Column `/` is double division; floor+cast recovers ⌈d/32⌉−1 exactly
         floor((size(emb) + SignWordBits - 1) / SignWordBits).cast("int") - 1),
@@ -409,6 +417,12 @@ object Similarity {
           acc + when(idx <= size(emb) && element_at(emb, idx) > 0,
             pow(lit(2.0), b).cast("long")).otherwise(lit(0L))
         }))
+    // CaseWhen evaluates lazily, so the descending-sequence branch never
+    // runs for null/empty inputs (null in, null out; empty in, empty out).
+    when(emb.isNull, lit(null).cast("array<long>"))
+      .when(size(emb) === 0, array().cast("array<long>"))
+      .otherwise(words)
+  }
 
   /** Hamming distance between two [[signSig]] signatures, composable
     * form: per-word xor/popcount, summed. Narrow integer math — the whole

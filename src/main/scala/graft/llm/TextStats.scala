@@ -248,17 +248,25 @@ object TextStats {
     * partial-aggregated count shuffle, TakeOrderedAndProject top-k — no
     * global sort, no driver collection.
     */
-  def bpePairStats(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int,
+      distinctSided: Boolean = false): DataFrame = {
     val toks = bpeishTokens(col(textCol))
     val n = greatest(size(toks) - 1, lit(0))
     val pairs = zip_with(
       slice(toks, lit(1), n), slice(toks, lit(2), n),
       (a, b) => concat_ws(" ", a, b))
-    df.select(explode(pairs).as("pair"))
+    val counted = df.select(explode(pairs).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(desc("n_pairs"), asc("pair"))
-      .limit(topK)
+    // distinctSided restricts the ranking to a ≠ b pairs — the only pairs
+    // [[bpeMergeStep]]'s simultaneous pass may legally merge (q75's learn
+    // side). Safe to split on a space: bpeish tokens never contain one.
+    val kept =
+      if (distinctSided)
+        counted.filter(
+          split(col("pair"), " ").getItem(0) =!= split(col("pair"), " ").getItem(1))
+      else counted
+    kept.orderBy(desc("n_pairs"), asc("pair")).limit(topK)
   }
 
   /** One simultaneous BPE merge pass over a token array: every adjacent

@@ -522,6 +522,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(allSet == Seq((1L << 32) - 1, (1L << 32) - 1), s"all-set packed $allSet")
   }
 
+  test("signSig: null embedding -> null signature, empty embedding -> empty signature") {
+    // the empty case is the ANSI trap: unguarded, the word-count expression
+    // is -1, sequence(0,-1) DESCENDS and element_at throws on indices -31..0
+    val out = Seq(Tuple1(Option.empty[Seq[Double]]), Tuple1(Option(Seq.empty[Double])),
+        Tuple1(Option(Seq(1.0))))
+      .toDF("emb")
+      .select(Similarity.signSig(col("emb")).as("sig"))
+      .as[Option[Seq[Long]]].collect()
+    assert(out.toSeq == Seq(None, Some(Seq.empty[Long]), Some(Seq(1L))),
+      s"null/empty/singleton signatures ${out.toSeq}")
+  }
+
   test("hammingSig: per-word xor/popcount sum") {
     val df = Seq((Seq(5L, 2L), Seq(1L, 2L)), (Seq(0L, 0L), Seq((1L << 32) - 1, 1L)))
       .toDF("a", "b")
