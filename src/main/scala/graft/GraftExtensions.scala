@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, CutSpans, HammingSig, HyperplaneBuckets, JsonShred, MinHashSignatures, NfcNormalize, SimHashSketch, WinnowFingerprints, WordHits}
+import graft.functions.{CosineSimilarity, CutSpans, HammingSig, HyperplaneBuckets, JsonShred, MinHashSignatures, NfcNormalize, PqAdc, SimHashSketch, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -242,6 +242,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneBuckets(children(0), bits,
           intLit(children(2), "np"), intLit(children(3), "dims"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(
+        classOf[PqAdc].getName,
+        null,
+        "pq_adc",
+        "pq_adc(codes, lut) - product-quantization asymmetric-distance " +
+          "lookup sum: sum over subspaces m of lut[m*k + codes[m]] with " +
+          "k = lut.length / codes.length, exact BIGINT over micro-unit " +
+          "integer partial dot products",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "pq_adc takes exactly 2 arguments: (codes, lut)")
+        PqAdc(children(0), children(1))
       }))
 
     ext.injectFunction((

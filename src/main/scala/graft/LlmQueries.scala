@@ -575,6 +575,168 @@ object LlmQueries {
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 
+  /** PQ geometry shared by q15d/q16h: 16 subspaces of 4 dims over the
+    * 64-dim embeddings (`PQ16x4`), ~16 codewords per subspace selected by
+    * the q16f stride convention (`vec_id % (n div 16) = 0` —
+    * deterministic, so the DuckDB twin derives the identical codebook
+    * from its own count). 16 codewords × 16 subspaces = 64-bit codes: a
+    * 32× at-rest/scan-bandwidth reduction vs float32. The ADC threshold
+    * τ = 0.10 is the calibrated ≥0.9-capture point on the gate fixture
+    * (capture/survivor-fraction 0.98/0.33 at τ=0.05, **0.92/0.20 at
+    * 0.10**, 0.75/0.11 at 0.15 — SimilaritySpec pins the curve), the
+    * same radius-style row-local cut discipline as q15c's R=27.
+    */
+  private val PqDims = 64
+  private val PqCodewords = 16
+  private val PqAdcThreshold = 0.10
+
+  /** q15d — product-quantized ANN (ADC prefilter + exact re-rank): the
+    * fourth tier of the quantization ladder (float32 q15 → int8 q15b →
+    * 1-bit q15c → PQ q15d). Unlike q15c's sign bits, PQ preserves
+    * per-subspace magnitude structure — the ADC score is an approximate
+    * COSINE, cut at the calibrated τ (a row-local threshold, q15c's
+    * radius discipline, NOT a fraction-sized top-C) — and like q15c the
+    * survivors re-rank by exact cosine, so accuracy is brute-force's on
+    * whatever the cut admits; unlike q16's IVF the scan is exhaustive —
+    * no bucketing recall risk. See [[Similarity.pqTopK]].
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(embeddings(spark, dir), "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5, dims = PqDims, codewords = PqCodewords,
+      adcThreshold = Some(PqAdcThreshold))
+
+  /** DuckDB twin of codebook-select → encode → ADC-score → rank. Every
+    * float step is mirrored term-for-term (three-dot d² form, micro-unit
+    * rounding before any sum) and every SUM is over BIGINTs — exact and
+    * association-free — so the engines can only agree. The `codes` argmin
+    * (`row_number ORDER BY d2I, j`) is the order [[Similarity.pqEncode]]'s
+    * packed-BIGINT `min` encodes.
+    */
+  private val q15dOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p AS (SELECT greatest(1, count(*) // $PqCodewords) AS stride FROM e),
+      |nn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |cwv AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      |        FROM e WHERE vec_id % (SELECT stride FROM p) = 0),
+      |cbs AS (SELECT j, m, csub,
+      |        greatest(0, CAST(round(list_dot_product(csub, csub)*1e6, 0) AS BIGINT)) AS sqI
+      |        FROM (SELECT j, m, list_slice(emb, m*4+1, m*4+4) AS csub
+      |              FROM cwv CROSS JOIN range(16) t(m))),
+      |xs AS (SELECT vec_id, m, list_slice(emb, m*4+1, m*4+4) AS xsub
+      |       FROM e CROSS JOIN range(16) t(m)),
+      |codes AS (SELECT vec_id, m, j, sqI FROM (
+      |    SELECT x.vec_id, x.m, c.j, c.sqI,
+      |      row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+      |        greatest(0, CAST(round((list_dot_product(x.xsub, x.xsub)
+      |          - 2.0*list_dot_product(x.xsub, c.csub)
+      |          + list_dot_product(c.csub, c.csub))*1e6, 0) AS BIGINT)), c.j) AS r
+      |    FROM xs x JOIN cbs c ON x.m = c.m) WHERE r = 1),
+      |rn AS (SELECT vec_id, sum(sqI) AS rnorm2I FROM codes GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM nn
+      |      WHERE vec_id % 50 = 0),
+      |lut AS (SELECT s.query_id, s.m, c.j,
+      |        CAST(round(list_dot_product(s.qsub, c.csub)*1e6, 0) AS BIGINT) AS lutI
+      |        FROM (SELECT query_id, m, list_slice(q_emb, m*4+1, m*4+4) AS qsub
+      |              FROM q CROSS JOIN range(16) t(m)) s
+      |        JOIN cbs c ON s.m = c.m),
+      |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.lutI) AS adcI
+      |        FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+      |        WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+      |cand AS (SELECT a.query_id, a.neighbor_id
+      |        FROM adc a JOIN rn r ON a.neighbor_id = r.vec_id
+      |        JOIN q ON a.query_id = q.query_id
+      |        WHERE round((a.adcI / 1e6) / (sqrt(r.rnorm2I / 1e6) * q.q_nrm), 6) >= $PqAdcThreshold),
+      |scored AS (SELECT cd.query_id, cd.neighbor_id,
+      |        round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS score
+      |        FROM cand cd JOIN nn c ON cd.neighbor_id = c.vec_id
+      |        JOIN q ON cd.query_id = q.query_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
+  /** q16h — IVF-PQ: the production-shape composition (FAISS `IVFx,PQy`):
+    * q16f's scale-adaptive inverted-file pruning (k = ⌈√N⌉ centroids,
+    * probed fraction held at $AdaptiveProbeFraction) bounds WHICH
+    * candidates are touched; q15d's PQ-ADC bounds the COST PER candidate.
+    * See [[Similarity.ivfPqTopK]].
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val n = emb.count()
+    require(n > 0, "adaptive IVF-PQ geometry needs a non-empty corpus")
+    val kCent = math.ceil(math.sqrt(n.toDouble)).toLong
+    val cStride = math.max(1L, n / kCent)
+    val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+    Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      col("id") % 50 === 0, col("id") % cStride === 0, k = 5, nprobe = nprobe,
+      dims = PqDims, codewords = PqCodewords,
+      adcThreshold = Some(PqAdcThreshold))
+  }
+
+  /** Twin: q16f's count-derived centroid/probe CTEs compose with q15d's
+    * PQ CTEs; candidates are the probed-bucket pairs, scores are the ADC
+    * sums restricted to them.
+    */
+  private val q16hOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |geo AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cstride,
+      |               CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe,
+      |               greatest(1, count(*) // $PqCodewords) AS pqstride
+      |        FROM e),
+      |nn AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |cent AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM nn
+      |         WHERE id % (SELECT cstride FROM geo) = 0),
+      |assigned AS (
+      |  SELECT id, c_id AS bucket FROM (
+      |    SELECT nn.id, cent.c_id,
+      |      row_number() OVER (PARTITION BY nn.id
+      |        ORDER BY round(list_dot_product(nn.emb, cent.c_emb) / (nn.nrm * cent.c_nrm), 6) DESC, cent.c_id) AS r
+      |    FROM nn, cent) WHERE r = 1),
+      |probed AS (
+      |  SELECT id AS query_id, c_id AS bucket FROM (
+      |    SELECT nn.id, cent.c_id,
+      |      row_number() OVER (PARTITION BY nn.id
+      |        ORDER BY round(list_dot_product(nn.emb, cent.c_emb) / (nn.nrm * cent.c_nrm), 6) DESC, cent.c_id) AS r
+      |    FROM nn, cent WHERE nn.id % 50 = 0) WHERE r <= (SELECT nprobe FROM geo)),
+      |cwv AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      |        FROM e WHERE vec_id % (SELECT pqstride FROM geo) = 0),
+      |cbs AS (SELECT j, m, csub,
+      |        greatest(0, CAST(round(list_dot_product(csub, csub)*1e6, 0) AS BIGINT)) AS sqI
+      |        FROM (SELECT j, m, list_slice(emb, m*4+1, m*4+4) AS csub
+      |              FROM cwv CROSS JOIN range(16) t(m))),
+      |xs AS (SELECT vec_id, m, list_slice(emb, m*4+1, m*4+4) AS xsub
+      |       FROM e CROSS JOIN range(16) t(m)),
+      |codes AS (SELECT vec_id, m, j, sqI FROM (
+      |    SELECT x.vec_id, x.m, c.j, c.sqI,
+      |      row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+      |        greatest(0, CAST(round((list_dot_product(x.xsub, x.xsub)
+      |          - 2.0*list_dot_product(x.xsub, c.csub)
+      |          + list_dot_product(c.csub, c.csub))*1e6, 0) AS BIGINT)), c.j) AS r
+      |    FROM xs x JOIN cbs c ON x.m = c.m) WHERE r = 1),
+      |rn AS (SELECT vec_id, sum(sqI) AS rnorm2I FROM codes GROUP BY vec_id),
+      |q AS (SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm FROM nn
+      |      WHERE id % 50 = 0),
+      |lut AS (SELECT s.query_id, s.m, c.j,
+      |        CAST(round(list_dot_product(s.qsub, c.csub)*1e6, 0) AS BIGINT) AS lutI
+      |        FROM (SELECT query_id, m, list_slice(q_emb, m*4+1, m*4+4) AS qsub
+      |              FROM q CROSS JOIN range(16) t(m)) s
+      |        JOIN cbs c ON s.m = c.m),
+      |bcand AS (SELECT p2.query_id, a.id AS neighbor_id
+      |         FROM assigned a JOIN probed p2 ON a.bucket = p2.bucket AND a.id <> p2.query_id),
+      |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.lutI) AS adcI
+      |        FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j GROUP BY 1, 2),
+      |cand AS (SELECT b.query_id, b.neighbor_id
+      |        FROM bcand b
+      |        JOIN adc a ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |        JOIN rn r ON b.neighbor_id = r.vec_id
+      |        JOIN q ON b.query_id = q.query_id
+      |        WHERE round((a.adcI / 1e6) / (sqrt(r.rnorm2I / 1e6) * q.q_nrm), 6) >= $PqAdcThreshold),
+      |scored AS (SELECT cd.query_id, cd.neighbor_id,
+      |        round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS score
+      |        FROM cand cd JOIN nn c ON cd.neighbor_id = c.id
+      |        JOIN q ON cd.query_id = q.query_id),
+      |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
+      |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
   /** q73 — per-label mean-pooled embedding, long format: the
     * bit-deterministic DECIMAL-summed centroid/mean-pool table
     * ([[Similarity.meanPool]]) that [[Similarity.refineCentroidsFrom]]'s
@@ -2300,6 +2462,7 @@ object LlmQueries {
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
     "q15b_ann_quantized" -> ((s, d) => annQuantized(s, d)),
     "q15c_ann_binary" -> ((s, d) => annBinary(s, d)),
+    "q15d_ann_pq" -> ((s, d) => annPq(s, d)),
     "q16_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q16b_ann_ivf_nprobe2" -> ((s, d) => annIvfNprobe2(s, d)),
     "q16d_ann_ivf_nprobe4" -> ((s, d) => annIvfNprobe4(s, d)),
@@ -2307,6 +2470,7 @@ object LlmQueries {
     "q16c_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q16e_ann_lsh_fixed" -> ((s, d) => annLshTables(s, d)),
     "q16g_ann_lsh_adaptive" -> ((s, d) => annLshAdaptive(s, d)),
+    "q16h_ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
@@ -2362,6 +2526,7 @@ object LlmQueries {
     "q15_ann_topk" -> q15Oracle,
     "q15b_ann_quantized" -> q15bOracle,
     "q15c_ann_binary" -> q15cOracle,
+    "q15d_ann_pq" -> q15dOracle,
     "q16_ann_ivf" -> q16Oracle,
     "q16b_ann_ivf_nprobe2" -> q16bOracle,
     "q16d_ann_ivf_nprobe4" -> q16dOracle,
@@ -2369,6 +2534,7 @@ object LlmQueries {
     "q16c_ann_lsh" -> q16cOracle,
     "q16e_ann_lsh_fixed" -> q16eOracle,
     "q16g_ann_lsh_adaptive" -> q16gOracle,
+    "q16h_ann_ivf_pq" -> q16hOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,

@@ -500,6 +500,291 @@ object Similarity {
     rankTopK(observeCandidates(pairs, candObservation), k)
   }
 
+  // ---- product quantization (PQ / IVF-PQ) --------------------------------
+
+  /** Default PQ subspace count M. d-dim vectors split into M contiguous
+    * subvectors of d/M dims; each quantizes independently against its own
+    * codebook, so a vector stores as M small integer codes — the classic
+    * product-quantization memory/bandwidth reduction (Jégou, Douze &
+    * Schmid 2011). 16 subspaces × 16 codewords = the `PQ16x4` shape:
+    * 4-dim subvectors, 4-bit codes, 8 bytes per vector — 32× vs float32.
+    * Measured on the isotropic gate fixture (PQ's worst case, as it is
+    * LSH's): M=8's 8-dim cells are too coarse (ADC shortlist captures
+    * only 0.58 of the true top-10 at C=50) while M=16 holds 0.92 capture
+    * at the τ=0.10 ADC threshold — the registered q15d operating point.
+    * Fixed (not count-derived): the code width is a MODEL constant, like
+    * int8's 256 levels — encode work stays linear in N and the plan
+    * stays constant-size.
+    */
+  val PqSubspaces = 16
+
+  /** Bits reserved for the codeword index in [[pqEncode]]'s packed argmin
+    * key: `d2_micros · 2^20 + j`. j is a dense codeword rank (default
+    * codebook ~16 entries, 2^20 four orders of magnitude past any PQ
+    * codebook); d2_micros for unit-scale embeddings is ≤ ~1e9, so the
+    * packed key stays far inside Long. Same one-BIGINT hash-aggregable
+    * argmin discipline as [[IvfIdxCap]] — `min` prefers the smaller
+    * distance, then the smaller codeword id, exactly the
+    * `row_number() OVER (ORDER BY d2, j)` order the oracle uses.
+    */
+  private val PqPackBits = 20
+
+  /** The M per-subspace slices of `emb` as `array<struct<m, sub>>` for
+    * `inline` — M is a FIXED constant, so the plan carries M slice nodes
+    * regardless of corpus or codebook size (the q16g plan-size rule).
+    */
+  private def pqSubVectors(emb: Column, dims: Int, subspaces: Int): Column = {
+    require(subspaces > 0 && dims % subspaces == 0,
+      s"PQ needs dims divisible by the $subspaces subspaces, got $dims")
+    val subDim = dims / subspaces
+    array((0 until subspaces).map { m =>
+      struct(lit(m).as("m"), slice(emb, m * subDim + 1, subDim).as("sub"))
+    }: _*)
+  }
+
+  /** PQ codebook in long format: one row per (subspace m, codeword j) with
+    * the codeword's subvector and its squared norm in exact micro-units
+    * (`sqI = round(dot·1e6)` as BIGINT — integer so reconstructed-norm
+    * sums are association-free, the cross-engine determinism rule).
+    * Codewords are the stride-selected corpus rows (`id % stride = 0`),
+    * the same deterministic, oracle-reproducible selection as q16f's
+    * centroids — k-means-refined codebooks are a quality upgrade the
+    * caller can swap in ([[refineCentroids]] per subspace), but selection
+    * must stay reproducible across engines for the hash gate. `j` is the
+    * codeword's dense rank by ascending id (a window over the CODEBOOK
+    * only — bounded by the same broadcastability contract as
+    * [[ivfAssign]]'s centroid ranks).
+    */
+  def pqCodebook(n: DataFrame, stride: Long, dims: Int,
+      subspaces: Int = PqSubspaces): DataFrame = {
+    require(stride > 0, s"PQ codebook stride must be positive, got $stride")
+    val w = Window.orderBy("id")
+    n.filter(col("id") % stride === 0)
+      .withColumn("j", row_number().over(w).cast("long") - 1L)
+      .select(col("j"), inline(pqSubVectors(col("emb"), dims, subspaces)))
+      .select(col("m"), col("j"), col("sub").as("csub"))
+      .withColumn("sqI", greatest(lit(0L),
+        round(dot(col("csub"), col("csub")) * 1e6).cast("long")))
+  }
+
+  /** Encode every corpus vector as M codeword indices: per subspace, the
+    * codeword minimizing squared L2 distance (ties → smaller j). Output:
+    * (id, codes array<bigint> in subspace order, rnorm2I = Σ_m sqI of the
+    * chosen codewords — the reconstructed squared norm in micro-units,
+    * needed to normalize ADC dot products into cosines).
+    *
+    * Scale shape: the corpus explodes to N·M narrow subvector rows
+    * (M = 8, a constant), joins the BROADCAST codebook (N·M·k scored
+    * rows, never shuffled raw), and the argmin collapses map-side through
+    * ONE packed-BIGINT `min` per (id, m) — the [[ivfAssign]]
+    * HashAggregate-safe shape. The d² arithmetic is the three-dot form
+    * `x·x − 2·x·c + c·c` (not an elementwise diff) so the DuckDB twin can
+    * reproduce it term-for-term with `list_dot_product`. The final
+    * per-id collapse carries a collect_list (array buffer ⇒
+    * SortAggregate), which is safe HERE unlike in ivfAssign's cross
+    * product: its input is the ALREADY-COLLAPSED N·M rows — 8 narrow rows
+    * per group — not N·k.
+    */
+  def pqEncode(n: DataFrame, codebook: DataFrame, dims: Int,
+      subspaces: Int = PqSubspaces): DataFrame = {
+    val xs = n.select(col("id"), inline(pqSubVectors(col("emb"), dims, subspaces)))
+      .select(col("id"), col("m"), col("sub").as("xsub"))
+    val d2I = greatest(lit(0L),
+      round((dot(col("xsub"), col("xsub"))
+        - lit(2.0) * dot(col("xsub"), col("csub"))
+        + dot(col("csub"), col("csub"))) * 1e6).cast("long"))
+    val picked = xs.join(broadcast(codebook), Seq("m"))
+      .select(col("id"), col("m"),
+        (d2I * (1L << PqPackBits) + col("j")).as("packed"))
+      .groupBy("id", "m").agg(min("packed").as("mn"))
+      .select(col("id"), col("m"), (col("mn") % (1L << PqPackBits)).as("j"))
+    picked
+      .join(broadcast(codebook.select("m", "j", "sqI")), Seq("m", "j"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("m"), col("j")))).as("mj"),
+        sum("sqI").as("rnorm2I"))
+      .select(col("id"),
+        transform(col("mj"), s => s.getField("j")).as("codes"),
+        col("rnorm2I"))
+  }
+
+  /** Per-query ADC lookup table: `lut[m·k + j] = round(dot(qsub_m,
+    * codeword_{m,j}) · 1e6)` flattened row-major by subspace (the dense
+    * `j` ranks make the layout index-addressable), plus the query's RAW
+    * norm (`norm`, the same sequential fold the oracle's
+    * `sqrt(list_dot_product)` computes — q15's convention). Output:
+    * (query_id, lut array<bigint> of M·k, qnorm). Tiny — |Q|·M·k rows
+    * collapse to |Q| — and built once per query set, the classic ADC
+    * precompute.
+    */
+  def pqQueryLut(queries: DataFrame, codebook: DataFrame, dims: Int,
+      subspaces: Int = PqSubspaces): DataFrame =
+    queries
+      .select(col("id").as("query_id"), norm(col("emb")).as("qnorm"),
+        inline(pqSubVectors(col("emb"), dims, subspaces)))
+      .select(col("query_id"), col("qnorm"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("qnorm"), col("m"), col("j"),
+        round(dot(col("qsub"), col("csub")) * 1e6).cast("long").as("lutI"))
+      .groupBy("query_id", "qnorm")
+      .agg(sort_array(collect_list(struct(col("m"), col("j"), col("lutI"))))
+        .as("mjl"))
+      .select(col("query_id"),
+        transform(col("mjl"), s => s.getField("lutI")).as("lut"),
+        col("qnorm"))
+
+  /** The native ADC kernel ([[graft.functions.PqAdc]], registered as
+    * `pq_adc` by [[graft.GraftExtensions]]): `Σ_m lut[m·k + codes[m]]`,
+    * exact BIGINT.
+    */
+  def fusedAdc(codes: Column, lutCol: Column): Column =
+    call_function("pq_adc", codes, lutCol)
+
+  /** Composable twin of [[fusedAdc]] for the equivalence property test —
+    * the interpreted-HOF form the kernel replaces in the pair scan.
+    */
+  def adcComposable(codes: Column, lutCol: Column, k: Int,
+      subspaces: Int = PqSubspaces): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0L), lit(subspaces.toLong - 1L)),
+        (c, m) => element_at(lutCol, (m * k + c + 1L).cast("int"))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The PQ approximate-cosine score from an ADC sum: both the dot
+    * product (ADC micro-units) and the candidate's reconstructed squared
+    * norm (micro-units) come from exact integer sums, so the only float
+    * steps are this final normalization — identical, term-for-term, in
+    * the DuckDB twin.
+    */
+  private def adcScore(adcI: Column, rnorm2I: Column, qnorm: Column): Column =
+    round((adcI.cast("double") / 1e6)
+      / (sqrt(rnorm2I.cast("double") / 1e6) * qnorm), 6)
+
+  /** Product-quantized ANN top-k (ADC): every candidate scored against
+    * the (broadcast) query LUTs by M integer lookups instead of d float
+    * multiply-adds, ranked by the PQ approximate cosine (rounded 6, ties
+    * → smaller neighbor id). The third memory tier of the quantization
+    * ladder — float32 (q15) → int8 (q15b) → PQ codes (q15d): 8 bytes of
+    * codes + one BIGINT norm per vector vs 256 raw, a 24× at-rest and
+    * per-pair-bandwidth reduction with NO bucketing recall risk (the scan
+    * is exhaustive; accuracy loss is quantization error only).
+    *
+    * `codewords` sets the per-subspace codebook size via q16f's
+    * count-derived stride selection (ONE bounded driver `count()`;
+    * DuckDB derives the same stride from its own count). It is a model
+    * constant, so this is NOT count-derived geometry in the q16g sense —
+    * plan size and per-pair work are independent of N.
+    *
+    * Scale shape: encode is the broadcast-codebook + packed-argmin pass
+    * ([[pqEncode]]); the pair scan is ONE stage over (id, codes,
+    * rnorm2I) — 3 narrow columns, no raw embeddings — against broadcast
+    * LUTs, all inside whole-stage codegen via the native kernel; only
+    * the k-bounded rankTopK shuffles. At 100 TB the codes table is the
+    * only full-corpus operand, 24× smaller than the raw vectors.
+    */
+  def pqTopK(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      queryFilter: Column, k: Int, dims: Int, codewords: Int = 16,
+      subspaces: Int = PqSubspaces, adcThreshold: Option[Double] = None,
+      candObservation: Option[Observation] = None): DataFrame = {
+    val n = vectors(vectorsDf, idCol, embCol)
+    val cnt = n.count()
+    require(cnt > 0, "PQ codebook selection needs a non-empty corpus")
+    val stride = math.max(1L, cnt / codewords)
+    val codebook = pqCodebook(n, stride, dims, subspaces)
+    val enc = pqEncode(n, codebook, dims, subspaces)
+    val lutq = pqQueryLut(n.filter(queryFilter), codebook, dims, subspaces)
+    val adc = adcScore(fusedAdc(col("codes"), col("lut")),
+      col("rnorm2I"), col("qnorm"))
+    val pairs = adcThreshold match {
+      case None =>
+        // pure-ADC ranking: the codes table is the only corpus operand
+        enc.join(broadcast(lutq), col("id") =!= col("query_id"))
+          .withColumn("score", adc)
+          .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+      case Some(tau) =>
+        // threshold-refined (the registered q15d shape): the ADC score is
+        // a row-local PREFILTER — candidates below tau never pay the
+        // d-dim exact cosine — and the survivors re-rank exactly, so
+        // ranking quality is brute-force's on whatever the cut admits.
+        // A THRESHOLD, not a per-query top-C: same scale argument as
+        // binaryTopK's Hamming radius — the cut is row-local (no
+        // fraction-sized window over the pair set, the q15c measured
+        // scale bug) and the admitted fraction follows the corpus's
+        // score distribution, not N. The raw vector rides in the scanned
+        // row (q15c's pattern), re-attached by the same narrow
+        // co-partitioned id join ivfAssign uses.
+        val lutq2 = lutq.join(
+          n.filter(queryFilter)
+            .select(col("id").as("query_id"), col("emb").as("q_emb")),
+          Seq("query_id"))
+        enc.join(n, Seq("id"))
+          .join(broadcast(lutq2), col("id") =!= col("query_id"))
+          .filter(adc >= tau)
+          .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
+          .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    }
+    rankTopK(observeCandidates(pairs, candObservation), k)
+  }
+
+  /** IVF-PQ ANN top-k — the production 100 TB composition (FAISS's
+    * `IVFx,PQy` shape): [[ivfAssign]]'s inverted-file pruning bounds WHICH
+    * candidates are touched (probe `nprobe` cells, never the corpus), and
+    * PQ-ADC bounds the COST PER candidate (M integer lookups over 8-byte
+    * codes, never the raw vectors). The two levers are independent:
+    * IVF recall is governed by the probed fraction (q16f's calibration),
+    * PQ accuracy by quantization error (q15d's calibration) — and both
+    * stay scale-stable when the caller derives the IVF geometry the q16f
+    * way (k = ⌈√N⌉, fraction-held nprobe), which q16h does.
+    *
+    * Each candidate lives in exactly one IVF cell, so the (query,
+    * candidate) pairs of the bucket join are unique — same no-dedup
+    * argument as [[ivfTopK]]. The scan joins codes to buckets on id
+    * (narrow, co-partitioned) and the probe side broadcasts (query LUT ×
+    * probed buckets — |Q|·nprobe rows of M·k BIGINTs).
+    */
+  def ivfPqTopK(
+      vectorsDf: DataFrame, idCol: String, embCol: String,
+      queryFilter: Column, centroidFilter: Column, k: Int, nprobe: Int,
+      dims: Int, codewords: Int = 16, subspaces: Int = PqSubspaces,
+      adcThreshold: Option[Double] = None,
+      candObservation: Option[Observation] = None): DataFrame = {
+    val n = vectors(vectorsDf, idCol, embCol)
+    val cnt = n.count()
+    require(cnt > 0, "PQ codebook selection needs a non-empty corpus")
+    val stride = math.max(1L, cnt / codewords)
+    val codebook = pqCodebook(n, stride, dims, subspaces)
+    val enc = pqEncode(n, codebook, dims, subspaces)
+    val assigned = ivfAssign(n, n.filter(centroidFilter))
+      .select(col("id"), col("emb"), col("bucket"))
+    val probes = probeBuckets(n.filter(queryFilter), n.filter(centroidFilter), nprobe)
+      .select(col("query_id"), col("q_emb"), col("bucket"))
+    val lutq = pqQueryLut(n.filter(queryFilter), codebook, dims, subspaces)
+    val qSide = probes.join(lutq, Seq("query_id"))
+    val adc = adcScore(fusedAdc(col("codes"), col("lut")),
+      col("rnorm2I"), col("qnorm"))
+    // candidate load observed PRE-threshold: the bucket join IS the scan
+    // work; the ADC cut only decides who pays the exact re-rank
+    val cand = observeCandidates(
+      assigned.join(enc, Seq("id"))
+        .join(broadcast(qSide), Seq("bucket"))
+        .filter(col("id") =!= col("query_id")),
+      candObservation)
+    val pairs = adcThreshold match {
+      case None =>
+        cand.withColumn("score", adc)
+          .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+      case Some(tau) =>
+        // threshold-refined within the probed cells (q15d's cut): the
+        // assigned frame already carries the raw vector, the probe side
+        // carries q_emb — the exact re-rank is in-stage, no join-back
+        cand.filter(adc >= tau)
+          .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
+          .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    }
+    rankTopK(pairs, k)
+  }
+
   // ---- random-hyperplane LSH ANN ---------------------------------------
 
   /** Deterministic ±1 random hyperplanes (Charikar sign-random-projection,
