@@ -737,6 +737,74 @@ object LlmQueries {
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
 
+  /** Per-JVM registry of PERSISTED IVF-PQ index artifacts, keyed by data
+    * dir — the [[ccArtifactPath]] convention applied to ANN. An index is
+    * the build-nightly/search-many artifact of a vector store: three
+    * parquet tables under one temp root — `index` (id, bucket, codes,
+    * rnorm2I — 24 bytes/vector), `codebook` (M·k codeword subvectors +
+    * micro-norms), `centroids` (the √N IVF seeds, raw).
+    */
+  private val pqIndexArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def pqIndexPath(dir: String): String =
+    pqIndexArtifacts.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft-pqidx-").toString)
+
+  /** Build (or read back) the IVF-PQ index artifact for `dir` at q16h's
+    * exact geometry. Consumer semantics (the q52b precedent): the first
+    * touch in a JVM builds and parquets, every later touch reads — so
+    * q16i's bench median prices the SEARCH, with the build amortized into
+    * iteration 1 the way q69 amortizes its bucketed-table write.
+    */
+  private def pqIndexArtifact(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val root = pqIndexPath(dir)
+    val p = new org.apache.hadoop.fs.Path(root + "/index")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val emb = embeddings(spark, dir)
+      val n = emb.select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("emb"))
+      val cnt = n.count()
+      require(cnt > 0, "IVF-PQ index build needs a non-empty corpus")
+      val kCent = math.ceil(math.sqrt(cnt.toDouble)).toLong
+      val cStride = math.max(1L, cnt / kCent)
+      val pqStride = math.max(1L, cnt / PqCodewords)
+      val centroids = n.filter(col("id") % cStride === 0)
+      val codebook = Similarity.pqCodebook(n, pqStride, PqDims)
+      Similarity.ivfPqIndexRows(n, centroids, codebook, PqDims)
+        .write.mode("overwrite").parquet(root + "/index")
+      codebook.write.mode("overwrite").parquet(root + "/codebook")
+      centroids.write.mode("overwrite").parquet(root + "/centroids")
+    }
+    (spark.read.parquet(root + "/index"),
+      spark.read.parquet(root + "/codebook"),
+      spark.read.parquet(root + "/centroids"))
+  }
+
+  /** q16i — IVF-PQ search from the PERSISTED index: q16h's semantics (same
+    * oracle) through the artifact path — the deployment shape where the
+    * corpus scan reads 24-byte index rows, never raw vectors, and the
+    * survivors' exact re-rank joins back to the raw table on id. The
+    * nprobe geometry re-derives from the raw table's count, exactly as the
+    * index build did.
+    */
+  def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (index, codebook, centroids) = pqIndexArtifact(spark, dir)
+    val emb = embeddings(spark, dir)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val cnt = n.count()
+    require(cnt > 0, "IVF-PQ search needs a non-empty corpus")
+    val kCent = math.ceil(math.sqrt(cnt.toDouble)).toLong
+    val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+    Similarity.ivfPqSearchFrom(index, codebook, centroids,
+      raw = n, queries = n.filter(col("id") % 50 === 0),
+      k = 5, nprobe = nprobe, dims = PqDims,
+      adcThreshold = PqAdcThreshold)
+  }
+
   /** q73 — per-label mean-pooled embedding, long format: the
     * bit-deterministic DECIMAL-summed centroid/mean-pool table
     * ([[Similarity.meanPool]]) that [[Similarity.refineCentroidsFrom]]'s
@@ -2471,6 +2539,7 @@ object LlmQueries {
     "q16e_ann_lsh_fixed" -> ((s, d) => annLshTables(s, d)),
     "q16g_ann_lsh_adaptive" -> ((s, d) => annLshAdaptive(s, d)),
     "q16h_ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
+    "q16i_ann_ivf_pq_indexed" -> ((s, d) => annIvfPqIndexed(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
@@ -2535,6 +2604,7 @@ object LlmQueries {
     "q16e_ann_lsh_fixed" -> q16eOracle,
     "q16g_ann_lsh_adaptive" -> q16gOracle,
     "q16h_ann_ivf_pq" -> q16hOracle,
+    "q16i_ann_ivf_pq_indexed" -> q16hOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q19_sessions" -> q19Oracle,

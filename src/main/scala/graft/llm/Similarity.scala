@@ -785,6 +785,54 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** The at-rest IVF-PQ index rows: (id, bucket, codes, rnorm2I) — 8-byte
+    * codes + one BIGINT norm + one bucket key per vector, the table a
+    * vector store PERSISTS so that searches never rescan raw embeddings.
+    * Built from the same [[ivfAssign]]/[[pqEncode]] passes the in-plan
+    * q16h uses, joined narrow on id.
+    */
+  def ivfPqIndexRows(
+      n: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      dims: Int, subspaces: Int = PqSubspaces): DataFrame =
+    ivfAssign(n, centroids).select(col("id"), col("bucket"))
+      .join(pqEncode(n, codebook, dims, subspaces), Seq("id"))
+
+  /** Search a PERSISTED IVF-PQ index (the q52b artifact discipline applied
+    * to ANN — build nightly, search many): `index` is
+    * [[ivfPqIndexRows]]'s table read back from parquet, `codebook` /
+    * `centroids` its tiny persisted companions. Semantically identical to
+    * the threshold-refined [[ivfPqTopK]] (the spec pins row-identity);
+    * physically it is the 100 TB deployment shape the in-plan form only
+    * argues for: the scan touches ONLY the 24-byte index rows, and raw
+    * vectors enter exactly twice — the tiny query set, and the admitted
+    * survivors' exact re-rank via a narrow join-back on id (survivors are
+    * the τ-cut's ~13–20%-of-candidates slice of the probed cells, so the
+    * join-back is small and AQE sizes its strategy).
+    */
+  def ivfPqSearchFrom(
+      index: DataFrame, codebook: DataFrame, centroids: DataFrame,
+      raw: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, dims: Int, adcThreshold: Double,
+      subspaces: Int = PqSubspaces,
+      candObservation: Option[Observation] = None): DataFrame = {
+    val probes = probeBuckets(queries, centroids, nprobe)
+      .select(col("query_id"), col("q_emb"), col("bucket"))
+    val lutq = pqQueryLut(queries, codebook, dims, subspaces)
+    val qSide = probes.join(lutq, Seq("query_id"))
+    val adc = adcScore(fusedAdc(col("codes"), col("lut")),
+      col("rnorm2I"), col("qnorm"))
+    val cand = observeCandidates(
+      index.join(broadcast(qSide), Seq("bucket"))
+        .filter(col("id") =!= col("query_id")),
+      candObservation)
+    val pairs = cand.filter(adc >= adcThreshold)
+      .select(col("query_id"), col("id"), col("q_emb"))
+      .join(raw, Seq("id"))
+      .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    rankTopK(pairs, k)
+  }
+
   // ---- random-hyperplane LSH ANN ---------------------------------------
 
   /** Deterministic ±1 random hyperplanes (Charikar sign-random-projection,

@@ -373,6 +373,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the final top-k may hash-shuffle (got $shuffles):\n$p")
   }
 
+  test("q15d PQ ANN: pair scan goes through the pq_adc kernel; codes collapse map-side before any exchange") {
+    // The PQ scale contract: (a) the N×|Q| pair scan scores through the
+    // native ADC kernel (an interpreted HOF here would re-open the
+    // megamorphic-lambda tax the kernel exists to close); (b) the encode's
+    // N×M×k scored cross product collapses through a partial HashAggregate
+    // BEFORE its exchange (the ivfAssign packed-BIGINT discipline — a
+    // SortAggregate here means wide buffers sorting the cross product);
+    // (c) the scan joins a BROADCAST query side, no cartesian.
+    val p = plan(LlmQueries.annPq(spark, dir))
+    assert(p.contains("pq_adc"), s"pair scan must use the native ADC kernel:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"encode argmin must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the query LUT side must broadcast into the scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the k=5 top-k must lower to WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+
+    val p2 = plan(LlmQueries.annIvfPq(spark, dir))
+    assert(p2.contains("pq_adc") && !p2.contains("CartesianProduct"),
+      s"IVF-PQ must kernel-score and stay cartesian-free:\n$p2")
+  }
+
   test("q73 mean pool: posexplode partial-aggregates map-side into ONE groups-by-dim exchange") {
     // The distributed-centroid shape: d×N exploded rows never shuffle raw —
     // map-side combine reduces them to |groups|×d before the single

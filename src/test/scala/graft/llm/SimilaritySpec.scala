@@ -744,6 +744,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfPqR >= 0.8, s"IVF-PQ refined recall@10 regressed: $ivfPqR")
   }
 
+  test("ivfPqSearchFrom: persisted-index search is row-identical to the in-plan IVF-PQ") {
+    // The q16i contract: parquet round-tripping the index (codes, buckets,
+    // norms, codebook, centroids) and re-ranking via the survivors'
+    // join-back must reproduce ivfPqTopK's threshold-refined output
+    // exactly — same candidates, same scores, same ties.
+    val emb = Tables.embeddings(spark, dir)
+    val qf = col("id") % 50 === 0
+    val cf = col("id") % 100 === 0
+    val inPlan = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      qf, cf, 10, nprobe = 4, dims = 64, codewords = 16,
+      adcThreshold = Some(0.10))
+      .as[(Long, Long, Double)].collect().toSet
+
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val cnt = n.count()
+    val centroids = n.filter(cf)
+    val codebook = Similarity.pqCodebook(n, math.max(1L, cnt / 16), 64)
+    val root = java.nio.file.Files.createTempDirectory("pqidx-spec-").toString
+    Similarity.ivfPqIndexRows(n, centroids, codebook, 64)
+      .write.parquet(root + "/index")
+    codebook.write.parquet(root + "/codebook")
+    centroids.write.parquet(root + "/centroids")
+    val fromIndex = Similarity.ivfPqSearchFrom(
+      spark.read.parquet(root + "/index"),
+      spark.read.parquet(root + "/codebook"),
+      spark.read.parquet(root + "/centroids"),
+      raw = n, queries = n.filter(qf),
+      k = 10, nprobe = 4, dims = 64, adcThreshold = 0.10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == inPlan,
+      s"index search diverged: only-index=${(fromIndex -- inPlan).take(5)} " +
+        s"only-inplan=${(inPlan -- fromIndex).take(5)}")
+  }
+
   test("meanPool: hand-computed means; bit-stable across partitioning") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(2.0f, 4.0f)), ("b", Seq(-1.5f, 0.0f))
