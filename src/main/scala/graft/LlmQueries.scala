@@ -2470,12 +2470,12 @@ object LlmQueries {
     * story: q72 counts merge candidates, q35/q42 build the vocabulary,
     * q75 tokenizes the corpus with the learned table.
     */
-  def bpeApplyDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-    // the learn side IS q72's trainer (same pair definition, same count
-    // desc / pair asc ordering), restricted to the distinct-sided pairs
-    // bpeMergeStep may merge — one shared pipeline, no drift
+  /** The shared learn side of q75/q76: q72's trainer (same pair
+    * definition, same count desc / pair asc ordering), restricted to the
+    * distinct-sided pairs [[TextStats.bpeMergeStep]] may merge — one
+    * bounded [[BpeMergeCount]]-row metadata-collect, never data-scale.
+    */
+  private def learnedMerges(docs: DataFrame): Seq[(String, String)] = {
     val merges = TextStats.bpePairStats(docs, "text", BpeMergeCount,
         distinctSided = true)
       .select(split(col("pair"), " ").getItem(0).as("tok_a"),
@@ -2483,7 +2483,52 @@ object LlmQueries {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     require(merges.size == BpeMergeCount,
       s"corpus yielded only ${merges.size} distinct-sided merge pairs")
-    TextStats.bpeApply(docs, "doc_id", "text", merges)
+    merges
+  }
+
+  def bpeApplyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextStats.bpeApply(docs, "doc_id", "text", learnedMerges(docs))
+  }
+
+  /** q76 — tokenizer EVALUATION, the step that closes the q72→q75 loop
+    * (train → apply → evaluate): per language, the metrics a tokenizer
+    * team reads before shipping a merge table — fertility (BPE tokens per
+    * whitespace word; >1.3 on a language usually means its script is
+    * under-served by the merges), chars-per-token (compression), and the
+    * merge table's token-count savings vs the pre-merge baseline. Ratios
+    * divide once per GROUP over exact BIGINT sums (never avg-of-ratios —
+    * association-free, so engine order and the oracle agree bit-for-bit),
+    * 6-decimal rounded, zero-denominator → NULL on both engines.
+    *
+    * Scale shape: q75's shuffle-free projection chain with lang/words/
+    * chars carried through (no join-back re-scan), then ONE
+    * partial-aggregated groupBy(lang) whose shuffle carries |langs| rows
+    * per map partition.
+    */
+  def bpeEvalByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("n_words", TextStats.tokenCount(col("text")).cast("bigint"))
+    val applied = TextStats.bpeApply(docs, "doc_id", "text",
+      learnedMerges(docs), carry = Seq("lang", "n_words", "n_chars"))
+    def ratio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(num.cast("double") / nullif(den.cast("double"), lit(0.0)), 6)
+    applied.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("words"),
+        sum("n_before").as("toks_before"),
+        sum("n_after").as("toks_after"),
+        sum("n_chars").as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("toks_before"), col("toks_after"),
+        ratio(col("toks_after"), col("words")).as("fertility"),
+        ratio(col("chars"), col("toks_after")).as("chars_per_tok"),
+        round(lit(1.0) - col("toks_after").cast("double")
+          / nullif(col("toks_before").cast("double"), lit(0.0)), 6)
+          .as("merge_savings"))
   }
 
   /** Twin: the merge table derives in SQL with the identical ordering
@@ -2493,7 +2538,7 @@ object LlmQueries {
     * CASE as [[TextStats.bpeMergeStep]], exact because ranked pairs are
     * distinct-sided. Chained s1..s[[BpeMergeCount]] apply in rank order.
     */
-  private val q75Oracle: String = {
+  private val bpeApplyCtes: String = {
     def step(j: Int, src: String): String =
       s"""s$j AS (SELECT doc_id, list_filter(list_transform(range(1, len(toks)+1), i ->
         |    CASE WHEN toks[i] = m$j.a AND i < len(toks) AND toks[i+1] = m$j.b THEN m$j.a || m$j.b
@@ -2502,7 +2547,7 @@ object LlmQueries {
         |  FROM $src, (SELECT tok_a AS a, tok_b AS b FROM m WHERE rn = $j) m$j)""".stripMargin
     val steps = (1 to BpeMergeCount)
       .map(j => step(j, if (j > 1) s"s${j - 1}" else "t")).mkString(",\n")
-    s"""WITH t AS (SELECT doc_id,
+    s"""WITH t AS (SELECT doc_id, lang, n_chars, len($dToks) AS n_words,
       |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS toks
       |  FROM documents),
       |p AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
@@ -2511,11 +2556,31 @@ object LlmQueries {
       |         count(*) AS n FROM p GROUP BY 1, 2, 3),
       |m AS (SELECT tok_a, tok_b, row_number() OVER (ORDER BY n DESC, pair) AS rn
       |      FROM pc WHERE tok_a <> tok_b),
-      |$steps
+      |$steps""".stripMargin
+  }
+
+  private val q75Oracle: String =
+    s"""$bpeApplyCtes
       |SELECT t.doc_id, len(t.toks) AS n_before, len(s$BpeMergeCount.toks) AS n_after,
       |  array_to_string(s$BpeMergeCount.toks, ' ') AS tokens
       |FROM t JOIN s$BpeMergeCount ON t.doc_id = s$BpeMergeCount.doc_id""".stripMargin
-  }
+
+  /** Twin of [[bpeEvalByLang]]: same CTE chain as q75, then one GROUP BY
+    * over exact BIGINT sums with the division-once/round-6/NULLIF-guard
+    * arithmetic mirrored term-for-term.
+    */
+  private val q76Oracle: String =
+    s"""$bpeApplyCtes
+      |SELECT t.lang, count(*) AS n_docs, sum(t.n_words) AS words,
+      |  sum(len(t.toks)) AS toks_before, sum(len(s$BpeMergeCount.toks)) AS toks_after,
+      |  round(CAST(sum(len(s$BpeMergeCount.toks)) AS DOUBLE)
+      |    / nullif(CAST(sum(t.n_words) AS DOUBLE), 0), 6) AS fertility,
+      |  round(CAST(sum(t.n_chars) AS DOUBLE)
+      |    / nullif(CAST(sum(len(s$BpeMergeCount.toks)) AS DOUBLE), 0), 6) AS chars_per_tok,
+      |  round(1.0 - CAST(sum(len(s$BpeMergeCount.toks)) AS DOUBLE)
+      |    / nullif(CAST(sum(len(t.toks)) AS DOUBLE), 0), 6) AS merge_savings
+      |FROM t JOIN s$BpeMergeCount ON t.doc_id = s$BpeMergeCount.doc_id
+      |GROUP BY 1""".stripMargin
 
   // ---- registry --------------------------------------------------------
 
@@ -2581,7 +2646,8 @@ object LlmQueries {
     "q72_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q73_mean_pool" -> ((s, d) => labelMeanPool(s, d)),
     "q74_gopher_rules" -> ((s, d) => gopherRules(s, d)),
-    "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d))
+    "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d)),
+    "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2648,6 +2714,7 @@ object LlmQueries {
     "q72_bpe_pairs" -> q72Oracle,
     "q73_mean_pool" -> q73Oracle,
     "q74_gopher_rules" -> q74Oracle,
-    "q75_bpe_apply" -> q75Oracle
+    "q75_bpe_apply" -> q75Oracle,
+    "q76_bpe_eval" -> q76Oracle
   )
 }

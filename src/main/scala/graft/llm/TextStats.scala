@@ -312,18 +312,24 @@ object TextStats {
     * deployment: a few thousand merges — still literal-sized). Interpreted
     * HOF cost is per-ROW (docs), not per-pair, so no kernel is needed
     * (contrast [[graft.functions.HammingSig]], whose cost was per-PAIR).
+    *
+    * `carry` columns ride the projection chain untouched — evaluation
+    * steps (q76) get their grouping/denominator columns without a
+    * join-back against the source table (which would re-scan and
+    * shuffle the corpus purely to recover columns the chain had).
     */
   def bpeApply(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val base = df.select(col(idCol), bpeishTokens(col(textCol)).as("toks"))
+      merges: Seq[(String, String)], carry: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carry).map(col)
+    val base = df.select(keep :+ bpeishTokens(col(textCol)).as("toks"): _*)
       .withColumn("n_before", size(col("toks")).cast("bigint"))
     val applied = merges.foldLeft(base) { case (acc, (a, b)) =>
       acc.withColumn("toks", bpeMergeStep(col("toks"), a, b))
     }
-    applied.select(col(idCol),
+    applied.select(keep ++ Seq(
       col("n_before"),
       size(col("toks")).cast("bigint").as("n_after"),
-      concat_ws(" ", col("toks")).as("tokens"))
+      concat_ws(" ", col("toks")).as("tokens")): _*)
   }
 
   /** Corpus vocabulary statistics: per term, total occurrences and document

@@ -396,6 +396,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"IVF-PQ must kernel-score and stay cartesian-free:\n$p2")
   }
 
+  test("q76 bpe eval: carried columns keep the eval join-free; one partial-aggregated lang shuffle") {
+    // The evaluate step must not pay a second corpus scan: lang/words/
+    // chars ride q75's projection chain via bpeApply's carry, so the only
+    // shuffles are the source round-robin repartition and the lang
+    // aggregation (map-side partials first) — no join-back anywhere.
+    val p = plan(LlmQueries.bpeEvalByLang(spark, dir))
+    assert(!p.contains("Join"), s"carry must make the eval join-free:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"lang aggregation must partial-aggregate map-side:\n$p")
+    val hashShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"exactly the lang aggregation may hash-shuffle (got $hashShuffles):\n$p")
+  }
+
   test("q73 mean pool: posexplode partial-aggregates map-side into ONE groups-by-dim exchange") {
     // The distributed-centroid shape: d×N exploded rows never shuffle raw —
     // map-side combine reduces them to |groups|×d before the single

@@ -88,6 +88,25 @@ class VocabularySpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"bpeApply must not shuffle:\n$p")
   }
 
+  test("bpeApply carry: passthrough columns ride the chain without a shuffle or value change") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c", "en", 5L), (2L, "", "de", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextStats.bpeApply(docs, "doc_id", "text", Seq(("a", "b")),
+      carry = Seq("lang", "n_chars"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "n_before", "n_after", "tokens"))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "en" && byId(1L).getLong(2) == 5L &&
+      byId(1L).getLong(3) == 3L && byId(1L).getLong(4) == 2L &&
+      byId(1L).getString(5) == "ab c")
+    // empty doc: zero tokens before and after, carries intact
+    assert(byId(2L).getString(1) == "de" && byId(2L).getLong(3) == 0L &&
+      byId(2L).getLong(4) == 0L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"carry must not introduce a shuffle:\n$p")
+  }
+
   test("vocabulary plan: top-k lowers to TakeOrderedAndProject, never a global sort") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = TextStats.vocabulary(docs, "doc_id", "text", 10)
