@@ -740,8 +740,15 @@ object Similarity {
     * Each candidate lives in exactly one IVF cell, so the (query,
     * candidate) pairs of the bucket join are unique — same no-dedup
     * argument as [[ivfTopK]]. The scan joins codes to buckets on id
-    * (narrow, co-partitioned) and the probe side broadcasts (query LUT ×
-    * probed buckets — |Q|·nprobe rows of M·k BIGINTs).
+    * (narrow, co-partitioned) against TWO bounded broadcasts: a SLIM
+    * (query_id, bucket) probe table for the bucket join, then the
+    * per-query LUT attached by query_id. Broadcast payload must be
+    * bounded per-QUERY, never per-(query × probe): the fused form that
+    * rode the 2 KB LUT and the raw query vector on every probe row
+    * multiplied them by nprobe — ~1 GiB of driver collect at the 100×
+    * replica (a measured `spark.driver.maxResultSize` failure), where
+    * the split form broadcasts |Q|·16 bytes + |Q|·(M·k+1) BIGINTs
+    * regardless of nprobe. q_emb joins in only for the τ-survivors.
     */
   def ivfPqTopK(
       vectorsDf: DataFrame, idCol: String, embCol: String,
@@ -757,28 +764,34 @@ object Similarity {
     val enc = pqEncode(n, codebook, dims, subspaces)
     val assigned = ivfAssign(n, n.filter(centroidFilter))
       .select(col("id"), col("emb"), col("bucket"))
+    // SLIM probe table: (query_id, bucket) only — 16 bytes × |Q|·nprobe
     val probes = probeBuckets(n.filter(queryFilter), n.filter(centroidFilter), nprobe)
-      .select(col("query_id"), col("q_emb"), col("bucket"))
+      .select(col("query_id"), col("bucket"))
     val lutq = pqQueryLut(n.filter(queryFilter), codebook, dims, subspaces)
-    val qSide = probes.join(lutq, Seq("query_id"))
     val adc = adcScore(fusedAdc(col("codes"), col("lut")),
       col("rnorm2I"), col("qnorm"))
     // candidate load observed PRE-threshold: the bucket join IS the scan
     // work; the ADC cut only decides who pays the exact re-rank
     val cand = observeCandidates(
       assigned.join(enc, Seq("id"))
-        .join(broadcast(qSide), Seq("bucket"))
+        .join(broadcast(probes), Seq("bucket"))
         .filter(col("id") =!= col("query_id")),
       candObservation)
+    // the LUT attaches per-QUERY (second bounded broadcast), inside the
+    // same codegen stage — never duplicated across probe rows
+    val scored = cand.join(broadcast(lutq), Seq("query_id"))
     val pairs = adcThreshold match {
       case None =>
-        cand.withColumn("score", adc)
+        scored.withColumn("score", adc)
           .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
       case Some(tau) =>
         // threshold-refined within the probed cells (q15d's cut): the
-        // assigned frame already carries the raw vector, the probe side
-        // carries q_emb — the exact re-rank is in-stage, no join-back
-        cand.filter(adc >= tau)
+        // assigned frame already carries the raw vector; q_emb joins in
+        // for the τ-SURVIVORS only (third bounded broadcast, |Q| rows)
+        val qEmb = n.filter(queryFilter)
+          .select(col("id").as("query_id"), col("emb").as("q_emb"))
+        scored.filter(adc >= tau)
+          .join(broadcast(qEmb), Seq("query_id"))
           .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
           .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
     }
@@ -815,19 +828,24 @@ object Similarity {
       k: Int, nprobe: Int, dims: Int, adcThreshold: Double,
       subspaces: Int = PqSubspaces,
       candObservation: Option[Observation] = None): DataFrame = {
+    // the same split-broadcast discipline as [[ivfPqTopK]]: a SLIM
+    // (query_id, bucket) probe table drives the bucket join; the LUT and
+    // the raw query vector attach per-QUERY, never per-probe-row
     val probes = probeBuckets(queries, centroids, nprobe)
-      .select(col("query_id"), col("q_emb"), col("bucket"))
+      .select(col("query_id"), col("bucket"))
     val lutq = pqQueryLut(queries, codebook, dims, subspaces)
-    val qSide = probes.join(lutq, Seq("query_id"))
     val adc = adcScore(fusedAdc(col("codes"), col("lut")),
       col("rnorm2I"), col("qnorm"))
     val cand = observeCandidates(
-      index.join(broadcast(qSide), Seq("bucket"))
+      index.join(broadcast(probes), Seq("bucket"))
         .filter(col("id") =!= col("query_id")),
       candObservation)
-    val pairs = cand.filter(adc >= adcThreshold)
-      .select(col("query_id"), col("id"), col("q_emb"))
+    val qEmb = queries.select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val pairs = cand.join(broadcast(lutq), Seq("query_id"))
+      .filter(adc >= adcThreshold)
+      .select(col("query_id"), col("id"))
       .join(raw, Seq("id"))
+      .join(broadcast(qEmb), Seq("query_id"))
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
     rankTopK(pairs, k)

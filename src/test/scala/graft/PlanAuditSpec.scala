@@ -422,6 +422,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 2, s"mean pool must shuffle once (plus AQE read):\n$p")
   }
 
+  test("q16h/q16i IVF-PQ: no broadcast carries per-probe-row LUT or query-vector payload") {
+    // Round-13 scale finding, the broadcast sibling of the q16g plan-size
+    // rule: BROADCAST PAYLOAD MUST BE BOUNDED PER-QUERY, NEVER
+    // PER-(QUERY × PROBE). The fused probe side that rode the M·k-BIGINT
+    // LUT and the raw query vector on every (query, bucket) row
+    // multiplied both by nprobe — a measured ~1 GiB driver collect and
+    // `spark.driver.maxResultSize` failure at the 100× replica. The fix
+    // splits it: a slim (query_id, bucket) table drives the bucket join;
+    // LUT and q_emb attach per-query by later bounded broadcasts. This
+    // pins the split: no single BroadcastExchange may output `bucket`
+    // together with `lut` or a vector column.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for (df <- Seq(LlmQueries.annIvfPq(spark, dir),
+        LlmQueries.annIvfPqIndexed(spark, dir))) {
+      val root = df.queryExecution.executedPlan
+      val planned = root match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val broadcasts = planned.collect {
+        case b: BroadcastExchangeExec => b.output.map(_.name).toSet
+      }
+      assert(broadcasts.exists(_.contains("bucket")) &&
+        broadcasts.exists(_.contains("lut")),
+        s"expected the slim probe AND the LUT broadcasts; got $broadcasts")
+      broadcasts.foreach { cols =>
+        assert(!(cols.contains("bucket") &&
+            (cols.contains("lut") || cols.contains("q_emb") || cols.contains("emb"))),
+          s"a broadcast duplicates per-query payload across probe rows: $cols")
+      }
+    }
+  }
+
   test("q16g adaptive LSH: plan size stays CONSTANT in geometry (lsh_buckets kernel, not a per-table tree)") {
     // Round-12 scale finding (VERDICT r12 ask #7): a logical plan whose
     // EXPRESSION tree grows with a count-derived parameter is a scale bug —
