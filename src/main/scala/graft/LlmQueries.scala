@@ -747,9 +747,18 @@ object LlmQueries {
   private val pqIndexArtifacts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Root for the persisted index. A deployment points this at a fixed
+    * location (`SPARK_GRAFT_PQIDX_DIR`) so the nightly BUILD and the many
+    * SEARCH jobs are different JVMs — build-sized executors build,
+    * search-sized executors only read (this is also how the 4 GiB
+    * memory-pressure probe isolates the search tier). Unset, each JVM
+    * builds into its own temp root on first touch (the bench convention:
+    * iteration 1 amortizes the build).
+    */
   private def pqIndexPath(dir: String): String =
-    pqIndexArtifacts.getOrElseUpdate(dir,
-      java.nio.file.Files.createTempDirectory("graft-pqidx-").toString)
+    sys.env.get("SPARK_GRAFT_PQIDX_DIR").getOrElse(
+      pqIndexArtifacts.getOrElseUpdate(dir,
+        java.nio.file.Files.createTempDirectory("graft-pqidx-").toString))
 
   /** Build (or read back) the IVF-PQ index artifact for `dir` at q16h's
     * exact geometry. Consumer semantics (the q52b precedent): the first
