@@ -814,6 +814,94 @@ object LlmQueries {
       adcThreshold = PqAdcThreshold)
   }
 
+  /** q77 — incremental IVF-PQ index INGEST: the q40/q41 incremental
+    * discipline applied to the vector store. A new batch (10% of the
+    * corpus by id) is encoded against the EXISTING corpus's frozen
+    * geometry — centroids and codebook derive from the other 90% only,
+    * exactly the production constraint (re-deriving the codebook on every
+    * ingest would re-encode the whole history; FAISS `add()` has the same
+    * contract). Output: the batch's at-rest index rows (id, bucket,
+    * codes, rnorm2I) — appending them to the persisted index is the whole
+    * ingest (parquet append, no read-modify-write), because index rows
+    * are per-vector functions of (geometry, vector): union-of-increments
+    * ≡ rebuild-at-same-geometry, the invariant `SimilaritySpec` pins by
+    * searching both.
+    *
+    * Scale shape: batch-sized work only — assignment is one broadcast of
+    * √N centroids + the packed-argmin aggregate over |batch|·k rows,
+    * encode one broadcast codebook + |batch|·M·k; the existing corpus is
+    * touched ONLY to derive geometry (one count; centroid/codeword
+    * selection are pushed-down stride filters), never re-encoded.
+    */
+  def pqIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val existing = n.filter(col("id") % 10 =!= 0)
+    val batch = n.filter(col("id") % 10 === 0)
+    val cnt = existing.count()
+    require(cnt > 0, "index ingest needs a non-empty existing corpus")
+    val kCent = math.ceil(math.sqrt(cnt.toDouble)).toLong
+    val cStride = math.max(1L, cnt / kCent)
+    val pqStride = math.max(1L, cnt / PqCodewords)
+    // residue-1 stride classes: the existing corpus is itself a modulo
+    // split (id % 10 ≠ 0), so a residue-0 stride that shares a factor
+    // with 10 would select NOTHING (cstride=20 on the 450-row fixture);
+    // ids ≡ 1 (mod s) can never be ≡ 0 (mod 10) when 10 | s, and at
+    // worst lose 1/10 of the class otherwise
+    val centroids = existing.filter(col("id") % cStride === 1)
+    val codebook = Similarity.pqCodebook(existing, pqStride, PqDims,
+      residue = 1L)
+    Similarity.ivfPqIndexRows(batch, centroids, codebook, PqDims)
+      .select(col("id"), col("bucket"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+        col("rnorm2I"))
+  }
+
+  /** Twin: the q16h assignment/codebook/encode CTEs re-rooted on the
+    * existing-corpus split (`vec_id % 10 <> 0`), encoding only the batch;
+    * codes emitted as the comma-joined subspace-ordered list so both
+    * engines compare strings, rnorm2I cast back to BIGINT (DuckDB sums
+    * BIGINT into HUGEINT).
+    */
+  private val q77Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |ex AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 <> 0),
+      |nb AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 = 0),
+      |geo AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cstride,
+      |               greatest(1, count(*) // $PqCodewords) AS pqstride
+      |        FROM ex),
+      |nn AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM nb),
+      |cent AS (SELECT vec_id AS c_id, emb AS c_emb,
+      |         sqrt(list_dot_product(emb, emb)) AS c_nrm FROM ex
+      |         WHERE vec_id % (SELECT cstride FROM geo) = 1),
+      |assigned AS (
+      |  SELECT id, c_id AS bucket FROM (
+      |    SELECT nn.id, cent.c_id,
+      |      row_number() OVER (PARTITION BY nn.id
+      |        ORDER BY round(list_dot_product(nn.emb, cent.c_emb) / (nn.nrm * cent.c_nrm), 6) DESC, cent.c_id) AS r
+      |    FROM nn, cent) WHERE r = 1),
+      |cwv AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      |        FROM ex WHERE vec_id % (SELECT pqstride FROM geo) = 1),
+      |cbs AS (SELECT j, m, csub,
+      |        greatest(0, CAST(round(list_dot_product(csub, csub)*1e6, 0) AS BIGINT)) AS sqI
+      |        FROM (SELECT j, m, list_slice(emb, m*4+1, m*4+4) AS csub
+      |              FROM cwv CROSS JOIN range(16) t(m))),
+      |xs AS (SELECT vec_id, m, list_slice(emb, m*4+1, m*4+4) AS xsub
+      |       FROM nb CROSS JOIN range(16) t(m)),
+      |codes AS (SELECT vec_id, m, j, sqI FROM (
+      |    SELECT x.vec_id, x.m, c.j, c.sqI,
+      |      row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+      |        greatest(0, CAST(round((list_dot_product(x.xsub, x.xsub)
+      |          - 2.0*list_dot_product(x.xsub, c.csub)
+      |          + list_dot_product(c.csub, c.csub))*1e6, 0) AS BIGINT)), c.j) AS r
+      |    FROM xs x JOIN cbs c ON x.m = c.m) WHERE r = 1),
+      |agg AS (SELECT vec_id, array_to_string(list(j ORDER BY m), ',') AS codes,
+      |        CAST(sum(sqI) AS BIGINT) AS rnorm2I
+      |        FROM codes GROUP BY vec_id)
+      |SELECT a.id, a.bucket, g.codes, g.rnorm2I
+      |FROM assigned a JOIN agg g ON a.id = g.vec_id""".stripMargin
+
   /** q73 — per-label mean-pooled embedding, long format: the
     * bit-deterministic DECIMAL-summed centroid/mean-pool table
     * ([[Similarity.meanPool]]) that [[Similarity.refineCentroidsFrom]]'s
@@ -2656,7 +2744,8 @@ object LlmQueries {
     "q73_mean_pool" -> ((s, d) => labelMeanPool(s, d)),
     "q74_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d)),
-    "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d))
+    "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d)),
+    "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2724,6 +2813,7 @@ object LlmQueries {
     "q73_mean_pool" -> q73Oracle,
     "q74_gopher_rules" -> q74Oracle,
     "q75_bpe_apply" -> q75Oracle,
-    "q76_bpe_eval" -> q76Oracle
+    "q76_bpe_eval" -> q76Oracle,
+    "q77_pq_index_ingest" -> q77Oracle
   )
 }

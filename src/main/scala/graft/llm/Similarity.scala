@@ -556,10 +556,16 @@ object Similarity {
     * [[ivfAssign]]'s centroid ranks).
     */
   def pqCodebook(n: DataFrame, stride: Long, dims: Int,
-      subspaces: Int = PqSubspaces): DataFrame = {
+      subspaces: Int = PqSubspaces, residue: Long = 0L): DataFrame = {
     require(stride > 0, s"PQ codebook stride must be positive, got $stride")
+    // `residue` picks the stride class: q77's ingest selects codewords
+    // from an EXISTING corpus already defined by a modulo split, and the
+    // residue-0 class of a stride that shares a factor with that split
+    // can be empty (450-row fixture: every multiple of cstride=20 is a
+    // multiple of 10, i.e. in the batch) — residue 1 never collides with
+    // a `% b === 0` split for any stride.
     val w = Window.orderBy("id")
-    n.filter(col("id") % stride === 0)
+    n.filter(col("id") % stride === residue)
       .withColumn("j", row_number().over(w).cast("long") - 1L)
       .select(col("j"), inline(pqSubVectors(col("emb"), dims, subspaces)))
       .select(col("m"), col("j"), col("sub").as("csub"))

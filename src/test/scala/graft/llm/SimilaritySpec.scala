@@ -779,6 +779,30 @@ class SimilaritySpec extends SparkTestBase {
         s"only-inplan=${(inPlan -- fromIndex).take(5)}")
   }
 
+  test("ivfPqIndexRows ingest invariant: union of increments searches identically to a rebuild at the same geometry") {
+    // q77's correctness root: index rows are per-vector functions of
+    // (geometry, vector), so appending a batch encoded against the FROZEN
+    // geometry must yield exactly the index a rebuild over the union
+    // would — verified end-to-end by searching both.
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val existing = n.filter(col("id") % 10 =!= 0)
+    val batch = n.filter(col("id") % 10 === 0)
+    val centroids = existing.filter(col("id") % 20 === 1)
+    val codebook = Similarity.pqCodebook(existing, 30, 64, residue = 1L)
+    val incremental = Similarity.ivfPqIndexRows(existing, centroids, codebook, 64)
+      .union(Similarity.ivfPqIndexRows(batch, centroids, codebook, 64))
+    val rebuilt = Similarity.ivfPqIndexRows(n, centroids, codebook, 64)
+    def search(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearchFrom(index, codebook, centroids,
+        raw = n, queries = n.filter(col("id") % 50 === 0),
+        k = 10, nprobe = 4, dims = 64, adcThreshold = 0.10)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(search(incremental) == search(rebuilt),
+      "incremental index diverged from the same-geometry rebuild")
+  }
+
   test("meanPool: hand-computed means; bit-stable across partitioning") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(2.0f, 4.0f)), ("b", Seq(-1.5f, 0.0f))
