@@ -902,6 +902,105 @@ object LlmQueries {
       |SELECT a.id, a.bucket, g.codes, g.rnorm2I
       |FROM assigned a JOIN agg g ON a.id = g.vec_id""".stripMargin
 
+  /** Hashed-feature bucket count for DSIR — bounds the per-feature table
+    * at [[DsirBuckets]] rows regardless of vocabulary size, which is the
+    * method's 100 TB selling point (Xie et al. 2023, public): the
+    * importance model is two B-row histograms, never a vocabulary.
+    */
+  private val DsirBuckets = 1024
+  private val dsirTarget = col("source").isin("src0", "src1", "src2", "src3")
+
+  /** q78 — DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public): score every document by the
+    * log-likelihood ratio of its hashed word-bigram features between a
+    * TARGET slice (here sources src0–src3, the "trusted" 20%) and the raw
+    * corpus, add-1 smoothed over [[DsirBuckets]] hash buckets. `keep` is
+    * the row-local ratio>1 cut (log-weight > 0: the doc looks more
+    * target-like than raw-like) — a fixed threshold, never a
+    * fraction-sized global top-K (the q15c radius discipline).
+    *
+    * Determinism discipline (the q70 convention): the per-bucket log
+    * ratio is computed ONCE (identical operand structure in both
+    * engines), rounded to 6, cast DECIMAL(20,6); per-doc weights are
+    * exact DECIMAL sums of those — association-free, so engine
+    * aggregation order cannot move a hash-match.
+    *
+    * Scale shape: one (doc, gram) explode; TWO partial-aggregated
+    * B-bounded bucket histograms; two bounded driver scalars (the totals);
+    * the B-row log-ratio table broadcasts back into the gram stream; one
+    * doc-keyed aggregation. The vocabulary never shuffles — the hash
+    * bounds every intermediate at B rows.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsFor(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism),
+      dsirTarget)
+
+  /** Core of [[dsirWeights]], parameterized on the corpus frame and the
+    * target predicate (spec surface). */
+  def dsirWeightsFor(docs: DataFrame, isTarget: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val nG = greatest(size(toks) - 1, lit(0))
+    val grams = zip_with(
+      slice(toks, lit(1), nG), slice(toks, lit(2), nG),
+      (a, b) => concat_ws(" ", a, b))
+    val docGrams = docs
+      .select(col("doc_id"), isTarget.as("is_tgt"), explode(grams).as("gram"))
+      .withColumn("bucket",
+        conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long")
+          % DsirBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totRaw = docGrams.count()
+    val totTgt = docGrams.filter(col("is_tgt")).count()
+    val rawB = docGrams.groupBy("bucket").agg(count(lit(1)).as("n_raw"))
+    val tgtB = docGrams.filter(col("is_tgt"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_tgt"))
+    val lpTable = rawB.join(tgtB, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("n_tgt"), lit(0L)) + lit(1L)).cast("double")
+            / lit((totTgt + DsirBuckets).toDouble))
+          / ((col("n_raw") + lit(1L)).cast("double")
+            / lit((totRaw + DsirBuckets).toDouble))), 6)
+          .cast("decimal(20,6)").as("lp"))
+    docGrams.join(broadcast(lpTable), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lp")).as("w"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("w").cast("double"), 6).as("weight"),
+        (col("w") > lit(0)).as("keep"))
+  }
+
+  /** Twin: identical gram/bucket/smoothing arithmetic — the log ratio is
+    * one `ln` over the same division structure, rounded then DECIMAL-
+    * summed; the hex→BIGINT bucket is DuckDB's 0x-string cast vs Spark's
+    * `conv`, verified equal.
+    */
+  private val q78Oracle: String =
+    s"""WITH t AS (SELECT doc_id,
+      |    source IN ('src0','src1','src2','src3') AS is_tgt,
+      |    $dToks AS toks FROM documents),
+      |g AS (SELECT doc_id, is_tgt,
+      |    CAST(concat('0x', substr(md5(gram), 1, 6)) AS BIGINT) % $DsirBuckets AS bucket
+      |  FROM (SELECT doc_id, is_tgt,
+      |          unnest(list_transform(range(1, greatest(len(toks), 1)),
+      |            i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t)),
+      |tot AS (SELECT count(*) AS tr, count(*) FILTER (is_tgt) AS tt FROM g),
+      |rawb AS (SELECT bucket, count(*) AS n_raw FROM g GROUP BY 1),
+      |tgtb AS (SELECT bucket, count(*) AS n_tgt FROM g WHERE is_tgt GROUP BY 1),
+      |lp AS (SELECT r.bucket,
+      |    CAST(round(ln(
+      |      (CAST(coalesce(n_tgt, 0) + 1 AS DOUBLE) / CAST(tt + $DsirBuckets AS DOUBLE))
+      |      / (CAST(n_raw + 1 AS DOUBLE) / CAST(tr + $DsirBuckets AS DOUBLE))), 6)
+      |      AS DECIMAL(20,6)) AS lp
+      |  FROM rawb r LEFT JOIN tgtb USING (bucket) CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  round(CAST(sum(lp) AS DOUBLE), 6) AS weight,
+      |  sum(lp) > 0 AS keep
+      |FROM g JOIN lp USING (bucket) GROUP BY doc_id""".stripMargin
+
   /** q73 — per-label mean-pooled embedding, long format: the
     * bit-deterministic DECIMAL-summed centroid/mean-pool table
     * ([[Similarity.meanPool]]) that [[Similarity.refineCentroidsFrom]]'s
@@ -2745,7 +2844,8 @@ object LlmQueries {
     "q74_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d)),
     "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d)),
-    "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d))
+    "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d)),
+    "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2814,6 +2914,7 @@ object LlmQueries {
     "q74_gopher_rules" -> q74Oracle,
     "q75_bpe_apply" -> q75Oracle,
     "q76_bpe_eval" -> q76Oracle,
-    "q77_pq_index_ingest" -> q77Oracle
+    "q77_pq_index_ingest" -> q77Oracle,
+    "q78_dsir_weights" -> q78Oracle
   )
 }

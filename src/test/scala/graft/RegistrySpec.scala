@@ -37,6 +37,20 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every registered query yields rows at sf0.001 — an oracle match on empty output proves nothing") {
+    // The q77 lesson (round 13): its first version selected centroids via
+    // a residue-0 stride class inside an id%10≠0 corpus — EMPTY — and the
+    // DuckDB twin agreed on the empty answer, so the hash-match was green
+    // with zero evidentiary value. The oracle gate verifies agreement,
+    // not existence; existence is pinned here, once per registry entry,
+    // at the cheapest scale.
+    val dir = "/root/testdata/sf0.001"
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (_, fn) => fn(spark, dir).isEmpty
+    }.map(_._1)
+    assert(empty.isEmpty, s"queries with EMPTY results at sf0.001: $empty")
+  }
+
   test("Bench stdout line fits the driver tail; full line has registry keys") {
     // build both lines exactly as Bench.main would, one fake median per query
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.512345678)

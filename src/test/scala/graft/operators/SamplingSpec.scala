@@ -104,4 +104,32 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"rate table must broadcast onto the corpus:\n$plan")
   }
+
+  test("dsirWeightsFor: target-distinctive bigrams score positive, raw-typical negative; lp table broadcasts") {
+    // Crafted corpus: target docs are saturated with one bigram ("alpha
+    // beta"), raw-only docs with another ("gamma delta"). DSIR must give
+    // target-like docs positive log-ratio weights (keep) and raw-typical
+    // docs negative (drop) — and a fresh doc made of target-language
+    // bigrams must classify positive even though it is NOT in the target
+    // slice (the generalization that makes importance sampling a sampler,
+    // not a lookup).
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta " * 10, "tgt")) ++
+      (21L to 80L).map(i => (i, "gamma delta " * 10, "raw")) ++
+      Seq((99L, "alpha beta alpha beta", "raw"))
+    ).toDF("doc_id", "text", "source")
+    val out = graft.LlmQueries.dsirWeightsFor(docs, col("source") === "tgt")
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(byId(1L)._1 > 0 && byId(1L)._2, s"target doc must keep: ${byId(1L)}")
+    assert(byId(21L)._1 < 0 && !byId(21L)._2, s"raw-typical doc must drop: ${byId(21L)}")
+    assert(byId(99L)._1 > 0 && byId(99L)._2,
+      s"target-LANGUAGE doc outside the slice must still keep: ${byId(99L)}")
+    // scale shape: the B-row log-ratio table broadcasts onto the gram
+    // stream; the corpus grams never hash-shuffle except the two
+    // B-bounded histograms and the final doc aggregation
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"lp table must broadcast onto grams:\n$p")
+  }
 }
