@@ -973,12 +973,12 @@ object LlmQueries {
         (col("w") > lit(0)).as("keep"))
   }
 
-  /** Twin: identical gram/bucket/smoothing arithmetic — the log ratio is
-    * one `ln` over the same division structure, rounded then DECIMAL-
-    * summed; the hex→BIGINT bucket is DuckDB's 0x-string cast vs Spark's
-    * `conv`, verified equal.
+  /** Twin CTE prefix shared by q78/q79: identical gram/bucket/smoothing
+    * arithmetic — the log ratio is one `ln` over the same division
+    * structure, rounded then DECIMAL-summed; the hex→BIGINT bucket is
+    * DuckDB's 0x-string cast vs Spark's `conv`, verified equal.
     */
-  private val q78Oracle: String =
+  private val dsirCtes: String =
     s"""WITH t AS (SELECT doc_id,
       |    source IN ('src0','src1','src2','src3') AS is_tgt,
       |    $dToks AS toks FROM documents),
@@ -995,11 +995,56 @@ object LlmQueries {
       |      (CAST(coalesce(n_tgt, 0) + 1 AS DOUBLE) / CAST(tt + $DsirBuckets AS DOUBLE))
       |      / (CAST(n_raw + 1 AS DOUBLE) / CAST(tr + $DsirBuckets AS DOUBLE))), 6)
       |      AS DECIMAL(20,6)) AS lp
-      |  FROM rawb r LEFT JOIN tgtb USING (bucket) CROSS JOIN tot)
+      |  FROM rawb r LEFT JOIN tgtb USING (bucket) CROSS JOIN tot)""".stripMargin
+
+  private val q78Oracle: String =
+    s"""$dsirCtes
       |SELECT doc_id, count(*) AS n_grams,
       |  round(CAST(sum(lp) AS DOUBLE), 6) AS weight,
       |  sum(lp) > 0 AS keep
       |FROM g JOIN lp USING (bucket) GROUP BY doc_id""".stripMargin
+
+  /** Size of the q79 resample — a model constant, so the global top-K
+    * lowers to TakeOrderedAndProject (per-partition heaps of K rows),
+    * never a fraction-sized window (the q15c rule). */
+  private val DsirSampleK = 100
+
+  /** q79 — DSIR RESAMPLING, the second half of Xie et al. 2023: sample
+    * [[DsirSampleK]] documents WITHOUT replacement proportionally to
+    * their importance weights via the Gumbel-top-k identity
+    * (key = log-weight + Gumbel noise; the top K keys are a weighted
+    * sample). The "noise" is deterministic — Gumbel-inverse-transformed
+    * from the md5(doc_id) uniform (the [[graft.operators.Sampling]]
+    * hash-uniform convention) — so the draw is retry-stable and
+    * oracle-checkable; keys round to 6 before ranking with doc_id the
+    * tie-break, the repo's total-order discipline.
+    *
+    * Scale shape: q78's bounded pipeline plus one fixed-K
+    * TakeOrderedAndProject — no new shuffle class.
+    */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResampleFrom(dsirWeights(spark, dir), DsirSampleK)
+
+  /** Gumbel-top-k over any (doc_id, weight) frame (spec surface). */
+  def dsirResampleFrom(weights: DataFrame, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") + lit(0.5)) / lit(16777216.0)
+    weights
+      .select(col("doc_id"), col("weight"),
+        round(col("weight") - log(-log(u)), 6).as("skey"))
+      .orderBy(desc("skey"), asc("doc_id"))
+      .limit(k)
+  }
+
+  private val q79Oracle: String =
+    s"""$dsirCtes,
+      |w AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE), 6) AS weight
+      |      FROM g JOIN lp USING (bucket) GROUP BY doc_id)
+      |SELECT doc_id, weight,
+      |  round(weight - ln(-ln(
+      |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+      |    / 16777216.0)), 6) AS skey
+      |FROM w ORDER BY skey DESC, doc_id LIMIT $DsirSampleK""".stripMargin
 
   /** q73 — per-label mean-pooled embedding, long format: the
     * bit-deterministic DECIMAL-summed centroid/mean-pool table
@@ -2845,7 +2890,8 @@ object LlmQueries {
     "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d)),
     "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d)),
     "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d)),
-    "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d))
+    "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
+    "q79_dsir_resample" -> ((s, d) => dsirResample(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2915,6 +2961,7 @@ object LlmQueries {
     "q75_bpe_apply" -> q75Oracle,
     "q76_bpe_eval" -> q76Oracle,
     "q77_pq_index_ingest" -> q77Oracle,
-    "q78_dsir_weights" -> q78Oracle
+    "q78_dsir_weights" -> q78Oracle,
+    "q79_dsir_resample" -> q79Oracle
   )
 }

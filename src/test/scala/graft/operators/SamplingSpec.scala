@@ -132,4 +132,35 @@ class SamplingSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"lp table must broadcast onto grams:\n$p")
   }
+
+  test("dsirResampleFrom: weight-proportional Gumbel draw — exact K, hand-checked key, bias toward heavy weights, heap-bounded plan") {
+    // 200 light docs (weight 0) vs 200 heavy docs (weight 2): a K=100
+    // Gumbel-top-k draw must over-select the heavy side (expected heavy
+    // share e²/(1+e²) ≈ 0.88 per slot), be deterministic across runs,
+    // and compute key = weight − ln(−ln(u_md5)) exactly.
+    val w = ((1L to 200L).map(i => (i, 0.0)) ++
+      (201L to 400L).map(i => (i, 2.0))).toDF("doc_id", "weight")
+    val out = graft.LlmQueries.dsirResampleFrom(w, 100)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length == 100)
+    val again = graft.LlmQueries.dsirResampleFrom(w, 100)
+      .as[(Long, Double, Double)].collect()
+    assert(out.toSeq == again.toSeq, "md5-Gumbel draw must be deterministic")
+    val heavy = out.count(_._1 > 200L)
+    assert(heavy > 65, s"heavy-weight docs under-selected: $heavy/100")
+    // hand-check one key: u from the first 6 md5 hex digits of "1"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("1".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+    val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 16777216.0
+    val expect = BigDecimal(0.0 - math.log(-math.log(u)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k1 = graft.LlmQueries.dsirResampleFrom(w, 400)
+      .as[(Long, Double, Double)].collect().find(_._1 == 1L).get._3
+    assert(math.abs(k1 - expect) < 1e-9, s"key for doc 1: got $k1, expect $expect")
+    // fixed-K global top-k lowers to per-partition heaps, not a full sort
+    val p = graft.LlmQueries.dsirResampleFrom(w, 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fixed-K top-k must lower to TakeOrderedAndProject:\n$p")
+  }
 }
