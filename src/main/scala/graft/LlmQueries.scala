@@ -1067,11 +1067,16 @@ object LlmQueries {
       |x AS (SELECT label,
       |        unnest(list_transform(range(len(emb)), i ->
       |          {'pos': i + 1, 'xd': CAST(round(emb[i+1], 6) AS DECIMAL(18,6))})) AS u
-      |      FROM e)
-      |SELECT label, u.pos AS dim_pos,
-      |  round(CAST(sum(u.xd) AS DOUBLE) / count(*), 6) AS mean_val,
-      |  count(*) AS n_vecs
-      |FROM x GROUP BY 1, 2""".stripMargin
+      |      FROM e),
+      |s AS (SELECT label, u.pos AS dim_pos,
+      |        CAST(sum(u.xd) * 1000000 AS BIGINT) AS sI, count(*) AS n
+      |      FROM x GROUP BY 1, 2)
+      |SELECT label, dim_pos,
+      |  CAST(CASE WHEN sI < 0 THEN -((2 * abs(sI) + n) // (2 * n))
+      |            ELSE (2 * abs(sI) + n) // (2 * n) END AS DOUBLE)
+      |    / 1000000.0 AS mean_val,
+      |  n AS n_vecs
+      |FROM s""".stripMargin
 
   /** q74 — Gopher-style quality rule filter ([[TextStats.gopherFlags]])
     * over the rule-exercising fixture corpus (each arm injects one

@@ -255,8 +255,24 @@ object Similarity {
       .select(col(groupCol), (col("pos0") + 1).cast("bigint").as("dim_pos"),
         round(col("x"), 6).cast(DecimalType(18, 6)).as("xd"))
       .groupBy(col(groupCol), col("dim_pos"))
-      .agg(round(sum(col("xd")).cast("double") / count(lit(1)), 6).as("mean_val"),
-        count(lit(1)).as("n_vecs"))
+      .agg(sum(col("xd")).as("sd"), count(lit(1)).as("n_vecs"))
+      // The mean's 6-decimal rounding decides on EXACT INTEGERS, never on
+      // a double: round(sum/n, 6) on the (bit-identical) quotient double
+      // still diverged cross-engine on ONE sf0.1 row, because a quotient
+      // landing on the x.xxxxxx5 tie is resolved from the double's
+      // SHORTEST DECIMAL representation by Spark but from its BINARY
+      // value by DuckDB. Half-away-from-zero over micro-unit BIGINTs —
+      // q = (2·|s| + n) div (2·n), signed — is tie-exact in both engines,
+      // and the final /1e6 of an integer is the same nearest-double on
+      // both sides. (Round-13 find; the one case the repo's
+      // round-after-divide convention cannot cover is a true tie.)
+      .withColumn("sI", (col("sd") * 1000000L).cast("long"))
+      .withColumn("q0",
+        expr("(2 * abs(sI) + n_vecs) div (2 * n_vecs)"))
+      .select(col(groupCol), col("dim_pos"),
+        (when(col("sI") < 0, -col("q0")).otherwise(col("q0")).cast("double")
+          / lit(1000000.0)).as("mean_val"),
+        col("n_vecs"))
 
   /** The `nprobe` nearest centroid buckets per query vector (same scoring
     * and tie-break as [[ivfAssign]], so nprobe=1 probes exactly the query's
