@@ -754,11 +754,24 @@ object LlmQueries {
     * memory-pressure probe isolates the search tier). Unset, each JVM
     * builds into its own temp root on first touch (the bench convention:
     * iteration 1 amortizes the build).
+    *
+    * The fixed root is NAMESPACED by a digest of the data dir: the
+    * artifact is a pure function of (corpus, geometry), so two datasets
+    * sharing one root must land in disjoint subtrees — without this, the
+    * second dataset's first search would hit the `fs.exists` fast path
+    * and silently return the FIRST dataset's neighbors (r13 advisor
+    * find: plausible-but-wrong results, no error anywhere).
     */
   private def pqIndexPath(dir: String): String =
-    sys.env.get("SPARK_GRAFT_PQIDX_DIR").getOrElse(
-      pqIndexArtifacts.getOrElseUpdate(dir,
-        java.nio.file.Files.createTempDirectory("graft-pqidx-").toString))
+    sys.env.get("SPARK_GRAFT_PQIDX_DIR") match {
+      case Some(root) =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        s"$root/ds-$digest"
+      case None =>
+        pqIndexArtifacts.getOrElseUpdate(dir,
+          java.nio.file.Files.createTempDirectory("graft-pqidx-").toString)
+    }
 
   /** Build (or read back) the IVF-PQ index artifact for `dir` at q16h's
     * exact geometry. Consumer semantics (the q52b precedent): the first
@@ -925,11 +938,18 @@ object LlmQueries {
     * exact DECIMAL sums of those — association-free, so engine
     * aggregation order cannot move a hash-match.
     *
-    * Scale shape: one (doc, gram) explode; TWO partial-aggregated
-    * B-bounded bucket histograms; two bounded driver scalars (the totals);
-    * the B-row log-ratio table broadcasts back into the gram stream; one
-    * doc-keyed aggregation. The vocabulary never shuffles — the hash
-    * bounds every intermediate at B rows.
+    * Scale shape: TWO gram-explode scans and zero caching. Scan one
+    * partial-aggregates the (bucket, is_tgt) histogram — ≤ 2·B rows, a
+    * bounded driver collect (the repo's bounded-metadata convention) from
+    * which the totals and the B-row log-ratio table derive entirely
+    * driver-side; scan two joins that table back (broadcast local
+    * relation) and aggregates per doc. Re-deriving the grams once beats
+    * the r13 shape this replaced — persist(MEMORY_AND_DISK) of the FULL
+    * gram stream (corpus-scale cache, ~2× text bytes) plus two extra
+    * count jobs, and the persist leaked a cache entry per invocation
+    * (advisor find): exact integer histograms recompute bit-identically,
+    * so the cache bought determinism nothing. The vocabulary never
+    * shuffles — the hash bounds every intermediate at B rows.
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsFor(
@@ -951,20 +971,34 @@ object LlmQueries {
       .withColumn("bucket",
         conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long")
           % DsirBuckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totRaw = docGrams.count()
-    val totTgt = docGrams.filter(col("is_tgt")).count()
-    val rawB = docGrams.groupBy("bucket").agg(count(lit(1)).as("n_raw"))
-    val tgtB = docGrams.filter(col("is_tgt"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_tgt"))
-    val lpTable = rawB.join(tgtB, Seq("bucket"), "left")
-      .select(col("bucket"),
-        round(log(
-          ((coalesce(col("n_tgt"), lit(0L)) + lit(1L)).cast("double")
-            / lit((totTgt + DsirBuckets).toDouble))
-          / ((col("n_raw") + lit(1L)).cast("double")
-            / lit((totRaw + DsirBuckets).toDouble))), 6)
-          .cast("decimal(20,6)").as("lp"))
+    // ≤ 2·B rows — bounded in B, never in corpus size
+    val hist = docGrams.groupBy("bucket", "is_tgt")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val totRaw = hist.map(_._3).sum
+    val totTgt = hist.collect { case (_, true, n) => n }.sum
+    val nTgtByBucket = hist.collect { case (b, true, n) => b -> n }.toMap
+    // Per-bucket log ratio, identical operand structure to the r13 Spark
+    // expression and the DuckDB twin: (n_tgt+1)/(totTgt+B) over
+    // (n_raw+1)/(totRaw+B), one ln (java.lang.Math.log — what Spark's
+    // `log` evaluates), rounded 6 HALF_UP from the double's shortest
+    // decimal representation (BigDecimal.valueOf — what Spark's `round`
+    // does), carried as DECIMAL(20,6).
+    val lpRows = hist.groupBy(_._1).toSeq.map { case (b, rows) =>
+      val nRaw = rows.map(_._3).sum
+      val nTgt = nTgtByBucket.getOrElse(b, 0L)
+      val ratio = ((nTgt + 1L).toDouble / (totTgt + DsirBuckets).toDouble) /
+        ((nRaw + 1L).toDouble / (totRaw + DsirBuckets).toDouble)
+      org.apache.spark.sql.Row(b, java.math.BigDecimal.valueOf(math.log(ratio))
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+    }
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    val lpTable = docs.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(lpRows).asJava),
+      StructType(Seq(
+        StructField("bucket", LongType, nullable = false),
+        StructField("lp", DecimalType(20, 6), nullable = false))))
     docGrams.join(broadcast(lpTable), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum(col("lp")).as("w"))
@@ -2746,7 +2780,13 @@ object LlmQueries {
     * merge table's token-count savings vs the pre-merge baseline. Ratios
     * divide once per GROUP over exact BIGINT sums (never avg-of-ratios —
     * association-free, so engine order and the oracle agree bit-for-bit),
-    * 6-decimal rounded, zero-denominator → NULL on both engines.
+    * zero-denominator → NULL on both engines. Each ratio's 6-decimal
+    * rounding is decided entirely in INTEGER space (the
+    * [[graft.llm.Similarity.meanPool]] tie lesson: `round(double, 6)` on
+    * a quotient near an x.xxxxxx5 tie resolves from the shortest decimal
+    * representation in Spark but from the binary value in DuckDB) — see
+    * [[intRatio6]]/[[sqlIntRatio6]], the same half-away-from-zero
+    * micro-unit formula on both engines.
     *
     * Scale shape: q75's shuffle-free projection chain with lang/words/
     * chars carried through (no join-back re-scan), then ONE
@@ -2759,9 +2799,6 @@ object LlmQueries {
       .withColumn("n_words", TextStats.tokenCount(col("text")).cast("bigint"))
     val applied = TextStats.bpeApply(docs, "doc_id", "text",
       learnedMerges(docs), carry = Seq("lang", "n_words", "n_chars"))
-    def ratio(num: org.apache.spark.sql.Column,
-        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      round(num.cast("double") / nullif(den.cast("double"), lit(0.0)), 6)
     applied.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum("n_words").as("words"),
@@ -2770,12 +2807,44 @@ object LlmQueries {
         sum("n_chars").as("chars"))
       .select(col("lang"), col("n_docs"), col("words"),
         col("toks_before"), col("toks_after"),
-        ratio(col("toks_after"), col("words")).as("fertility"),
-        ratio(col("chars"), col("toks_after")).as("chars_per_tok"),
-        round(lit(1.0) - col("toks_after").cast("double")
-          / nullif(col("toks_before").cast("double"), lit(0.0)), 6)
+        intRatio6("toks_after", "words").as("fertility"),
+        intRatio6("chars", "toks_after").as("chars_per_tok"),
+        // merge_savings = 1 - after/before, exactly (before-after)/before
+        // on non-negative BIGINTs (merges never add tokens).
+        intRatio6("(toks_before - toks_after)", "toks_before")
           .as("merge_savings"))
   }
+
+  /** `round(num/den, 6)` for NON-NEGATIVE BIGINT columns, decided in
+    * exact integer space on both engines — the tie-proof form of the
+    * repo's round-after-divide convention (the q73 lesson documented at
+    * [[graft.llm.Similarity.meanPool]]). Split into whole + fractional
+    * parts so only the remainder (< den) is scaled to micro-units:
+    * `q = (num div den)·10⁶ + (2·10⁶·(num % den) + den) div (2·den)`
+    * — half-away-from-zero, then one exact `/1e6` double division that
+    * lands on the same nearest double in Spark and DuckDB. Zero
+    * denominator → NULL via `nullif`. Overflow bound: den ≤ 4.6e12
+    * (2·10⁶·r with r < den must fit a BIGINT); per-group token/char sums
+    * beyond ~4.6 trillion would need the DECIMAL variant — documented,
+    * not silently wrong, since Spark's `*` on BIGINT overflow under ANSI
+    * wraps visibly against the oracle and DuckDB errors.
+    *
+    * `num`/`den` are SQL expression strings over the enclosing select's
+    * input columns (integer `div` has no Column-API form).
+    */
+  private def intRatio6(num: String, den: String): org.apache.spark.sql.Column =
+    expr(s"""CAST(($num div nullif($den, 0)) * 1000000
+      + (2000000 * ($num % nullif($den, 0)) + nullif($den, 0))
+        div (2 * nullif($den, 0)) AS DOUBLE) / 1000000.0""")
+
+  /** DuckDB twin of [[intRatio6]] — identical formula with `//` integer
+    * division (DuckDB's sums are HUGEINT, so the micro-unit products
+    * cannot overflow there).
+    */
+  private def sqlIntRatio6(num: String, den: String): String =
+    s"""CAST(($num // nullif($den, 0)) * 1000000
+      + (2000000 * ($num % nullif($den, 0)) + nullif($den, 0))
+        // (2 * nullif($den, 0)) AS DOUBLE) / 1000000.0"""
 
   /** Twin: the merge table derives in SQL with the identical ordering
     * (scalar row_number over count desc, pair asc; `split_part` is safe
@@ -2812,21 +2881,26 @@ object LlmQueries {
       |FROM t JOIN s$BpeMergeCount ON t.doc_id = s$BpeMergeCount.doc_id""".stripMargin
 
   /** Twin of [[bpeEvalByLang]]: same CTE chain as q75, then one GROUP BY
-    * over exact BIGINT sums with the division-once/round-6/NULLIF-guard
-    * arithmetic mirrored term-for-term.
+    * over exact BIGINT sums with the integer-space [[sqlIntRatio6]]
+    * rounding mirrored term-for-term. Every `sum()` is CAST to BIGINT —
+    * DuckDB widens `sum(BIGINT)` to HUGEINT, which the driver's value
+    * hash distinguishes from Spark's BIGINT even when the values are
+    * identical (the r13 q76 lesson; cf. q25/q73's same convention).
     */
-  private val q76Oracle: String =
+  private val q76Oracle: String = {
+    val after = s"CAST(sum(len(s$BpeMergeCount.toks)) AS BIGINT)"
+    val before = "CAST(sum(len(t.toks)) AS BIGINT)"
+    val words = "CAST(sum(t.n_words) AS BIGINT)"
+    val chars = "CAST(sum(t.n_chars) AS BIGINT)"
     s"""$bpeApplyCtes
-      |SELECT t.lang, count(*) AS n_docs, sum(t.n_words) AS words,
-      |  sum(len(t.toks)) AS toks_before, sum(len(s$BpeMergeCount.toks)) AS toks_after,
-      |  round(CAST(sum(len(s$BpeMergeCount.toks)) AS DOUBLE)
-      |    / nullif(CAST(sum(t.n_words) AS DOUBLE), 0), 6) AS fertility,
-      |  round(CAST(sum(t.n_chars) AS DOUBLE)
-      |    / nullif(CAST(sum(len(s$BpeMergeCount.toks)) AS DOUBLE), 0), 6) AS chars_per_tok,
-      |  round(1.0 - CAST(sum(len(s$BpeMergeCount.toks)) AS DOUBLE)
-      |    / nullif(CAST(sum(len(t.toks)) AS DOUBLE), 0), 6) AS merge_savings
+      |SELECT t.lang, count(*) AS n_docs, $words AS words,
+      |  $before AS toks_before, $after AS toks_after,
+      |  ${sqlIntRatio6(after, words)} AS fertility,
+      |  ${sqlIntRatio6(chars, after)} AS chars_per_tok,
+      |  ${sqlIntRatio6(s"($before - $after)", before)} AS merge_savings
       |FROM t JOIN s$BpeMergeCount ON t.doc_id = s$BpeMergeCount.doc_id
       |GROUP BY 1""".stripMargin
+  }
 
   // ---- registry --------------------------------------------------------
 

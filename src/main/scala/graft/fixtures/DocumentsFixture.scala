@@ -12,6 +12,13 @@ import graft.sources.Tables
   */
 object DocumentsFixture {
 
+  // Additive offsets are collision-free here ONLY under the documented id
+  // assumption: every corpus this fixture ever sees keeps per-replica
+  // doc_id spans < 10000 (testdata spans ≤5000 ids; the replica tool
+  // spaces replicas 1M apart). A contiguous-id corpus larger than the
+  // offset would collide — [[gopherArms]] uses the injective
+  // multiplicative key space for that reason; these offsets stay because
+  // recorded artifacts and specs pin the +10000/+20000 injected ids.
   private val arms = Seq(
     "SELECT doc_id, text, lang, source FROM %s",
     "SELECT doc_id + 10000, text, lang, source FROM %s WHERE doc_id % 10 = 0",
@@ -55,23 +62,36 @@ object DocumentsFixture {
     * tail under the word-count floor, ellipsis line endings, and a
     * digit-token flood that sinks the alphabetic-word ratio. Same shared
     * Spark/DuckDB dialect as every fixture (replace/chr/repeat/substr only).
+    *
+    * Key space: `doc_id * 10 + arm` rather than additive offsets — an
+    * additive `+ 50000` collides with base ids on any id-CONTIGUOUS
+    * corpus bigger than the offset (the r13 advisor find: a 100×-scale
+    * run with contiguous ids would silently duplicate keys, and since the
+    * oracle mirrors the fixture SQL the gate could never flag it). The
+    * multiplicative form is injective for ANY non-negative id
+    * distribution: arm index lives in the ones digit, base ids in the
+    * rest. ([[arms]]/[[uniArms]] keep their additive offsets: their
+    * injected doc_ids are pinned by recorded artifacts and specs, and the
+    * replica tool spaces replica id spans 1M apart with ≤5k ids each, so
+    * no generated corpus can collide — the assumption is documented
+    * there.)
     */
   private val gopherArms = Seq(
-    "SELECT doc_id, text FROM %s",
+    "SELECT doc_id * 10 AS doc_id, text FROM %s",
     // bullet-structured: every ' a ' separator becomes a newline + '- '
-    "SELECT doc_id + 50000 AS doc_id, replace(text, ' a ', chr(10) || '- ') AS text " +
+    "SELECT doc_id * 10 + 1 AS doc_id, replace(text, ' a ', chr(10) || '- ') AS text " +
       "FROM %s WHERE doc_id % 7 = 0",
     // symbol runs: hash/ellipsis mass pushes symbol-to-word past the cap
-    "SELECT doc_id + 60000 AS doc_id, text || ' ' || repeat('# ... ', 12) || '…' AS text " +
+    "SELECT doc_id * 10 + 2 AS doc_id, text || ' ' || repeat('# ... ', 12) || '…' AS text " +
       "FROM %s WHERE doc_id % 13 = 0",
     // truncated: a handful of words, under the word-count floor
-    "SELECT doc_id + 70000 AS doc_id, substr(text, 1, 30) AS text " +
+    "SELECT doc_id * 10 + 3 AS doc_id, substr(text, 1, 30) AS text " +
       "FROM %s WHERE doc_id % 17 = 0",
     // ellipsis line-ends: every ' the ' becomes '...' + a newline
-    "SELECT doc_id + 80000 AS doc_id, replace(text, ' the ', '...' || chr(10)) AS text " +
+    "SELECT doc_id * 10 + 4 AS doc_id, replace(text, ' the ', '...' || chr(10)) AS text " +
       "FROM %s WHERE doc_id % 19 = 0",
     // digit flood: 80 numeric tokens sink the alphabetic-word ratio
-    "SELECT doc_id + 90000 AS doc_id, text || ' ' || repeat('42 ', 80) AS text " +
+    "SELECT doc_id * 10 + 5 AS doc_id, text || ' ' || repeat('42 ', 80) AS text " +
       "FROM %s WHERE doc_id % 23 = 0")
 
   def gopherCorpusSql(rel: String = "documents"): String =

@@ -65,12 +65,19 @@ case class HammingSig(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      // numElements() hoisted to a local: it is a virtual call across
+      // Unsafe/GenericArrayData call sites, and this loop runs once per
+      // PAIR of the N×|Q| candidate scan — re-calling it per iteration
+      // reintroduces the megamorphic dispatch this kernel exists to avoid
+      // (r13 advisor find; mirrors the interpreted path's local `n`).
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $acc = 0L;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
          |  }

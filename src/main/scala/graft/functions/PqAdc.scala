@@ -86,15 +86,20 @@ case class PqAdc(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
       val kk = ctx.freshName("k")
+      val mm = ctx.freshName("m")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
+      // numElements() hoisted to locals — same rationale as HammingSig's
+      // codegen: virtual calls in a per-PAIR hot loop are the megamorphic
+      // dispatch the kernel exists to avoid (r13 advisor find).
       s"""
-         |if ($a.numElements() == 0 || $b.numElements() % $a.numElements() != 0) {
+         |int $mm = $a.numElements();
+         |if ($mm == 0 || $b.numElements() % $mm != 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $kk = $b.numElements() / $a.numElements();
+         |  int $kk = $b.numElements() / $mm;
          |  long $acc = 0L;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  for (int $i = 0; $i < $mm; $i++) {
          |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $c = $a.getLong($i);
          |    if ($c < 0L || $c >= (long) $kk) { ${ev.isNull} = true; break; }

@@ -405,16 +405,21 @@ object Similarity {
     * Charikar sign-random-projection specialized to axis planes): angle
     * tracks Hamming distance, so a cheap xor/popcount scan ranks
     * candidates and only a small re-rank set ever touches float vectors.
-    * A null/absent embedding yields a null signature and drops out of the
-    * candidate scan (same contract as the other ANN variants). A
-    * ZERO-LENGTH embedding yields a zero-length signature (the guard
-    * matters: without it the word-count expression is −1, `sequence(0,−1)`
-    * DESCENDS — the same trap [[graft.llm.TextStats.bpeMergeStep]]
-    * documents — and `element_at` throws under ANSI on indices −31..0).
-    * Against another empty signature the Hamming distance is 0, so two
-    * empty embeddings pair up and fall to the exact re-rank's
-    * degenerate-vector handling; against any real signature the kernel's
-    * length-mismatch null-poisoning drops the pair.
+    * A null/absent OR ZERO-LENGTH embedding yields a null signature and
+    * drops out of the candidate scan (same contract as the other ANN
+    * variants). Zero-length is deliberately poisoned rather than packed
+    * as an empty signature: an empty-vs-empty pair would pass a Hamming-0
+    * radius cut and reach the exact re-rank with a 0/0 = NaN cosine
+    * (which Spark's descending sort ranks FIRST), and the DuckDB twin —
+    * whose `list_sum` over an empty list is NULL — would drop the same
+    * pair, a latent cross-engine divergence (r13 advisor find). An empty
+    * embedding carries no signal; excluding it is the only semantics both
+    * engines express naturally. (The zero-length branch also guards the
+    * ANSI trap: unguarded, the word-count expression is −1,
+    * `sequence(0,−1)` DESCENDS — the same trap
+    * [[graft.llm.TextStats.bpeMergeStep]] documents — and `element_at`
+    * throws on indices −31..0.) Against any real signature the kernel's
+    * length-mismatch null-poisoning drops mixed-dimension pairs.
     *
     * Plan-size note (the q16g lesson): the packing is ONE
     * transform+aggregate tree whose node count is constant in `d` — the
@@ -434,9 +439,9 @@ object Similarity {
             pow(lit(2.0), b).cast("long")).otherwise(lit(0L))
         }))
     // CaseWhen evaluates lazily, so the descending-sequence branch never
-    // runs for null/empty inputs (null in, null out; empty in, empty out).
-    when(emb.isNull, lit(null).cast("array<long>"))
-      .when(size(emb) === 0, array().cast("array<long>"))
+    // runs for null/empty inputs (null in, null out; empty in, NULL out —
+    // see the zero-length poisoning rationale above).
+    when(emb.isNull || size(emb) === 0, lit(null).cast("array<long>"))
       .otherwise(words)
   }
 

@@ -522,16 +522,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(allSet == Seq((1L << 32) - 1, (1L << 32) - 1), s"all-set packed $allSet")
   }
 
-  test("signSig: null embedding -> null signature, empty embedding -> empty signature") {
-    // the empty case is the ANSI trap: unguarded, the word-count expression
-    // is -1, sequence(0,-1) DESCENDS and element_at throws on indices -31..0
+  test("signSig: null AND empty embeddings -> null signature (both drop out of the scan)") {
+    // empty is poisoned, not packed: an empty-vs-empty pair would pass a
+    // Hamming-0 radius cut into a 0/0 = NaN re-rank on the Spark side while
+    // the DuckDB twin's list_sum(empty) = NULL drops it (r13 advisor find).
+    // The guarded branch also covers the ANSI trap: unguarded, the
+    // word-count expression is -1, sequence(0,-1) DESCENDS and element_at
+    // throws on indices -31..0.
     val out = Seq(Tuple1(Option.empty[Seq[Double]]), Tuple1(Option(Seq.empty[Double])),
         Tuple1(Option(Seq(1.0))))
       .toDF("emb")
       .select(Similarity.signSig(col("emb")).as("sig"))
       .as[Option[Seq[Long]]].collect()
-    assert(out.toSeq == Seq(None, Some(Seq.empty[Long]), Some(Seq(1L))),
+    assert(out.toSeq == Seq(None, None, Some(Seq(1L))),
       s"null/empty/singleton signatures ${out.toSeq}")
+  }
+
+  test("binaryTopK: empty embeddings never pair, even empty-vs-empty at radius 0") {
+    // two empty embeddings + two real ones; queries = all. If empties
+    // paired, (3,4) would surface with a NaN score ranked first.
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq.empty[Double]), (4L, Seq.empty[Double]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryTopK(df, "vec_id", "embedding",
+        queryFilter = lit(true), k = 5, maxHamming = 64)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L)),
+      s"empty embeddings leaked into the pair scan: $out")
   }
 
   test("hammingSig: per-word xor/popcount sum") {
