@@ -28,6 +28,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++ LlmQueries.oracles
+
+  /** Registered queries that are DELIBERATE scale contrasts — measured
+    * negative results kept on the record to anchor BASELINE.md's scale
+    * rules — mapped to the production twin whose design they motivate.
+    * Machine-readable (r13 VERDICT ask #6) so RegistrySpec can enforce
+    * that every contrast still names a live production query: before
+    * this map the set was identifiable only by name/scaladoc convention,
+    * and a rename or removal of a twin could silently orphan its
+    * contrast. A contrast is still a full registry member (oracle-checked
+    * for correctness) — `weak` refers to its SCALE shape only.
+    */
+  val contrasts: Map[String, String] = Map(
+    // union-reduce plan growth (channel-capped) vs the single-plan report
+    "q07_events_report_parity" -> "q06_events_report",
+    // per-run cluster recompute vs the persisted split artifact
+    "q52_cluster_split_oneshot" -> "q52b_cluster_split_artifact",
+    // fixed-cardinality label blocking (157×/decade) vs cell blocking
+    "q48_semantic_dedup_labels" -> "q48b_semantic_dedup_cells",
+    // fixed LSH geometry (54×/decade degeneration) vs adaptive geometry
+    "q16e_ann_lsh_fixed" -> "q16g_ann_lsh_adaptive",
+    // per-run codebook rebuild + corpus re-encode vs the persisted index
+    "q16h_ann_ivf_pq" -> "q16i_ann_ivf_pq_indexed",
+    // fixed-nprobe recall decay vs the fraction-held adaptive probe
+    "q24b_semantic_decontaminate" -> "q24c_semantic_decontaminate_adaptive")
 }
 
 /** Core operator queries (SURVEY.md §2 inventory) over the synthetic

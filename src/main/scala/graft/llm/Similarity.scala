@@ -304,9 +304,22 @@ object Similarity {
       candObservation: Option[Observation] = None): DataFrame = {
     val n = vectors(vectorsDf, idCol, embCol)
     val assigned = ivfAssign(n, n.filter(centroidFilter))
-    val q = probeBuckets(n.filter(queryFilter), n.filter(centroidFilter), nprobe)
-    val pairs = assigned.join(broadcast(q), Seq("bucket"))
+    // Split-broadcast discipline (the r13 q16h/q16i rule, applied to the
+    // raw-IVF family in r14 after a d=768 probe measured the failure): a
+    // SLIM (query_id, bucket) table drives the bucket join; the raw query
+    // vector attaches per-QUERY afterwards. The fused form this replaces
+    // carried q_emb on every probe row — |Q|·nprobe·d·8 bytes, and with
+    // adaptive geometry nprobe = 0.2·√N GROWS with the corpus: at 200k
+    // rows × d=768 that broadcast is 4000·90·6 KB ≈ 2.2 GB, a driver OOM
+    // (WideDimProbe reproduced it); bounded per-query it is 24 MB.
+    val probes = probeBuckets(n.filter(queryFilter), n.filter(centroidFilter),
+        nprobe)
+      .select(col("query_id"), col("bucket"))
+    val qEmb = n.filter(queryFilter)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val pairs = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
       .withColumn("score", round(fusedCosine(col("emb"), col("q_emb")), 6))
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
     rankTopK(observeCandidates(pairs, candObservation), k)

@@ -26,6 +26,23 @@ class RegistrySpec extends SparkTestBase {
       s"rows-only entries not in the registry: ${rowsOnlyByDesign.keySet -- q}")
   }
 
+  test("every declared scale contrast and its production twin are live registry entries") {
+    // r13 VERDICT ask #6: the deliberate-contrast set used to live only in
+    // names and scaladoc, so renaming a production twin (q16e's twin
+    // changed name in r13) could orphan its contrast silently. The map is
+    // now code; this pins both sides to the registry and keeps the
+    // relation irreflexive (a query can't be its own twin).
+    val q = SparkEntry.queries.keySet
+    SparkEntry.contrasts.foreach { case (contrast, twin) =>
+      assert(q.contains(contrast), s"declared contrast $contrast is not registered")
+      assert(q.contains(twin), s"$contrast names production twin $twin, not registered")
+      assert(contrast != twin, s"$contrast declares itself as its twin")
+    }
+    assert(SparkEntry.contrasts.values.toSet.intersect(
+      SparkEntry.contrasts.keySet).isEmpty,
+      "a production twin is itself declared a contrast")
+  }
+
   test("no query name is shadowed across the three sub-registries") {
     val sizes = CoreQueries.queries.size + PipelineQueries.queries.size +
       LlmQueries.queries.size
