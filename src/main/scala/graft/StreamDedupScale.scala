@@ -61,11 +61,22 @@ object StreamDedupScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
     val skipBatchCheck = sys.env.get("SPARK_GRAFT_SKIP_BATCH_CHECK").contains("1")
+    // Kill-and-resume (the StreamScale r13 protocol, r13 VERDICT ask #7
+    // extended it to this loop): `SPARK_GRAFT_STATE_DIR` pins the
+    // index/pairs location and BATCH_FROM/BATCH_TO bound the ladder
+    // slice, so one JVM can ingest batches 0–4, die (optionally with a
+    // torn compaction swap simulated between the JVMs), and a FRESH JVM
+    // resume 5–9 against the same index — ingestBatch's heal-before-read
+    // exercised at replica scale. The incremental ≡ batch check emits
+    // only when a run ends on the last batch, i.e. from the resuming JVM.
+    val batchFrom = sys.env.getOrElse("SPARK_GRAFT_BATCH_FROM", "0").toInt
+    val batchTo = sys.env.getOrElse("SPARK_GRAFT_BATCH_TO", (nBatches - 1).toString).toInt
     // maintenance cadence: compact the index every K triggers (0 = never) —
     // the probe for the measured small-file growth term (see
     // StreamingNearDedup.compactIndex)
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
-    val base = Files.createTempDirectory("graft-dedupscale").toString
+    val base = sys.env.getOrElse("SPARK_GRAFT_STATE_DIR",
+      Files.createTempDirectory("graft-dedupscale").toString)
     val indexDir = s"$base/index"
     val pairsDir = s"$base/pairs"
     val spark = GraftSession.local(cpus)
@@ -86,7 +97,7 @@ object StreamDedupScale {
     val total = docs.count()
     println(s"""{"sf":${Bench.jstr(sfDir)},"rows":$total,"batches":$nBatches,"index":${Bench.jstr(indexDir)}}""")
 
-    (0 until nBatches).foreach { b =>
+    (batchFrom to batchTo).foreach { b =>
       val batch = sliced.filter(col("__slice") === b).drop("__slice")
       val t0 = System.nanoTime()
       val nPairs = StreamingNearDedup.ingestBatch(
@@ -103,7 +114,9 @@ object StreamDedupScale {
       }
     }
 
-    if (!skipBatchCheck) {
+    // a kill-and-resume FIRST half exits here; the resuming run (the one
+    // that reaches the final batch) emits the equivalence check
+    if (!skipBatchCheck && batchTo == nBatches - 1) {
       // the contrast: one full batch near-dup over the same corpus, and the
       // exactness check that makes the per-trigger numbers meaningful
       val t1 = System.nanoTime()

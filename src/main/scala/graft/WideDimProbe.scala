@@ -76,6 +76,16 @@ object WideDimProbe {
           col("id") % stride === 0, k = 5, nprobe = nprobe).count()
       }
 
+      // q15c shape: the binary scan's radius is a FRACTION of d (Hamming
+      // tracks angle, angle distribution is d-invariant for isotropic
+      // vectors), so R = ⌈27/64 · d⌉ transports the d=64 calibration.
+      // Binary signatures pack by construction (d/32 longs), so this is
+      // the quantized tier whose bandwidth advantage survives wide dims.
+      val radius = math.ceil(27.0 / 64.0 * dims).toInt
+      def binTopK() = Similarity.binaryTopK(emb, "vec_id", "embedding",
+        queryFilter, k = 5, maxHamming = radius)
+      val (binMed, binSamples, _) = timeIt(iters)(binTopK().count())
+
       // q16i shape: persisted-index build (once) then search-only.
       // Subspace count M defaults to the registered tier's RULE — constant
       // subvector width (q15d/q16h: subDim = 4) — rather than its constant
@@ -105,8 +115,8 @@ object WideDimProbe {
         subspaces = subspaces)
       val (pqMed, pqSamples, _) = timeIt(iters)(pqSearch().count())
 
-      val (bruteMed, ivfRecall, pqRecall) =
-        if (skipBrute) (-1.0, -1.0, -1.0)
+      val (bruteMed, ivfRecall, pqRecall, binRecall) =
+        if (skipBrute) (-1.0, -1.0, -1.0, -1.0)
         else {
           val (bm, _, _) = timeIt(iters) {
             Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -118,16 +128,20 @@ object WideDimProbe {
             "embedding", queryFilter, col("id") % stride === 0, k = 5,
             nprobe = nprobe))
           val r2 = recallAt(brute, pqSearch())
-          (bm, r1, r2)
+          val r3 = recallAt(brute, binTopK())
+          (bm, r1, r2, r3)
         }
 
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       println(s"""{"dir":${Bench.jstr(dir)},"rows":$cnt,"dims":$dims,""" +
-        s""""pq_m":$subspaces,"k_cent":$kCent,"nprobe":$nprobe,"iters":$iters,""" +
+        s""""pq_m":$subspaces,"k_cent":$kCent,"nprobe":$nprobe,""" +
+        s""""bin_radius":$radius,"iters":$iters,""" +
         f""""brute_sec":$bruteMed%.3f,"ivf_raw_sec":$ivfMed%.3f,""" +
         f""""pq_build_sec":$buildSec%.3f,"pq_search_sec":$pqMed%.3f,""" +
-        f""""ivf_recall5":$ivfRecall%.4f,"pq_recall5":$pqRecall%.4f,""" +
-        s""""ivf_samples":${arr(ivfSamples)},"pq_samples":${arr(pqSamples)}}""")
+        f""""bin_sec":$binMed%.3f,"ivf_recall5":$ivfRecall%.4f,""" +
+        f""""pq_recall5":$pqRecall%.4f,"bin_recall5":$binRecall%.4f,""" +
+        s""""ivf_samples":${arr(ivfSamples)},"pq_samples":${arr(pqSamples)},""" +
+        s""""bin_samples":${arr(binSamples)}}""")
       spark.catalog.clearCache()
     }
     spark.stop()
