@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{CosineSimilarity, CutSpans, HammingSig, HyperplaneBuckets, JsonShred, MinHashSignatures, NfcNormalize, PqAdc, SimHashSketch, WinnowFingerprints, WordHits}
+import graft.functions.{CosineSimilarity, CutSpans, HammingSig, HyperplaneBuckets, JsonShred, MinHashSignatures, NfcNormalize, PqAdc, PqAdcPacked, SimHashSketch, WinnowFingerprints, WordHits}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions with the function
@@ -259,6 +259,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "pq_adc takes exactly 2 arguments: (codes, lut)")
         PqAdc(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_packed"),
+      new ExpressionInfo(
+        classOf[PqAdcPacked].getName,
+        null,
+        "pq_adc_packed",
+        "pq_adc_packed(pcodes, lut, m) - pq_adc over bit-packed codes: " +
+          "8-bit code fields, 8 per 64-bit word in subspace order; m is " +
+          "the subspace count (geometry constant), k = lut.length / m",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "pq_adc_packed takes exactly 3 arguments: (pcodes, lut, m)")
+        PqAdcPacked(children(0), children(1), children(2))
       }))
 
     ext.injectFunction((

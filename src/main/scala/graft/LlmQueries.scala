@@ -867,7 +867,10 @@ object LlmQueries {
       residue = 1L)
     Similarity.ivfPqIndexRows(batch, centroids, codebook, PqDims)
       .select(col("id"), col("bucket"),
-        concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+        // the index row carries the PACKED layout since r14; the oracle
+        // surface stays the unpacked comma-joined code list
+        concat_ws(",", Similarity.unpackCodes(col("pcodes"), Similarity.PqSubspaces)
+          .cast("array<string>")).as("codes"),
         col("rnorm2I"))
   }
 

@@ -626,7 +626,7 @@ object Similarity {
     * per group — not N·k.
     */
   def pqEncode(n: DataFrame, codebook: DataFrame, dims: Int,
-      subspaces: Int = PqSubspaces): DataFrame = {
+      subspaces: Int = PqSubspaces, packed: Boolean = true): DataFrame = {
     val xs = n.select(col("id"), inline(pqSubVectors(col("emb"), dims, subspaces)))
       .select(col("id"), col("m"), col("sub").as("xsub"))
     val d2I = greatest(lit(0L),
@@ -638,15 +638,77 @@ object Similarity {
         (d2I * (1L << PqPackBits) + col("j")).as("packed"))
       .groupBy("id", "m").agg(min("packed").as("mn"))
       .select(col("id"), col("m"), (col("mn") % (1L << PqPackBits)).as("j"))
-    picked
+    val collapsed = picked
       .join(broadcast(codebook.select("m", "j", "sqI")), Seq("m", "j"))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("m"), col("j")))).as("mj"),
         sum("sqI").as("rnorm2I"))
-      .select(col("id"),
-        transform(col("mj"), s => s.getField("j")).as("codes"),
-        col("rnorm2I"))
+    val js = transform(col("mj"), s => s.getField("j"))
+    // `packed = false` keeps the unpacked array<bigint> layout for
+    // codebooks beyond the 8-bit field bound (the stride-1 zero-error
+    // diagnostic uses k = N codewords); production geometries (k ≈ 16)
+    // always pack — packCodes raises loudly if a code ever exceeds 255.
+    if (packed)
+      collapsed.select(col("id"), packCodes(js).as("pcodes"), col("rnorm2I"))
+    else
+      collapsed.select(col("id"), js.as("codes"), col("rnorm2I"))
   }
+
+  /** Pack a subspace-ordered code array into 8-bit fields, SIX per
+    * 64-bit word (field `m % 6` of word `m / 6`) — the at-rest layout
+    * [[graft.functions.PqAdcPacked]] reads and the fix for the measured
+    * wide-dim finding (BASELINE.md r14): `array<bigint>` codes grow
+    * linearly with M = d/4 and cost the scan its bandwidth win; packed
+    * they are ⌈M/6⌉ longs — 24 B at M=16, 256 B at M=192 — at any d.
+    * 8-bit fields keep every k ≤ 256 codebook representable
+    * (stride-selected codebooks can exceed 16 entries on small corpora);
+    * six per word keeps every packed word under 2^48 — positive, and
+    * EXACT through long↔double conversions, which is what lets both this
+    * pack and [[unpackCodes]] run in plain Column arithmetic (the
+    * multiply/divide by 2^(8b) only moves the exponent). The column is
+    * named `pcodes`, deliberately NOT `codes`: a persisted index
+    * artifact written by the unpacked layout must fail FAST (missing
+    * column) when read by packed-layout code, never silently mis-decode.
+    * Same constant-plan-size HOF shape as [[signSig]]; encode runs once
+    * per corpus ROW (never per pair), so the interpreted lambdas are off
+    * the hot path.
+    */
+  private val PqFieldsPerWord = 6
+
+  def packCodes(codes: Column): Column =
+    transform(
+      sequence(lit(0),
+        floor((size(codes) + PqFieldsPerWord - 1) / PqFieldsPerWord)
+          .cast("int") - 1),
+      w => aggregate(
+        sequence(lit(0), lit(PqFieldsPerWord - 1)), lit(0L),
+        (acc, b) => {
+          val idx = w * PqFieldsPerWord + b + 1 // element_at is 1-based
+          val v = element_at(codes, idx)
+          // loud, never silent: a code past the 8-bit field would corrupt
+          // its neighbors — callers with k > 256 must use packed = false
+          val guarded = when(v > 255 || v < 0, raise_error(concat(
+            lit("pq code out of the packed 8-bit field: "), v.cast("string")))
+            .cast("long")).otherwise(v)
+          acc + when(idx <= size(codes),
+            guarded * pow(lit(2.0), b * 8).cast("long"))
+            .otherwise(lit(0L))
+        }))
+
+  /** Inverse of [[packCodes]] for display/oracle surfaces (q77 emits the
+    * unpacked comma-joined code list): subspace m's code is the unsigned
+    * 8-bit field `⌊word_{m/6} / 2^((m%6)·8)⌋ % 256`. Exact in double
+    * arithmetic BECAUSE words are 48-bit (see [[packCodes]]): the long
+    * converts exactly, division by a power of two only moves the
+    * exponent, floor of an exact value is exact. `subspaces` is the same
+    * geometry constant the packing used.
+    */
+  def unpackCodes(pcodes: Column, subspaces: Int): Column =
+    transform(sequence(lit(0), lit(subspaces - 1)),
+      m => floor(
+        element_at(pcodes, (m / PqFieldsPerWord).cast("int") + 1)
+          / pow(lit(2.0), (m % PqFieldsPerWord) * 8))
+        .cast("long") % 256)
 
   /** Per-query ADC lookup table: `lut[m·k + j] = round(dot(qsub_m,
     * codeword_{m,j}) · 1e6)` flattened row-major by subspace (the dense
@@ -679,6 +741,14 @@ object Similarity {
     */
   def fusedAdc(codes: Column, lutCol: Column): Column =
     call_function("pq_adc", codes, lutCol)
+
+  /** [[fusedAdc]] over the packed `pcodes` layout
+    * ([[graft.functions.PqAdcPacked]], registered as `pq_adc_packed`):
+    * the production scan path since r14 — the candidate row carries
+    * ⌈M/6⌉ longs instead of M.
+    */
+  def fusedAdcPacked(pcodes: Column, lutCol: Column, subspaces: Int): Column =
+    call_function("pq_adc_packed", pcodes, lutCol, lit(subspaces))
 
   /** Composable twin of [[fusedAdc]] for the equivalence property test —
     * the interpreted-HOF form the kernel replaces in the pair scan.
@@ -732,9 +802,15 @@ object Similarity {
     require(cnt > 0, "PQ codebook selection needs a non-empty corpus")
     val stride = math.max(1L, cnt / codewords)
     val codebook = pqCodebook(n, stride, dims, subspaces)
-    val enc = pqEncode(n, codebook, dims, subspaces)
+    // packed layout only inside the 8-bit field bound (margin for the
+    // stride-rounding overshoot); diagnostic geometries like the
+    // stride-1 zero-error probe (k = N) keep the unpacked array
+    val usePacked = codewords <= 128
+    val enc = pqEncode(n, codebook, dims, subspaces, packed = usePacked)
     val lutq = pqQueryLut(n.filter(queryFilter), codebook, dims, subspaces)
-    val adc = adcScore(fusedAdc(col("codes"), col("lut")),
+    val adc = adcScore(
+      if (usePacked) fusedAdcPacked(col("pcodes"), col("lut"), subspaces)
+      else fusedAdc(col("codes"), col("lut")),
       col("rnorm2I"), col("qnorm"))
     val pairs = adcThreshold match {
       case None =>
@@ -801,14 +877,17 @@ object Similarity {
     require(cnt > 0, "PQ codebook selection needs a non-empty corpus")
     val stride = math.max(1L, cnt / codewords)
     val codebook = pqCodebook(n, stride, dims, subspaces)
-    val enc = pqEncode(n, codebook, dims, subspaces)
+    val usePacked = codewords <= 128 // see pqTopK's packed-bound note
+    val enc = pqEncode(n, codebook, dims, subspaces, packed = usePacked)
     val assigned = ivfAssign(n, n.filter(centroidFilter))
       .select(col("id"), col("emb"), col("bucket"))
     // SLIM probe table: (query_id, bucket) only — 16 bytes × |Q|·nprobe
     val probes = probeBuckets(n.filter(queryFilter), n.filter(centroidFilter), nprobe)
       .select(col("query_id"), col("bucket"))
     val lutq = pqQueryLut(n.filter(queryFilter), codebook, dims, subspaces)
-    val adc = adcScore(fusedAdc(col("codes"), col("lut")),
+    val adc = adcScore(
+      if (usePacked) fusedAdcPacked(col("pcodes"), col("lut"), subspaces)
+      else fusedAdc(col("codes"), col("lut")),
       col("rnorm2I"), col("qnorm"))
     // candidate load observed PRE-threshold: the bucket join IS the scan
     // work; the ADC cut only decides who pays the exact re-rank
@@ -874,7 +953,7 @@ object Similarity {
     val probes = probeBuckets(queries, centroids, nprobe)
       .select(col("query_id"), col("bucket"))
     val lutq = pqQueryLut(queries, codebook, dims, subspaces)
-    val adc = adcScore(fusedAdc(col("codes"), col("lut")),
+    val adc = adcScore(fusedAdcPacked(col("pcodes"), col("lut"), subspaces),
       col("rnorm2I"), col("qnorm"))
     val cand = observeCandidates(
       index.join(broadcast(probes), Seq("bucket"))

@@ -383,7 +383,8 @@ class PlanAuditSpec extends SparkTestBase {
     // SortAggregate here means wide buffers sorting the cross product);
     // (c) the scan joins a BROADCAST query side, no cartesian.
     val p = plan(LlmQueries.annPq(spark, dir))
-    assert(p.contains("pq_adc"), s"pair scan must use the native ADC kernel:\n$p")
+    assert(p.contains("pq_adc_packed"),
+      s"pair scan must use the native PACKED ADC kernel (r14 layout):\n$p")
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"encode argmin must partial-aggregate map-side:\n$p")
     assert(p.contains("BroadcastExchange"),
@@ -393,7 +394,7 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
 
     val p2 = plan(LlmQueries.annIvfPq(spark, dir))
-    assert(p2.contains("pq_adc") && !p2.contains("CartesianProduct"),
+    assert(p2.contains("pq_adc_packed") && !p2.contains("CartesianProduct"),
       s"IVF-PQ must kernel-score and stay cartesian-free:\n$p2")
   }
 

@@ -657,7 +657,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(untouched == 640L, "unreferenced null LUT entries must not poison")
   }
 
-  test("pqEncode: M valid codes per vector, reconstructed norm is the chosen codewords' exact sum") {
+  test("pqEncode: M valid packed codes per vector, reconstructed norm is the chosen codewords' exact sum") {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.select(col("vec_id").as("id"),
       Similarity.asDouble(col("embedding")).as("emb"))
@@ -665,8 +665,16 @@ class SimilaritySpec extends SparkTestBase {
     val stride = math.max(1L, cnt / 16)
     val codebook = Similarity.pqCodebook(n, stride, dims = 64).cache()
     val kCount = (codebook.count() / Similarity.PqSubspaces).toInt
-    val enc = Similarity.pqEncode(n, codebook, dims = 64).cache()
+    val enc = Similarity.pqEncode(n, codebook, dims = 64)
+      // packed at rest since r14 (codes column renamed pcodes to fail
+      // fast on stale unpacked artifacts); unpack for the assertions
+      .withColumn("codes",
+        Similarity.unpackCodes(col("pcodes"), Similarity.PqSubspaces))
+      .cache()
     assert(enc.count() == cnt, "every vector must encode (no row drops)")
+    val wordCount = (Similarity.PqSubspaces + 5) / 6
+    val badPacked = enc.filter(size(col("pcodes")) =!= wordCount).count()
+    assert(badPacked == 0, s"pcodes must pack into $wordCount 48-bit words")
     val bad = enc.filter(size(col("codes")) =!= Similarity.PqSubspaces ||
       exists(col("codes"), c => c < 0 || c >= kCount)).count()
     assert(bad == 0, s"codes must be $kCount-bounded, ${Similarity.PqSubspaces} per vector")
@@ -679,6 +687,59 @@ class SimilaritySpec extends SparkTestBase {
       .groupBy("id", "rnorm2I").agg(sum("sqI").as("rederived"))
       .filter(col("rnorm2I") =!= col("rederived")).count()
     assert(rederived == 0, "rnorm2I must be the exact BIGINT sum of chosen sqI")
+  }
+
+  test("packCodes/unpackCodes: exact round trip at every M and the 255 boundary; packed kernel equals unpacked") {
+    // round trip across word-boundary Ms, with max-value (255) codes in
+    // the HIGH field of each word — the case that would break if a word
+    // ever touched bit 48+ or lost precision through a double
+    for (m <- Seq(1, 5, 6, 7, 12, 16, 192)) {
+      val codes = (0 until m).map(i => ((i * 37) % 256).toLong)
+        .updated(m - 1, 255L)
+      val out = Seq(Tuple1(codes)).toDF("c")
+        .select(Similarity.unpackCodes(
+          Similarity.packCodes(col("c")), m).as("u"))
+        .as[Seq[Long]].head()
+      assert(out == codes, s"round trip failed at M=$m: $out")
+    }
+    // kernel equivalence: pq_adc_packed(pack(codes), lut, m) must equal
+    // pq_adc(codes, lut) on the hand-checkable M=8/k=2 frames
+    val lutA = (0 until 16).map(i => java.lang.Long.valueOf(i * 10L))
+    val frames = Seq(
+      Seq.fill(8)(0L), Seq.fill(8)(1L),
+      Seq(0L, 1L, 0L, 1L, 0L, 1L, 0L, 1L))
+    val df = frames.map(c => (c, lutA.map(Long.unbox))).toDF("codes", "lut")
+    val both = df.select(
+      Similarity.fusedAdc(col("codes"), col("lut")).as("u"),
+      Similarity.fusedAdcPacked(
+        Similarity.packCodes(col("codes")), col("lut"), 8).as("p"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (u, p) => assert(u == p, s"packed $p != unpacked $u") }
+    // poisoned packed frames null, never read out of bounds: wrong word
+    // count, field >= k, null word, null referenced LUT entry, null inputs
+    // m=8 packs into ⌈8/6⌉ = 2 words; all-zero codes = two zero words
+    val w0 = Seq(Tuple1(Seq(0L, 0L))).toDF("p")
+    assert(w0.select(Similarity.fusedAdcPacked(col("p"), typedLit(
+      lutA.map(Long.unbox)), 8)).as[Long].head() == 560L)
+    val poisoned = Seq[(Seq[java.lang.Long], Seq[java.lang.Long])](
+      (Seq(java.lang.Long.valueOf(0L)), lutA),                                // 1 word: wrong count for m=8
+      (Seq(java.lang.Long.valueOf(2L), java.lang.Long.valueOf(0L)), lutA),    // field 0 = 2 >= k
+      (Seq(null, java.lang.Long.valueOf(0L)), lutA),                          // null word
+      (Seq(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L)),
+        lutA.updated(0, null: java.lang.Long)),                               // null referenced LUT
+      (null, lutA),
+      (Seq(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L)), null))
+      .toDF("p", "lut")
+    val nulls = poisoned
+      .select(Similarity.fusedAdcPacked(col("p"), col("lut"), 8))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)),
+      s"every poisoned packed frame must null")
+    val mZero = Seq(Tuple1(Seq(0L, 0L))).toDF("p")
+      .select(Similarity.fusedAdcPacked(col("p"), typedLit(
+        lutA.map(Long.unbox)), 0))
+      .collect().head.isNullAt(0)
+    assert(mZero, "m <= 0 must null")
   }
 
   test("PQ with a per-vector codebook (stride 1) reproduces the exact ranking up to micro-rounding") {
