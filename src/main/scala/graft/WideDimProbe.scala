@@ -70,11 +70,17 @@ object WideDimProbe {
       val nprobe = math.ceil(0.2 * kCent).toInt
       val queryFilter = col("id") % 50 === 0
 
+      // SPARK_GRAFT_PQ_ONLY skips the raw-IVF and binary legs — the
+      // kernel-A/B loop over a reused index only needs pq_search
+      val pqOnly = sys.env.contains("SPARK_GRAFT_PQ_ONLY")
+
       // q16f shape on raw wide vectors
-      val (ivfMed, ivfSamples, _) = timeIt(iters) {
-        Similarity.ivfTopK(emb, "vec_id", "embedding", queryFilter,
-          col("id") % stride === 0, k = 5, nprobe = nprobe).count()
-      }
+      val (ivfMed, ivfSamples, _) =
+        if (pqOnly) (-1.0, Seq(-1.0), 0L)
+        else timeIt(iters) {
+          Similarity.ivfTopK(emb, "vec_id", "embedding", queryFilter,
+            col("id") % stride === 0, k = 5, nprobe = nprobe).count()
+        }
 
       // q15c shape: the binary scan's radius is a FRACTION of d (Hamming
       // tracks angle, angle distribution is d-invariant for isotropic
@@ -84,7 +90,9 @@ object WideDimProbe {
       val radius = math.ceil(27.0 / 64.0 * dims).toInt
       def binTopK() = Similarity.binaryTopK(emb, "vec_id", "embedding",
         queryFilter, k = 5, maxHamming = radius)
-      val (binMed, binSamples, _) = timeIt(iters)(binTopK().count())
+      val (binMed, binSamples, _) =
+        if (pqOnly) (-1.0, Seq(-1.0), 0L)
+        else timeIt(iters)(binTopK().count())
 
       // q16i shape: persisted-index build (once) then search-only.
       // Subspace count M defaults to the registered tier's RULE — constant
@@ -95,17 +103,25 @@ object WideDimProbe {
       // SPARK_GRAFT_PQ_M overrides to measure exactly that contrast.
       val subspaces = sys.env.get("SPARK_GRAFT_PQ_M").map(_.toInt)
         .getOrElse(dims / 4)
-      val root = java.nio.file.Files.createTempDirectory("graft-wide-pqidx-").toString
-      val tBuild0 = System.nanoTime()
-      val centroids = nv.filter(col("id") % stride === 0)
-      val codebook = Similarity.pqCodebook(nv, math.max(1L, cnt / 16L), dims,
-        subspaces = subspaces)
-      Similarity.ivfPqIndexRows(nv, centroids, codebook, dims,
-          subspaces = subspaces)
-        .write.mode("overwrite").parquet(s"$root/index")
-      codebook.write.mode("overwrite").parquet(s"$root/codebook")
-      centroids.write.mode("overwrite").parquet(s"$root/centroids")
-      val buildSec = (System.nanoTime() - tBuild0) / 1e9
+      // SPARK_GRAFT_WIDE_IDX pins the index root across probe runs so
+      // kernel A/B reruns pay only the search, not the ~20-min M=192
+      // build (build_sec reports -1 when reused)
+      val root = sys.env.get("SPARK_GRAFT_WIDE_IDX").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-wide-pqidx-").toString)
+      val buildSec =
+        if (new java.io.File(s"$root/index").exists) -1.0
+        else {
+          val tBuild0 = System.nanoTime()
+          val centroids = nv.filter(col("id") % stride === 0)
+          val codebook = Similarity.pqCodebook(nv, math.max(1L, cnt / 16L), dims,
+            subspaces = subspaces)
+          Similarity.ivfPqIndexRows(nv, centroids, codebook, dims,
+              subspaces = subspaces)
+            .write.mode("overwrite").parquet(s"$root/index")
+          codebook.write.mode("overwrite").parquet(s"$root/codebook")
+          centroids.write.mode("overwrite").parquet(s"$root/centroids")
+          (System.nanoTime() - tBuild0) / 1e9
+        }
       val index = spark.read.parquet(s"$root/index")
       val cb = spark.read.parquet(s"$root/codebook")
       val cents = spark.read.parquet(s"$root/centroids")

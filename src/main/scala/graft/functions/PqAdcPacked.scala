@@ -66,19 +66,32 @@ case class PqAdcPacked(first: Expression, second: Expression, third: Expression)
     val lut = b.asInstanceOf[ArrayData]
     val m = c.asInstanceOf[Int]
     if (m <= 0 || lut.numElements() % m != 0) return null
-    if (codes.numElements() != (m + 5) / 6) return null
+    val words = (m + 5) / 6
+    if (codes.numElements() != words) return null
     val k = lut.numElements() / m
+    // word-outer / field-inner: one getLong per 6 codes and a running
+    // 8-bit shift — no per-code div/mod (the first cut paid i/6 and i%6
+    // on every iteration of the N×|Q| pair scan; at a cache-resident
+    // corpus that ALU overhead made the packed scan SLOWER than the
+    // unpacked one it replaced — measured at the 100× wide-dim point)
     var acc = 0L
     var i = 0
-    while (i < m) {
-      val w = i / 6
+    var w = 0
+    while (w < words) {
       if (codes.isNullAt(w)) return null
-      val code = (codes.getLong(w) >>> ((i % 6) << 3)) & 0xFFL
-      if (code >= k) return null
-      val idx = i * k + code.toInt
-      if (lut.isNullAt(idx)) return null
-      acc += lut.getLong(idx)
-      i += 1
+      var word = codes.getLong(w)
+      var f = 0
+      while (f < 6 && i < m) {
+        val code = word & 0xFFL
+        if (code >= k) return null
+        val idx = i * k + code.toInt
+        if (lut.isNullAt(idx)) return null
+        acc += lut.getLong(idx)
+        word >>>= 8
+        f += 1
+        i += 1
+      }
+      w += 1
     }
     java.lang.Long.valueOf(acc)
   }
@@ -87,32 +100,41 @@ case class PqAdcPacked(first: Expression, second: Expression, third: Expression)
     nullSafeCodeGen(ctx, ev, (a, b, c) => {
       val i = ctx.freshName("i")
       val w = ctx.freshName("w")
+      val f = ctx.freshName("f")
+      val word = ctx.freshName("word")
+      val words = ctx.freshName("words")
       val code = ctx.freshName("code")
       val kk = ctx.freshName("k")
       val mm = ctx.freshName("m")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
-      // numElements() hoisted to locals (the HammingSig/PqAdc r13 rule):
-      // this loop runs once per PAIR of the N×|Q| candidate scan.
-      // the whole condition stays on ONE generated line: a continuation
-      // line beginning with "||" loses its pipes to a later stripMargin
-      // pass in the codegen plumbing (observed: Janino got the line with
-      // the operator stripped and failed to parse)
+      // Mirrors the interpreted path: word-outer / shift-inner (no
+      // per-code div/mod), numElements() hoisted to locals (the
+      // HammingSig/PqAdc r13 rule) — this loop runs once per PAIR of the
+      // N×|Q| candidate scan. Multi-term conditions stay on ONE
+      // generated line: a continuation line beginning with "||" loses
+      // its pipes to a later stripMargin pass in the codegen plumbing
+      // (observed: Janino got the line with the operator stripped).
       s"""
          |int $mm = $c;
-         |if ($mm <= 0 || $b.numElements() % $mm != 0 || $a.numElements() != ($mm + 5) / 6) {
+         |int $words = ($mm + 5) / 6;
+         |if ($mm <= 0 || $b.numElements() % $mm != 0 || $a.numElements() != $words) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $kk = $b.numElements() / $mm;
          |  long $acc = 0L;
-         |  for (int $i = 0; $i < $mm; $i++) {
-         |    int $w = $i / 6;
+         |  int $i = 0;
+         |  outer: for (int $w = 0; $w < $words; $w++) {
          |    if ($a.isNullAt($w)) { ${ev.isNull} = true; break; }
-         |    long $code = ($a.getLong($w) >>> (($i % 6) << 3)) & 0xFFL;
-         |    if ($code >= (long) $kk) { ${ev.isNull} = true; break; }
-         |    int $idx = $i * $kk + (int) $code;
-         |    if ($b.isNullAt($idx)) { ${ev.isNull} = true; break; }
-         |    $acc += $b.getLong($idx);
+         |    long $word = $a.getLong($w);
+         |    for (int $f = 0; $f < 6 && $i < $mm; $f++, $i++) {
+         |      long $code = $word & 0xFFL;
+         |      if ($code >= (long) $kk) { ${ev.isNull} = true; break outer; }
+         |      int $idx = $i * $kk + (int) $code;
+         |      if ($b.isNullAt($idx)) { ${ev.isNull} = true; break outer; }
+         |      $acc += $b.getLong($idx);
+         |      $word >>>= 8;
+         |    }
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}

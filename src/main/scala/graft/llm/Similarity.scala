@@ -953,7 +953,13 @@ object Similarity {
     val probes = probeBuckets(queries, centroids, nprobe)
       .select(col("query_id"), col("bucket"))
     val lutq = pqQueryLut(queries, codebook, dims, subspaces)
-    val adc = adcScore(fusedAdcPacked(col("pcodes"), col("lut"), subspaces),
+    // layout auto-detect by schema: a packed artifact carries `pcodes`,
+    // an unpacked one `codes` — explicit column names (never a silent
+    // reinterpretation) are what make reading either generation safe
+    val adc = adcScore(
+      if (index.columns.contains("pcodes"))
+        fusedAdcPacked(col("pcodes"), col("lut"), subspaces)
+      else fusedAdc(col("codes"), col("lut")),
       col("rnorm2I"), col("qnorm"))
     val cand = observeCandidates(
       index.join(broadcast(probes), Seq("bucket"))
