@@ -66,6 +66,14 @@ object GraftSession {
     * keep the fine grain (8× less sort/spill memory per task). Measured:
     * q16i 4 GiB × 100× runs 55 s at 256-grain vs 63 s at 32 — and the
     * hand-set conf is no longer needed (`bench_records/r14_q16i_mem.json`).
+    *
+    * Priced trade, measured and accepted: the ITERATIVE-many-small-
+    * exchange queries pay for the 8× map-side shuffle buckets — q48b
+    * +~3 s and q52_oneshot +~1 s at sf0.1 (full-registry A/B,
+    * r13_base96 vs r14_base96 mins; a solo 4× probe was noise-dominated
+    * and no better). The registry total stays inside the recorded range
+    * because the round's other wins offset it; at corpus scale those
+    * same CC shuffles are large and WANT the finer initial grain.
     */
   def local(cores: Int, ui: Boolean = false): SparkSession =
     builder()
