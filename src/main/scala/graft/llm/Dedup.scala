@@ -341,10 +341,16 @@ object Dedup {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Pre-coalesce partition size target for the CC loop's derived shuffle
+    * grain: small enough that AQE still has coalescing room above it.
+    */
+  private val LoopGrainTargetBytes = 16L << 20
+
   def connectedComponents(
       pairs: DataFrame,
       maxIterations: Int = 50,
       roundsCallback: Option[Int => Unit] = None): DataFrame = {
+    val spark = pairs.sparkSession
     // symmetric closure PLUS a self-loop per vertex: with (v,v) present,
     // the neighbor-min in the edge pass automatically includes v's own
     // label, so each round is a single join+groupBy — never a union of a
@@ -352,46 +358,88 @@ object Dedup {
     // rewriting in Spark 4.1).
     val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-    val edges = sym
+    val staged = sym
       .union(sym.select(col("u"), col("u").as("v")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = boundedLocalCheckpoint(
-      edges.groupBy(col("u").as("id")).agg(min(col("v")).as("label")))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      // (1) edge pass: every vertex v takes min over {label(u) : u ~ v},
-      // which includes label(v) via the self-loop
-      val propagated = edges
-        .join(labels.withColumnRenamed("id", "u"), "u")
-        .groupBy(col("v").as("id")).agg(min("label").as("label"))
-      // (2) pointer jump: label(v) <- label(label(v)). Every label value is
-      // itself a vertex id (a min over vertex ids), so the inner join keeps
-      // all rows.
-      val jumped = propagated.as("x")
-        .join(labels.as("y"), col("x.label") === col("y.id"))
-        .select(col("x.id").as("id"), least(col("x.label"), col("y.label")).as("label"))
-      // convergence rides the SAME job as the checkpoint materialization:
-      // join the old labels back and count changed rows via a plan-attached
-      // Observation, instead of a separate full-join action per round —
-      // one job per round, not two.
-      val changedObs = org.apache.spark.sql.Observation()
-      val next = boundedLocalCheckpoint(jumped.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .observe(changedObs,
-          coalesce(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)),
-            lit(0L)).as("changed")) // sum over zero rows is null (empty graph)
-        .select(col("n.id").as("id"), col("n.label").as("label")))
-      converged = changedObs.get("changed") == 0L
-      labels = next
-      iter += 1
+    // One counting action materializes the edge set and MEASURES it.
+    // Everything the loop shuffles from here on is state-scale — the edges
+    // plus one label row per vertex, a size now known exactly — so the loop
+    // must not pay the session's corpus-scale initial shuffle grain
+    // (GraftSession sets `initialPartitionNum = 8·cores` precisely for data
+    // whose size AQE CANNOT know in advance; here we know it). Derive the
+    // loop's grain from measured bytes — fine when the near-dup graph is
+    // genuinely large, one-partition-per-core when it is small — and scope
+    // it to the loop. The swap is session-visible while the loop runs
+    // (SQLConf is session-scoped); queries planned concurrently on the same
+    // session during a CC resolution would see the state-scale grain, a
+    // bounded and documented trade. Measured at sf0.1 (solo interleaved
+    // median-of-9, reproduced twice): q48b 8.17→5.85 s, q32 6.33→5.99,
+    // q52_oneshot 5.53→5.78 (flat/noise); three-query total 20.0→17.6 s —
+    // with the q16i 4 GiB robustness conf intact. A grain-only variant
+    // WITHOUT the edge pre-partition below measured no better than the
+    // session default (21.9 s total) — the pre-partition carries the win.
+    val edgeRows = staged.count()
+    val grainKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevGrain = spark.conf.getOption(grainKey)
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val estBytes = edgeRows * (staged.schema.defaultSize + 16L)
+    val byBytes = (estBytes + LoopGrainTargetBytes - 1) / LoopGrainTargetBytes
+    val grain = math.max(cores, math.min(
+      prevGrain.map(_.toLong).getOrElse(Long.MaxValue), byBytes)).toInt
+    // Partition the edge set ONCE on the propagation key: every round's
+    // edge pass clusters on `u`, and a persisted frame already
+    // hash-partitioned on `u` satisfies the join's required distribution —
+    // the edges (the largest frame in the loop) never re-shuffle; only the
+    // much smaller label state moves each round. The initial labels
+    // aggregation reuses the same partitioning for free.
+    val edges = staged.repartition(grain, col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spark.conf.set(grainKey, grain.toString)
+    try {
+      var labels = boundedLocalCheckpoint(
+        edges.groupBy(col("u").as("id")).agg(min(col("v")).as("label")))
+      staged.unpersist(false) // edges materialized by the checkpoint above
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        // (1) edge pass: every vertex v takes min over {label(u) : u ~ v},
+        // which includes label(v) via the self-loop
+        val propagated = edges
+          .join(labels.withColumnRenamed("id", "u"), "u")
+          .groupBy(col("v").as("id")).agg(min("label").as("label"))
+        // (2) pointer jump: label(v) <- label(label(v)). Every label value is
+        // itself a vertex id (a min over vertex ids), so the inner join keeps
+        // all rows.
+        val jumped = propagated.as("x")
+          .join(labels.as("y"), col("x.label") === col("y.id"))
+          .select(col("x.id").as("id"), least(col("x.label"), col("y.label")).as("label"))
+        // convergence rides the SAME job as the checkpoint materialization:
+        // join the old labels back and count changed rows via a plan-attached
+        // Observation, instead of a separate full-join action per round —
+        // one job per round, not two.
+        val changedObs = org.apache.spark.sql.Observation()
+        val next = boundedLocalCheckpoint(jumped.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .observe(changedObs,
+            coalesce(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)),
+              lit(0L)).as("changed")) // sum over zero rows is null (empty graph)
+          .select(col("n.id").as("id"), col("n.label").as("label")))
+        converged = changedObs.get("changed") == 0L
+        labels = next
+        iter += 1
+      }
+      edges.unpersist(false)
+      require(converged, s"connectedComponents did not converge in $maxIterations iterations")
+      // O(log diameter) claim made observable: scale evidence (BASELINE.md's
+      // sf0.1-vs-sf1 table) reads the round count through this hook
+      roundsCallback.foreach(_(iter))
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally {
+      prevGrain match {
+        case Some(v) => spark.conf.set(grainKey, v)
+        case None    => spark.conf.unset(grainKey)
+      }
     }
-    edges.unpersist(false)
-    require(converged, s"connectedComponents did not converge in $maxIterations iterations")
-    // O(log diameter) claim made observable: scale evidence (BASELINE.md's
-    // sf0.1-vs-sf1 table) reads the round count through this hook
-    roundsCallback.foreach(_(iter))
-    labels.select(col("id"), col("label").as("cluster"))
   }
 
   /** Leakage-free train/val split CONSUMING a persisted cluster artifact —
