@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.{DocumentsFixture, EmbeddingsFixture}
-import graft.llm.{Chunking, Contamination, Dedup, Similarity, TextStats}
+import graft.llm.{Chunking, Contamination, Dedup, LanguageModel, Similarity, TextStats}
 import graft.operators.RangeJoin
 import graft.sources.Tables
 
@@ -2905,6 +2905,73 @@ object LlmQueries {
       |GROUP BY 1""".stripMargin
   }
 
+  // ---- q80: LM perplexity filter (CCNet shape) --------------------------
+
+  /** Reference slice for the q80 LM: the English documents stand in for
+    * CCNet's trusted target-language Wikipedia. */
+  private val LmRefLang = "en"
+
+  /** q80 — interpolated-bigram LM PERPLEXITY scoring
+    * ([[graft.llm.LanguageModel]], the CCNet filter shape): train unigram +
+    * pruned bigram counts on the `lang = 'en'` reference slice,
+    * score EVERY document's per-token negative log-likelihood under that
+    * model. Output (doc_id, n_tokens, nll_per_token) — the column a CCNet
+    * pipeline thresholds into head/middle/tail quality tiers. Distinct from
+    * q70 (unigram surprisal), which scores the corpus against its own
+    * statistics: q80's model never sees the data being judged.
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    LanguageModel.perplexity(docs, "doc_id", "text", col("lang") === LmRefLang)
+  }
+
+  /** Twin: same LM, same arithmetic — add-one unigram over the reference
+    * slice, HAVING-pruned bigrams, λ·cond + (1−λ)·p_uni with explicit
+    * DOUBLE literals in the same operand order, per-position
+    * round(ln(p), 6) summed as DECIMAL(20,6) (the q70 discipline).
+    * Positions come from a 1-based `list_transform(range(...))` struct
+    * unnest (DuckDB has no posexplode); the head position's `prev` is NULL,
+    * exactly the Spark side's unigram-scored first token.
+    */
+  private val q80Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
+       |rt AS (SELECT unnest(toks) AS w FROM tok WHERE lang = '$LmRefLang'),
+       |uni AS (SELECT w, count(*) AS c FROM rt GROUP BY 1),
+       |tot AS (SELECT sum(c) AS t, count(*) AS v FROM uni),
+       |rp AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |         i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+       |       FROM tok WHERE lang = '$LmRefLang'),
+       |bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c2 FROM rp
+       |       GROUP BY 1, 2
+       |       HAVING count(*) >= ${LanguageModel.DefaultMinBigramCount}),
+       |pos AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(toks) + 1),
+       |            i -> {'prev': CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END,
+       |                  'w': toks[i]})) AS p
+       |        FROM tok),
+       |flat AS (SELECT doc_id, p.prev AS prev, p.w AS w FROM pos),
+       |sc AS (SELECT f.doc_id,
+       |         CAST(COALESCE(u.c, 0) + 1 AS DOUBLE) / (t + v + 1) AS puni,
+       |         CASE WHEN f.prev IS NULL THEN NULL
+       |              WHEN b.c2 IS NULL THEN 0.0
+       |              ELSE CAST(b.c2 AS DOUBLE) / CAST(up.c AS DOUBLE) END AS cond
+       |       FROM flat f
+       |       LEFT JOIN uni u ON f.w = u.w
+       |       LEFT JOIN uni up ON f.prev = up.w
+       |       LEFT JOIN bi b ON f.prev = b.w1 AND f.w = b.w2
+       |       CROSS JOIN tot),
+       |lp AS (SELECT doc_id, CAST(round(ln(
+       |         CASE WHEN cond IS NULL THEN puni
+       |              ELSE CAST(${LanguageModel.Lambda} AS DOUBLE) * cond
+       |                 + CAST(${LanguageModel.UnigramWeight} AS DOUBLE) * puni
+       |         END), 6) AS DECIMAL(20,6)) AS lp
+       |       FROM sc)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST((2 * CAST(-sum(lp) * 1000000 AS BIGINT) + count(*))
+       |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS nll_per_token
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2973,7 +3040,8 @@ object LlmQueries {
     "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d)),
     "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d)),
     "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
-    "q79_dsir_resample" -> ((s, d) => dsirResample(s, d))
+    "q79_dsir_resample" -> ((s, d) => dsirResample(s, d)),
+    "q80_lm_perplexity" -> ((s, d) => lmPerplexity(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3044,6 +3112,7 @@ object LlmQueries {
     "q76_bpe_eval" -> q76Oracle,
     "q77_pq_index_ingest" -> q77Oracle,
     "q78_dsir_weights" -> q78Oracle,
-    "q79_dsir_resample" -> q79Oracle
+    "q79_dsir_resample" -> q79Oracle,
+    "q80_lm_perplexity" -> q80Oracle
   )
 }

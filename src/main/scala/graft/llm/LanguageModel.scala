@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model perplexity filtering — the CCNet shape
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data", public): train a small n-gram LM on a TRUSTED
+  * reference slice (CCNet uses target-language Wikipedia; here the caller
+  * passes a reference predicate), score every corpus document by its
+  * per-token negative log-likelihood under that LM, and let downstream
+  * curation drop the high-perplexity tail. This differs from
+  * [[graft.LlmQueries.unigramSurprisal]] (q70), which scores the corpus
+  * against its OWN global statistics: a filter needs the model trained on
+  * data you trust, not on the data being judged — boilerplate floods would
+  * otherwise teach the model that boilerplate is likely.
+  *
+  * Model: interpolated bigram LM with add-one unigram smoothing.
+  *   p_uni(w)      = (c(w) + 1) / (T + V + 1)        — unseen w gets mass
+  *   p(w | prev)   = λ · c(prev,w)/c(prev) + (1−λ) · p_uni(w)
+  * The first token of each document is unigram-scored (no prev). Bigrams
+  * below `minBigramCount` are pruned from the model — identical on both
+  * engines, so the oracle sees the same LM — and pruning is ALSO the scale
+  * mechanism: the bigram table is a reference-corpus aggregate whose tail
+  * is cut, keeping both LM tables orders of magnitude below corpus size
+  * (reference-sized at worst), broadcastable in the scoring pass.
+  *
+  * Scale shape (100 TB): training touches only the reference slice
+  * (predicate-pushed scans, two groupBys on token / token-pair keys);
+  * scoring is ONE corpus pass — a shuffle-free per-row position explode
+  * (each row carries only (prev, w), never the document's token array),
+  * three joins against the bounded LM tables (auto-broadcast; the two
+  * unigram probes are one reused broadcast exchange), and a single
+  * doc-keyed aggregation with map-side partial combine. The (T, V) totals
+  * are a one-row driver collect off the unigram aggregate — bounded
+  * metadata, the established pattern (cf. q70's global count).
+  *
+  * Cross-engine determinism: per-position log-probs are rounded to 6
+  * decimals and summed as DECIMAL(20,6) (the q70 discipline — a last-ulp
+  * `ln` difference between libm and Java Math.log is absorbed by the
+  * round); the interpolation is written with identical operand order and
+  * explicit DOUBLE literals on both engines, and every division has
+  * exactly-representable integer operands.
+  */
+object LanguageModel {
+
+  /** Interpolation weight on the bigram term. */
+  val Lambda = 0.7
+
+  /** Unigram-term weight, spelled as a literal rather than `1.0 - Lambda`:
+    * the subtraction evaluates to 0.30000000000000004 while a SQL engine
+    * parsing `0.3` gets the nearest double to 0.3 — a one-ulp cross-engine
+    * divergence the 6-decimal rounding would USUALLY absorb but must never
+    * be invited.
+    */
+  val UnigramWeight = 0.3
+
+  /** Bigrams rarer than this in the reference are pruned from the LM. */
+  val DefaultMinBigramCount = 2
+
+  /** (prev, w) positions of `textCol`, one row per token, shuffle-free:
+    * the struct array is built inside the row (zip_with over two shifted
+    * slices, plus a unigram-only head element) and exploded once, so no
+    * per-token row ever carries the whole token array.
+    */
+  private[llm] def positions(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val m = greatest(size(toks) - 1, lit(0))
+    val rest = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+    val head = when(size(toks) >= 1,
+      array(struct(lit(null).cast("string").as("prev"),
+        element_at(toks, 1).as("w"))))
+      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
+    df.select(col(idCol), explode(concat(head, rest)).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.w").as("w"))
+  }
+
+  /** Unigram counts (w, c) over the reference slice's tokens. */
+  def unigramCounts(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Pruned bigram counts (w1, w2, c2) over the reference slice. */
+  def bigramCounts(ref: DataFrame, textCol: String,
+      minCount: Int = DefaultMinBigramCount): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    ref.select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+  }
+
+  /** Score every document of `docs` under the LM trained on the `isRef`
+    * slice: (idCol, n_tokens, nll_per_token) — lower is more reference-like.
+    * Documents whose text tokenizes to nothing drop out (no positions), the
+    * registry-wide empty-text convention (cf. q70).
+    */
+  def perplexity(
+      docs: DataFrame, idCol: String, textCol: String, isRef: Column,
+      minBigramCount: Int = DefaultMinBigramCount): DataFrame = {
+    val ref = docs.filter(isRef)
+    val uni = unigramCounts(ref, textCol)
+    val bi = bigramCounts(ref, textCol, minBigramCount)
+    // (T, V) are one row of bounded driver metadata off the unigram
+    // aggregate — the scoring plan then carries them as literals instead of
+    // a 1-row cross join (PlanAuditSpec forbids cartesians for good reason).
+    val totals = uni.agg(
+      coalesce(sum("c"), lit(0L)).as("t"), count(lit(1)).as("v")).first()
+    val t = totals.getLong(0)
+    val v = totals.getLong(1)
+    val denom = (t + v + 1).toDouble
+    val flat = positions(docs, idCol, textCol)
+    // Both unigram probes join the BARE `uni` aggregate (aliases only, no
+    // pre-broadcast rename projections): the two broadcast subtrees then
+    // canonicalize identically and physical planning reuses ONE broadcast
+    // exchange — the reference slice is scanned and aggregated once for
+    // both probes, not once per probe.
+    val ua = uni.alias("ua")
+    val ub = uni.alias("ub")
+    val scored = flat.alias("f")
+      .join(ua, col("f.w") === col("ua.w"), "left")
+      .join(ub, col("f.prev") === col("ub.w"), "left")
+      .select(col(s"f.$idCol"), col("f.prev").as("prev"), col("f.w").as("w"),
+        col("ua.c").as("c_w"), col("ub.c").as("c_prev"))
+      .join(bi.select(col("w1").as("prev"), col("w2").as("w"), col("c2")),
+        Seq("prev", "w"), "left")
+    val puni = (coalesce(col("c_w"), lit(0L)) + lit(1L)).cast("double") / lit(denom)
+    val cond = when(col("prev").isNull, lit(null).cast("double"))
+      .when(col("c2").isNull, lit(0.0))
+      .otherwise(col("c2").cast("double") / col("c_prev").cast("double"))
+    val p = when(cond.isNull, puni)
+      .otherwise(lit(Lambda) * cond + lit(UnigramWeight) * puni)
+    // The per-document mean divides an exact DECIMAL sum by a BIGINT and
+    // rounds to 6 decimals — the q73/q76 rounding-tie class (Spark HALF_UPs
+    // the double's shortest repr, DuckDB rounds the binary value), so the
+    // round is decided in integer space: the sum's micro-units are already
+    // an exact BIGINT, and `(2m + n) div (2n)` is half-away-from-zero on
+    // exact integers, identical in both engines; the final /1e6 double
+    // division lands on the same nearest double everywhere.
+    scored
+      .withColumn("lp", round(log(p), 6).cast("decimal(20,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+      .withColumn("__m", (col("lp_sum") * lit(-1000000L)).cast("long"))
+      .select(col(idCol), col("n_tokens"),
+        expr("CAST((2 * __m + n_tokens) div (2 * n_tokens) AS DOUBLE) / 1000000.0")
+          .as("nll_per_token"))
+  }
+}
