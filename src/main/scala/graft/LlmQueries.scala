@@ -1115,6 +1115,56 @@ object LlmQueries {
       |  n AS n_vecs
       |FROM s""".stripMargin
 
+  /** q81 — one distributed LLOYD STEP, oracle-exact: assign every vector
+    * to its nearest current centroid ([[Similarity.ivfAssign]] — the q16
+    * assignment machinery, broadcast centroids, struct-ordered min_by,
+    * never an N×K materialization) and recompute each bucket's centroid
+    * with [[Similarity.meanPool]]'s integer-space-rounded DECIMAL means
+    * (the q73 machinery) — exactly the bit-stable composition
+    * [[Similarity.refineCentroidsFrom]]'s scaladoc promises ("aggregate in
+    * DECIMAL like the q61 co-moments") but whose registered form used
+    * plain double `avg` and was therefore only property-testable. Output:
+    * the refined centroid TABLE, long format (bucket, dim_pos, mean_val,
+    * n_vecs); iterate k-means by feeding it back as the next centroid set.
+    *
+    * Scale shape: one corpus pass per Lloyd round — the assignment is a
+    * broadcast-centroid scan (K ≪ N), the recompute one (bucket, dim)
+    * partial-aggregated shuffle whose output is K·d rows. The SemDeDup /
+    * IVF-build refinement step at any corpus size.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+    val assigned = Similarity.ivfAssign(e, e.filter(col("id") % 100 === 0))
+    Similarity.meanPool(assigned, "bucket", "emb")
+  }
+
+  /** Twin: the q16 assignment CTEs feeding the q73 mean CTEs. */
+  private val q81Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE id % 100 = 0),
+      |assigned AS (
+      |  SELECT id, emb, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c) WHERE r = 1),
+      |x AS (SELECT bucket,
+      |        unnest(list_transform(range(len(emb)), i ->
+      |          {'pos': i + 1, 'xd': CAST(round(emb[i+1], 6) AS DECIMAL(18,6))})) AS u
+      |      FROM assigned),
+      |s AS (SELECT bucket, u.pos AS dim_pos,
+      |        CAST(sum(u.xd) * 1000000 AS BIGINT) AS sI, count(*) AS n
+      |      FROM x GROUP BY 1, 2)
+      |SELECT bucket, dim_pos,
+      |  CAST(CASE WHEN sI < 0 THEN -((2 * abs(sI) + n) // (2 * n))
+      |            ELSE (2 * abs(sI) + n) // (2 * n) END AS DOUBLE)
+      |    / 1000000.0 AS mean_val,
+      |  n AS n_vecs
+      |FROM s""".stripMargin
+
   /** q74 — Gopher-style quality rule filter ([[TextStats.gopherFlags]])
     * over the rule-exercising fixture corpus (each arm injects one
     * failure mode the single-line synthetic docs cannot produce —
@@ -3041,7 +3091,8 @@ object LlmQueries {
     "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d)),
     "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q79_dsir_resample" -> ((s, d) => dsirResample(s, d)),
-    "q80_lm_perplexity" -> ((s, d) => lmPerplexity(s, d))
+    "q80_lm_perplexity" -> ((s, d) => lmPerplexity(s, d)),
+    "q81_kmeans_refine" -> ((s, d) => kmeansRefine(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3113,6 +3164,7 @@ object LlmQueries {
     "q77_pq_index_ingest" -> q77Oracle,
     "q78_dsir_weights" -> q78Oracle,
     "q79_dsir_resample" -> q79Oracle,
-    "q80_lm_perplexity" -> q80Oracle
+    "q80_lm_perplexity" -> q80Oracle,
+    "q81_kmeans_refine" -> q81Oracle
   )
 }

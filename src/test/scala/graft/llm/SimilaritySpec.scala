@@ -882,6 +882,34 @@ class SimilaritySpec extends SparkTestBase {
       "incremental index diverged from the same-geometry rebuild")
   }
 
+  test("q81 composition: the oracle-exact Lloyd step (ivfAssign + meanPool) improves mean cosine") {
+    // The registered bit-stable refinement must still BE a Lloyd step:
+    // rebuild wide centroids from the long-format output and check the
+    // assignment objective improves, exactly like refineCentroids.
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val c0 = n.filter(col("id") % 100 === 0)
+    val long = Similarity.meanPool(Similarity.ivfAssign(n, c0), "bucket", "emb")
+    // every bucket rebuilds to the input dimensionality, members partition N
+    val d0 = n.select(size(col("emb"))).head().getInt(0)
+    val c1 = long.orderBy("bucket", "dim_pos")
+      .groupBy(col("bucket").as("id"))
+      .agg(array_sort(collect_list(struct(col("dim_pos"), col("mean_val")))).as("s"))
+      .select(col("id"), expr("transform(s, x -> x.mean_val)").as("emb"))
+    assert(c1.select(size(col("emb"))).distinct().as[Int].collect().toSeq == Seq(d0))
+    val members = long.filter(col("dim_pos") === 1)
+      .agg(sum("n_vecs")).head().getLong(0)
+    assert(members == n.count(), "every vector must land in exactly one bucket")
+    def meanCos(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(n, cents)
+        .join(cents.select(col("id").as("bucket"), col("emb").as("c_emb")), "bucket")
+        .select(avg(Similarity.fusedCosine(col("emb"), col("c_emb"))))
+        .head().getDouble(0)
+    val (m0, m1) = (meanCos(c0), meanCos(c1))
+    assert(m1 >= m0 - 1e-9, s"oracle-exact Lloyd step regressed: $m0 -> $m1")
+  }
+
   test("meanPool: hand-computed means; bit-stable across partitioning") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(2.0f, 4.0f)), ("b", Seq(-1.5f, 0.0f))
