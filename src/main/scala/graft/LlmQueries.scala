@@ -1130,21 +1130,34 @@ object LlmQueries {
     * Scale shape: one corpus pass per Lloyd round — the assignment is a
     * broadcast-centroid scan (K ≪ N), the recompute one (bucket, dim)
     * partial-aggregated shuffle whose output is K·d rows. The SemDeDup /
-    * IVF-build refinement step at any corpus size.
+    * IVF-build refinement step at any corpus size. k is a MODEL constant
+    * (the modeler picks it), never a corpus fraction: the seed set is the
+    * base fixture's 20 residue-0 ids pinned by [[KmeansCentroidIdBound]],
+    * so assignment work stays N·k linear in the corpus — the first
+    * (%100-fraction) form measured 1.5/2.7/49.7 s across the decades, the
+    * q16e fixed-fraction degeneration reproduced on a Lloyd step, and was
+    * replaced on the record.
     */
+  /** Seed-centroid id bound: inactive at the oracle-test scales (every
+    * base-fixture vec_id is below it) and pins k = 20 at the replica
+    * scales, where id offsets exceed it. */
+  private val KmeansCentroidIdBound = 2000L
+
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("emb"))
-    val assigned = Similarity.ivfAssign(e, e.filter(col("id") % 100 === 0))
+    val assigned = Similarity.ivfAssign(e,
+      e.filter(col("id") % 100 === 0 && col("id") < KmeansCentroidIdBound))
     Similarity.meanPool(assigned, "bucket", "emb")
   }
 
   /** Twin: the q16 assignment CTEs feeding the q73 mean CTEs. */
   private val q81Oracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-      |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n WHERE id % 100 = 0),
+      |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
+      |      WHERE id % 100 = 0 AND id < $KmeansCentroidIdBound),
       |assigned AS (
       |  SELECT id, emb, c_id AS bucket FROM (
       |    SELECT n.id, n.emb, c.c_id,
