@@ -83,7 +83,8 @@ object StreamDedupScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (sys.env.get("SPARK_GRAFT_MODE").contains("semantic")) {
-      runSemantic(spark, sfDir, nBatches, skipBatchCheck, compactEvery, indexDir, pairsDir)
+      runSemantic(spark, sfDir, nBatches, skipBatchCheck, compactEvery,
+        indexDir, pairsDir, batchFrom, batchTo)
       spark.stop()
       return
     }
@@ -142,7 +143,8 @@ object StreamDedupScale {
   private def runSemantic(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nBatches: Int, skipBatchCheck: Boolean, compactEvery: Int,
-      indexDir: String, pairsDir: String): Unit = {
+      indexDir: String, pairsDir: String,
+      batchFrom: Int = 0, batchTo: Int = Int.MaxValue): Unit = {
     val threshold = 0.4 // q48/q48b CosineDupThreshold (LlmQueries.scala)
     val corpus = EmbeddingsFixture.corpusDf(spark, sfDir)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
@@ -156,7 +158,7 @@ object StreamDedupScale {
 
     val sliced = corpus.withColumn("__slice",
       pmod(xxhash64(col("vec_id")), lit(nBatches)))
-    (0 until nBatches).foreach { b =>
+    (batchFrom to math.min(batchTo, nBatches - 1)).foreach { b =>
       val batch = sliced.filter(col("__slice") === b).drop("__slice")
       val t0 = System.nanoTime()
       val assigned = Similarity.ivfAssign(
@@ -174,7 +176,9 @@ object StreamDedupScale {
       }
     }
 
-    if (!skipBatchCheck) {
+    // a kill-and-resume FIRST half exits here; the resuming run (the one
+    // that reaches the last batch) emits the equivalence check
+    if (!skipBatchCheck && math.min(batchTo, nBatches - 1) == nBatches - 1) {
       // contrast: the one-shot q48b pair stage over the same pinned
       // centroids, and the exactness check on the cumulative pair set
       val t1 = System.nanoTime()
