@@ -160,12 +160,38 @@ class DedupSpec extends SparkTestBase {
     assert(quiet.get("truncated_index_buckets") == 0L)
   }
 
+  /** Force [[Dedup.connectedComponents]] down the distributed loop (the
+    * driver union-find fast path would otherwise absorb every fixture-sized
+    * graph) for tests that pin LOOP semantics. */
+  private def forcedDistributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.cc.driverEdgeLimit", "0")
+    try body finally spark.conf.unset("spark.graft.cc.driverEdgeLimit")
+  }
+
   test("connectedComponents: transitive closure, min-id cluster labels") {
     // two components: a path 1-2-3 (1,3 never share an edge) and pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
+    val cc = forcedDistributed {
+      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    }
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // and the driver fast path (the default at this size) agrees exactly
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(fast == cc)
+  }
+
+  test("connectedComponents: driver fast path == distributed loop on a random-ish graph") {
+    // star + chain + isolated pair + a cycle, ids out of order
+    val edges = Seq((5L, 9L), (9L, 2L), (2L, 7L), (7L, 5L), // cycle
+      (100L, 101L), (101L, 102L), (102L, 103L), // chain
+      (50L, 60L), (50L, 61L), (50L, 62L), // star
+      (200L, 201L)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val dist = forcedDistributed {
+      Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    }
+    assert(fast == dist, s"paths diverged:\nfast $fast\ndist $dist")
+    assert(fast(7L) == 2L && fast(103L) == 100L && fast(62L) == 50L)
   }
 
   test("connectedComponents: long chain converges (pointer jumping), reversed edges too") {
@@ -174,14 +200,17 @@ class DedupSpec extends SparkTestBase {
     // min label must travel the whole chain length
     val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong)).reverse
       .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, maxIterations = 12)
-      .as[(Long, Long)].collect().toMap
+    val cc = forcedDistributed {
+      Dedup.connectedComponents(pairs, maxIterations = 12)
+        .as[(Long, Long)].collect().toMap
+    }
     assert(cc.size == n && cc.values.forall(_ == 1L))
   }
 
   test("connectedComponents: empty pair list -> empty labels, no divergence") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).isEmpty)
+    assert(forcedDistributed { Dedup.connectedComponents(pairs).isEmpty })
   }
 
   test("connectedComponents: deep graphs keep plan statistics bounded (no BigInt blowup)") {
@@ -196,7 +225,9 @@ class DedupSpec extends SparkTestBase {
     val n = 40000 // diameter ~n => ~log2(n) ≈ 16 pointer-jumping rounds
     val pairs = (1 until n).map(i => (i.toLong + 1, i.toLong)).toDF("id_a", "id_b")
     var rounds = -1
-    val cc = Dedup.connectedComponents(pairs, roundsCallback = Some(r => rounds = r))
+    val cc = forcedDistributed {
+      Dedup.connectedComponents(pairs, roundsCallback = Some(r => rounds = r))
+    }
     assert(cc.filter(col("cluster") === 1L).count() == n.toLong,
       "one component labeled by its min id")
     assert(rounds >= 12, s"chain must be deep enough to exercise the blowup regime, got $rounds")
