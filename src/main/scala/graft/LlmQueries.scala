@@ -1178,6 +1178,76 @@ object LlmQueries {
       |  n AS n_vecs
       |FROM s""".stripMargin
 
+  /** Lloyd rounds for q82 — fixed and small so the DuckDB twin can unroll
+    * them as chained CTEs (the q75 merge-table convention). */
+  private val KmeansFitRounds = 2
+
+  /** q82 — ITERATED k-means ([[Similarity.kmeansFit]]): q81's oracle-exact
+    * Lloyd step run for [[KmeansFitRounds]] rounds from the same pinned
+    * seed set, the refined centroid table fed back between rounds. Every
+    * intermediate is 6-decimal exact arithmetic, so round 2's assignment
+    * scores both engines compute are bit-identical inputs — the whole FIT
+    * is cross-engine checkable, not just one step. Output: the final
+    * round's long-format centroid table.
+    */
+  def kmeansFitQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+    Similarity.kmeansFit(e,
+      e.filter(col("id") % 100 === 0 && col("id") < KmeansCentroidIdBound),
+      KmeansFitRounds)
+  }
+
+  /** Twin: two unrolled Lloyd rounds — q81's assignment+mean CTEs chained,
+    * round-1 centroids rebuilt wide with `list(... ORDER BY dim_pos)`.
+    */
+  private val q82Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |c0 AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
+      |       WHERE id % 100 = 0 AND id < $KmeansCentroidIdBound),
+      |a1 AS (
+      |  SELECT id, emb, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c0 c) WHERE r = 1),
+      |x1 AS (SELECT bucket,
+      |         unnest(list_transform(range(len(emb)), i ->
+      |           {'pos': i + 1, 'xd': CAST(round(emb[i+1], 6) AS DECIMAL(18,6))})) AS u
+      |       FROM a1),
+      |s1 AS (SELECT bucket, u.pos AS dim_pos,
+      |         CAST(sum(u.xd) * 1000000 AS BIGINT) AS sI, count(*) AS n
+      |       FROM x1 GROUP BY 1, 2),
+      |m1 AS (SELECT bucket, dim_pos,
+      |         CAST(CASE WHEN sI < 0 THEN -((2 * abs(sI) + n) // (2 * n))
+      |                   ELSE (2 * abs(sI) + n) // (2 * n) END AS DOUBLE)
+      |           / 1000000.0 AS mean_val
+      |       FROM s1),
+      |c1 AS (SELECT bucket AS c_id, list(mean_val ORDER BY dim_pos) AS c_emb
+      |       FROM m1 GROUP BY 1),
+      |c1n AS (SELECT c_id, c_emb, sqrt(list_dot_product(c_emb, c_emb)) AS c_nrm FROM c1),
+      |a2 AS (
+      |  SELECT id, emb, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c1n c) WHERE r = 1),
+      |x2 AS (SELECT bucket,
+      |         unnest(list_transform(range(len(emb)), i ->
+      |           {'pos': i + 1, 'xd': CAST(round(emb[i+1], 6) AS DECIMAL(18,6))})) AS u
+      |       FROM a2),
+      |s2 AS (SELECT bucket, u.pos AS dim_pos,
+      |         CAST(sum(u.xd) * 1000000 AS BIGINT) AS sI, count(*) AS n
+      |       FROM x2 GROUP BY 1, 2)
+      |SELECT bucket, dim_pos,
+      |  CAST(CASE WHEN sI < 0 THEN -((2 * abs(sI) + n) // (2 * n))
+      |            ELSE (2 * abs(sI) + n) // (2 * n) END AS DOUBLE)
+      |    / 1000000.0 AS mean_val,
+      |  n AS n_vecs
+      |FROM s2""".stripMargin
+
   /** q74 — Gopher-style quality rule filter ([[TextStats.gopherFlags]])
     * over the rule-exercising fixture corpus (each arm injects one
     * failure mode the single-line synthetic docs cannot produce —
@@ -3105,7 +3175,8 @@ object LlmQueries {
     "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q79_dsir_resample" -> ((s, d) => dsirResample(s, d)),
     "q80_lm_perplexity" -> ((s, d) => lmPerplexity(s, d)),
-    "q81_kmeans_refine" -> ((s, d) => kmeansRefine(s, d))
+    "q81_kmeans_refine" -> ((s, d) => kmeansRefine(s, d)),
+    "q82_kmeans_fit" -> ((s, d) => kmeansFitQuery(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3178,6 +3249,7 @@ object LlmQueries {
     "q78_dsir_weights" -> q78Oracle,
     "q79_dsir_resample" -> q79Oracle,
     "q80_lm_perplexity" -> q80Oracle,
-    "q81_kmeans_refine" -> q81Oracle
+    "q81_kmeans_refine" -> q81Oracle,
+    "q82_kmeans_fit" -> q82Oracle
   )
 }

@@ -227,6 +227,40 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("emb"))
 
+  /** Iterated bit-stable k-means (the oracle-grade [[refineCentroidsFrom]]):
+    * `rounds` Lloyd steps of [[ivfAssign]] + [[meanPool]], the refined
+    * centroid TABLE rebuilt to wide form between rounds with a
+    * deterministic struct-sort (never order-dependent `collect_list`
+    * alone). Because every intermediate is 6-decimal-rounded exact
+    * arithmetic, the whole fit is reproducible on any partitioning and
+    * cross-engine checkable round-for-round — the property plain-`avg`
+    * Lloyd ([[refineCentroidsFrom]]) documents away. Output: the final
+    * round's long-format centroid table ([[meanPool]] shape).
+    *
+    * Scale shape per round: one broadcast-centroid corpus pass + one
+    * (bucket, dim) partial-aggregated exchange + a K·d-row repack; the
+    * centroid table is eagerly checkpointed between rounds (state-sized —
+    * K·d rows — so the checkpoint is cheap and the plan cannot grow with
+    * the round count, the CC-loop lineage lesson applied here).
+    */
+  def kmeansFit(n: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "kmeansFit needs at least one Lloyd round")
+    var cents = seeds
+    var out: DataFrame = null
+    (1 to rounds).foreach { r =>
+      out = meanPool(ivfAssign(n, cents), "bucket", "emb")
+      if (r < rounds) {
+        val wide = out.groupBy(col("bucket").as("id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim_pos"), col("mean_val")))),
+            x => x.getField("mean_val")).as("emb"))
+        val ck = wide.localCheckpoint(true)
+        cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      }
+    }
+    out
+  }
+
   /** Bit-deterministic element-wise mean pooling in LONG format: one row
     * per (group, dimension) with the group's 6-decimal mean of that
     * component and the member count — the oracle-grade twin of

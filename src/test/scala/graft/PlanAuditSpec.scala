@@ -41,17 +41,17 @@ class PlanAuditSpec extends SparkTestBase {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      // q15/q16/q24b/q24c/q77/q81: the ANN tier's scoring joins against a
+      // q15/q16/q24b/q24c/q77/q81/q82: the ANN tier's scoring joins against a
       // BOUNDED broadcast side (centroid set, query set, probed benchmark
       // set) are deliberate all-pairs — the nested loop is the operator,
       // with the small side's cardinality the documented bound (q77's is
-      // ivfAssign's √N-centroid scoring; q81's Lloyd step scores the same
-      // ivfAssign broadcast centroid set). Plain q24 (lexical) stays under
-      // the general ban.
+      // ivfAssign's √N-centroid scoring; q81/q82's Lloyd steps score the
+      // same ivfAssign broadcast centroid set). Plain q24 (lexical) stays
+      // under the general ban.
       assert(!p.contains("BroadcastNestedLoopJoin") || name.startsWith("q15") ||
         name.startsWith("q16") || name.startsWith("q24b") ||
         name.startsWith("q24c") || name.startsWith("q77") ||
-        name.startsWith("q81"),
+        name.startsWith("q81") || name.startsWith("q82"),
         s"$name plans a BroadcastNestedLoopJoin")
     }
   }

@@ -910,6 +910,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(m1 >= m0 - 1e-9, s"oracle-exact Lloyd step regressed: $m0 -> $m1")
   }
 
+  test("kmeansFit: round 1 is exactly the single Lloyd step; round 2 does not regress the objective") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val c0 = n.filter(col("id") % 100 === 0)
+    val one = Similarity.kmeansFit(n, c0, 1)
+      .orderBy("bucket", "dim_pos").collect().toSeq
+    val step = Similarity.meanPool(Similarity.ivfAssign(n, c0), "bucket", "emb")
+      .orderBy("bucket", "dim_pos").collect().toSeq
+    assert(one == step, "one fit round must equal the single q81 step exactly")
+    def rebuild(long: org.apache.spark.sql.DataFrame) =
+      long.groupBy(col("bucket").as("id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim_pos"), col("mean_val")))),
+          x => x.getField("mean_val")).as("emb"))
+    def meanCos(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(n, cents)
+        .join(cents.select(col("id").as("bucket"), col("emb").as("c_emb")), "bucket")
+        .select(avg(Similarity.fusedCosine(col("emb"), col("c_emb"))))
+        .head().getDouble(0)
+    val two = Similarity.kmeansFit(n, c0, 2)
+    val (m1, m2) = (meanCos(rebuild(Similarity.kmeansFit(n, c0, 1))),
+      meanCos(rebuild(two)))
+    assert(m2 >= m1 - 1e-9, s"second Lloyd round regressed: $m1 -> $m2")
+  }
+
   test("meanPool: hand-computed means; bit-stable across partitioning") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(2.0f, 4.0f)), ("b", Seq(-1.5f, 0.0f))
