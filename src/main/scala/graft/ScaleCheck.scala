@@ -14,6 +14,10 @@ object ScaleCheck {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // This probe MEASURES the distributed loop's round count — force past
+    // the driver union-find fast path (which reports rounds = 0 and would
+    // absorb every fixture-scale graph).
+    spark.conf.set("spark.graft.cc.driverEdgeLimit", "0")
     dirs.foreach { dir =>
       val corpus = graft.fixtures.DocumentsFixture.corpusDf(spark, dir)
       val pairs = graft.llm.Dedup.minhashPairs(corpus, "doc_id", "text", 3, 8, 2, 0.5)
