@@ -114,6 +114,13 @@ object LanguageModel {
       coalesce(sum("c"), lit(0L)).as("t"), count(lit(1)).as("v")).first()
     val t = totals.getLong(0)
     val v = totals.getLong(1)
+    // An empty reference trains nothing: T = V = 0 makes p_uni(w) = 1 for
+    // every token and every document scores nll = 0 — a silently
+    // meaningless filter. Fail fast instead; the caller picked a predicate
+    // that matched no tokens.
+    require(t > 0,
+      "LM reference slice is empty (isRef matched no tokens) — " +
+        "a perplexity filter trained on nothing scores every document 0")
     val denom = (t + v + 1).toDouble
     val flat = positions(docs, idCol, textCol)
     // Both unigram probes join the BARE `uni` aggregate (aliases only, no

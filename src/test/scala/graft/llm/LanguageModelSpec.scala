@@ -91,6 +91,14 @@ class LanguageModelSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("empty reference slice fails fast instead of scoring every doc 0") {
+    val df = frame((1L, "a b", "xx"), (2L, "c d", "yy"))
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.perplexity(df, "doc_id", "text", ref)
+    }
+    assert(e.getMessage.contains("reference slice is empty"))
+  }
+
   test("scoring is deterministic across invocations") {
     val df = frame(
       (1L, "a b c a b", "en"), (2L, "b c a", "en"), (3L, "c c c", "xx"))
