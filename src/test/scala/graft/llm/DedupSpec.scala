@@ -180,6 +180,26 @@ class DedupSpec extends SparkTestBase {
     assert(fast == cc)
   }
 
+  test("connectedComponents: driver fast path preserves non-Long integral id types") {
+    // INT ids exercise the cast-long-and-back path; the output schema must
+    // match what the distributed loop would produce.
+    val pairs = Seq((1, 2), (2, 3), (7, 8)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.schema.fields.map(_.dataType).toSeq ==
+      Seq(org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType))
+    assert(cc.as[(Int, Int)].collect().toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7, 8 -> 7))
+  }
+
+  test("connectedComponents: string ids stay on the distributed loop (ordering-safety gate)") {
+    // UTF8String binary order != java.lang.String UTF-16 order, so strings
+    // must never take the driver path; the loop's min-label result is the
+    // one both the oracle and Spark's min() agree on.
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(String, String)].collect().toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("connectedComponents: driver fast path == distributed loop on a random-ish graph") {
     // star + chain + isolated pair + a cycle, ids out of order
     val edges = Seq((5L, 9L), (9L, 2L), (2L, 7L), (7L, 5L), // cycle
