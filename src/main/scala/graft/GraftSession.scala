@@ -67,13 +67,17 @@ object GraftSession {
     * q16i 4 GiB × 100× runs 55 s at 256-grain vs 63 s at 32 — and the
     * hand-set conf is no longer needed (`bench_records/r14_q16i_mem.json`).
     *
-    * Priced trade, measured and accepted: the ITERATIVE-many-small-
-    * exchange queries pay for the 8× map-side shuffle buckets — q48b
-    * +~3 s and q52_oneshot +~1 s at sf0.1 (full-registry A/B,
-    * r13_base96 vs r14_base96 mins; a solo 4× probe was noise-dominated
-    * and no better). The registry total stays inside the recorded range
-    * because the round's other wins offset it; at corpus scale those
-    * same CC shuffles are large and WANT the finer initial grain.
+    * Priced trade, measured — then bought back: the ITERATIVE-many-small-
+    * exchange queries initially paid for the 8× map-side shuffle buckets
+    * (q48b +~3 s, q52_oneshot +~1 s at sf0.1; full-registry A/B,
+    * r13_base96 vs r14_base96 mins). Later in r14 the CC tier stopped
+    * paying it without losing the robustness here: the loop DERIVES its
+    * grain from the measured state size and scopes it
+    * ([[graft.llm.Dedup.connectedComponents]]), and small graphs bypass
+    * the loop entirely (driver union-find under
+    * `spark.graft.cc.driverEdgeLimit`) — the r14_final99 record reflects
+    * both. This conf remains the right default for exchanges whose size
+    * AQE cannot know in advance.
     */
   def local(cores: Int, ui: Boolean = false): SparkSession =
     builder()

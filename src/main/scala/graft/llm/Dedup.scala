@@ -295,7 +295,14 @@ object Dedup {
     * appears in `pairs`, with `cluster` = the minimum id reachable from it
     * — deterministic, so retries and the SQL oracle agree.
     *
-    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Two execution strategies behind one contract (output-equal,
+    * spec-pinned): below `spark.graft.cc.driverEdgeLimit` edges (and for
+    * integral ids) a driver union-find resolves the closure in one bounded
+    * collect — the common case, since the graph holds only docs that
+    * appear in a pair; above it the distributed loop below runs.
+    *
+    * Algorithm (distributed path): iterative min-label propagation with
+    * pointer jumping.
     * Each round does (1) an edge pass — every vertex takes the min of its
     * own label and its neighbors' labels (one shuffle keyed on vertex) —
     * and (2) a label-to-label join — label(v) ← label(label(v)) — which
