@@ -296,10 +296,12 @@ object Dedup {
     * — deterministic, so retries and the SQL oracle agree.
     *
     * Two execution strategies behind one contract (output-equal,
-    * spec-pinned): below `spark.graft.cc.driverEdgeLimit` edges (and for
-    * integral ids) a driver union-find resolves the closure in one bounded
-    * collect — the common case, since the graph holds only docs that
-    * appear in a pair; above it the distributed loop below runs.
+    * spec-pinned): strictly below `spark.graft.cc.driverEdgeLimit` staged
+    * rows (~2E+V, see [[DriverEdgeLimitDefault]]) and for integral ids, a
+    * driver union-find resolves the closure in one bounded collect — the
+    * common case, since the graph holds only docs that appear in a pair;
+    * at or above it (or with the `0` force-distributed sentinel) the
+    * distributed loop below runs.
     *
     * Algorithm (distributed path): iterative min-label propagation with
     * pointer jumping.
@@ -353,17 +355,34 @@ object Dedup {
     */
   private val LoopGrainTargetBytes = 16L << 20
 
-  /** Default for `spark.graft.cc.driverEdgeLimit`: edge sets at or below
-    * this resolve on the driver (union-find), above it the distributed
-    * label-propagation loop runs. 2^18 edges is ~4 MB of raw id pairs —
-    * an explicitly thresholded, conf-visible driver collect (the
-    * GraphFrames-style small-graph strategy), NOT an unbounded one: the
-    * count that gates it is the same measurement the loop's shuffle grain
-    * derives from. The threshold deliberately sits below the 100×-replica
-    * semantic graph (~1.3M edges), so the scale ladders keep exercising
-    * the distributed path.
+  /** Default for `spark.graft.cc.driverEdgeLimit`: STAGED row sets
+    * strictly below this resolve on the driver (union-find), at or above
+    * it the distributed label-propagation loop runs. The unit is staged
+    * rows — the symmetric closure plus one self-loop per vertex, ~2E+V
+    * for E raw pairs over V vertices — because that is the frame the
+    * loop's single measuring count sees; a user reasoning in raw pairs
+    * should budget roughly half this value. 2^18 staged rows is ~4 MB of
+    * collected id pairs — an explicitly thresholded, conf-visible driver
+    * collect (the GraphFrames-style small-graph strategy), NOT an
+    * unbounded one: the count that gates it is the same measurement the
+    * loop's shuffle grain derives from. The strict `<` makes `0` a
+    * force-distributed sentinel (used by DedupSpec/ScaleCheck: even an
+    * empty graph takes the loop). The threshold deliberately sits below
+    * the 100×-replica semantic graph (~1.3M edges), so the scale ladders
+    * keep exercising the distributed path.
     */
   private val DriverEdgeLimitDefault = 1L << 18
+
+  /** Serializes the distributed loop's session-conf grain swap: without
+    * it, two concurrent [[connectedComponents]] calls on one session can
+    * interleave set/restore and a second call captures the first's
+    * temporary state-scale grain as its `prevGrain`, restoring it
+    * permanently (r14 advisor). The lock is JVM-global (coarser than
+    * per-session, which only over-serializes the rare multi-session
+    * case); restore additionally re-reads-and-compares so a non-CC
+    * writer's concurrent change is never clobbered.
+    */
+  private val grainSwapLock = new Object
 
   /** Driver union-find over a collected (u, v) edge list of integral ids:
     * the transitive closure resolved in O(E α(E)) with ZERO Spark jobs
@@ -421,8 +440,15 @@ object Dedup {
     // rewriting in Spark 4.1).
     val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-    val staged = sym
-      .union(sym.select(col("u"), col("u").as("v")).distinct())
+    // Null-id edges are dropped up front (an id paired only with null stays
+    // a singleton via its self-loop): the loop's equi-joins would drop them
+    // anyway — null never equals anything in SQL — but the driver
+    // union-find would NPE on the collected rows, so the two strategies
+    // diverged on the same degenerate input (r14 advisor). One filter on
+    // the staged frame keeps them output-equal everywhere.
+    val staged = sym.filter(col("u").isNotNull && col("v").isNotNull)
+      .union(sym.select(col("u"), col("u").as("v"))
+        .filter(col("u").isNotNull).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One counting action materializes the edge set and MEASURES it.
     // Everything the loop shuffles from here on is state-scale — the edges
@@ -457,12 +483,20 @@ object Dedup {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (edgeRows <= driverLimit && integralIds) {
+    // Strict `<`: `driverEdgeLimit = 0` is the force-distributed sentinel
+    // (DedupSpec.forcedDistributed, ScaleCheck) — with `<=` an EMPTY graph
+    // (0 <= 0) still took the driver path despite the force, so loop-
+    // semantics tests silently asserted against union-find (r14 advisor).
+    if (edgeRows < driverLimit && integralIds) {
       val out = driverComponents(staged)
       staged.unpersist(false)
       roundsCallback.foreach(_(0))
       return out
     }
+    // The grain swap below is session-visible; [[grainSwapLock]] serializes
+    // concurrent CC resolutions so no call captures another's temporary
+    // grain as its restore target.
+    grainSwapLock.synchronized {
     val grainKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val prevGrain = spark.conf.getOption(grainKey)
     val cores = spark.sparkContext.defaultParallelism.toLong
@@ -512,17 +546,29 @@ object Dedup {
         labels = next
         iter += 1
       }
-      edges.unpersist(false)
       require(converged, s"connectedComponents did not converge in $maxIterations iterations")
       // O(log diameter) claim made observable: scale evidence (BASELINE.md's
       // sf0.1-vs-sf1 table) reads the round count through this hook
       roundsCallback.foreach(_(iter))
       labels.select(col("id"), col("label").as("cluster"))
     } finally {
-      prevGrain match {
-        case Some(v) => spark.conf.set(grainKey, v)
-        case None    => spark.conf.unset(grainKey)
+      // Unpersists live HERE, not in the loop body: a job failure or
+      // Observation error mid-iteration must not leave the repartitioned
+      // edge frame pinned at MEMORY_AND_DISK for the session lifetime
+      // (r14 advisor). Both calls are idempotent no-ops when the frame
+      // already unpersisted on the happy path.
+      edges.unpersist(false)
+      staged.unpersist(false)
+      // Restore-with-compare: only undo OUR write. If some non-CC writer
+      // changed the grain while the loop ran, clobbering it with
+      // `prevGrain` would silently revert their setting.
+      if (spark.conf.getOption(grainKey).contains(grain.toString)) {
+        prevGrain match {
+          case Some(v) => spark.conf.set(grainKey, v)
+          case None    => spark.conf.unset(grainKey)
+        }
       }
+    }
     }
   }
 

@@ -230,7 +230,29 @@ class DedupSpec extends SparkTestBase {
   test("connectedComponents: empty pair list -> empty labels, no divergence") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).isEmpty)
-    assert(forcedDistributed { Dedup.connectedComponents(pairs).isEmpty })
+    // the 0 sentinel must force the LOOP even for an empty graph (strict
+    // `<` gate): rounds > 0 proves the distributed path actually ran —
+    // with the old `<=` gate this silently took the driver path (rounds=0)
+    var rounds = -1
+    assert(forcedDistributed {
+      Dedup.connectedComponents(pairs, roundsCallback = Some(r => rounds = r)).isEmpty
+    })
+    assert(rounds >= 1, s"forced-distributed empty graph must take the loop, got rounds=$rounds")
+  }
+
+  test("connectedComponents: null ids drop out identically on both paths") {
+    // (1,2) real edge; (3,null) leaves 3 a singleton; (null,null) vanishes.
+    // Before the staged-frame null filter the driver union-find NPE'd on
+    // these rows while the loop's equi-joins silently dropped them.
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (3L, null), (null, null)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = forcedDistributed {
+      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    }
+    assert(fast == expected, s"driver path: $fast")
+    assert(dist == expected, s"distributed path: $dist")
   }
 
   test("connectedComponents: deep graphs keep plan statistics bounded (no BigInt blowup)") {
