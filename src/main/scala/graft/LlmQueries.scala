@@ -1499,6 +1499,78 @@ object LlmQueries {
       |  substr(upper(hex(encode(text))), 1, 16) AS head_hex
       |FROM documents""".stripMargin
 
+  // ---- q83: image near-dup (perceptual dHash + banded Hamming) ----------
+
+  /** q83 — IMAGE near-duplicate pairs, the multimodal dedup leg: encode a
+    * real BMP per document ([[graft.fixtures.ImagesFixture]]), decode it
+    * through the `javax.imageio` pipeline, dHash the pixel grid
+    * ([[graft.llm.Multimodal.dhash]]), and band the 64-bit hashes through
+    * the exact q64 SimHash pair machinery ([[graft.llm.Dedup.simhashPairs]]
+    * — shared code, so image and text near-dup can never drift in blocking
+    * semantics). Output (id_a, id_b, hamming), hamming ≤ 6.
+    *
+    * The oracle never decodes a pixel: the fixture geometry makes the
+    * decoded hash EQUAL to a closed-form integer function of doc_id
+    * (see [[graft.fixtures.ImagesFixture]]'s exactness argument, pinned by
+    * `MultimodalSpec`), so DuckDB recomputes hash, bands, candidate join,
+    * and Hamming verify in pure integer arithmetic. The engine still earns
+    * the row the hard way — through the real encode → decode →
+    * area-average → gradient path.
+    *
+    * Scale shape: one batched decode pass (mapPartitions, the justified
+    * site), then [[graft.llm.Dedup.simhashPairs]]'s banded bucket join on
+    * 16-byte rows — never all-pairs on the corpus; the text ladder's
+    * 3.6×/decade shape carries over because the pairing stage is the same
+    * operator.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Multimodal.imageDupPairs(
+      graft.fixtures.ImagesFixture.imageCorpus(spark, dir))
+
+  /** Twin: [[graft.fixtures.ImagesFixture.cellValue]] re-expressed in SQL
+    * (`//`/`%` match floorDiv/floorMod), gradient-sign bits summed into
+    * the 64-bit hash (bit 63 via the explicit Long.MinValue literal —
+    * `1::BIGINT << 63` overflow semantics are engine-specific), then the
+    * q64 band split ((hash >> 8j) & 255 — arithmetic-vs-logical shift is
+    * masked out), distinct candidate join, exact Hamming ≤ 6.
+    */
+  private val q83Oracle: String = {
+    import graft.fixtures.ImagesFixture.{EditDelta, Patterns}
+    s"""WITH cells AS (
+       |  SELECT doc_id, gy.range AS gy, gx.range AS gx,
+       |    ((doc_id % $Patterns) * gx.range * 129
+       |     + (doc_id % $Patterns) * gy.range * 127
+       |     + gx.range * gy.range * 97 + gx.range * 143 + gy.range * 112
+       |     + (doc_id % $Patterns) * 7) % 199
+       |    + CASE WHEN ((doc_id // $Patterns) % 3 = 1
+       |                  AND gx.range = 2 AND gy.range = 3)
+       |             OR ((doc_id // $Patterns) % 3 = 2
+       |                  AND ((gx.range = 2 AND gy.range = 3)
+       |                    OR (gx.range = 5 AND gy.range = 6)))
+       |           THEN $EditDelta ELSE 0 END AS v
+       |  FROM (SELECT doc_id FROM documents) ids,
+       |       range(0, 8) gy, range(0, 9) gx),
+       |bits AS (
+       |  SELECT a.doc_id,
+       |    CASE WHEN a.v < b.v THEN
+       |      CASE WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
+       |           ELSE (1::BIGINT << (a.gy * 8 + a.gx)) END
+       |    ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1),
+       |h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS hash
+       |      FROM bits GROUP BY 1),
+       |banded AS (SELECT doc_id, hash, b.range AS band,
+       |    (hash >> (b.range * 8)) & 255 AS bv
+       |  FROM h, range(0, 8) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.hash AS ha, b.hash AS hb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin
+  }
+
   // ---- q19: sessionization (batch form of the streaming aggregation) ---
 
   private val SessionGapUs = 6L * 3600 * 1000000
@@ -3130,6 +3202,7 @@ object LlmQueries {
     "q16i_ann_ivf_pq_indexed" -> ((s, d) => annIvfPqIndexed(s, d)),
     "q17_embed_nearest" -> ((s, d) => embedNearest(s, d)),
     "q18_multimodal" -> ((s, d) => multimodalFeatures(s, d)),
+    "q83_image_neardup" -> ((s, d) => imageNearDup(s, d)),
     "q19_sessions" -> ((s, d) => sessions(s, d)),
     "q66_session_overlap" -> ((s, d) => sessionOverlap(s, d)),
     "q20_training_prep" -> ((s, d) => trainingPrep(s, d)),
@@ -3202,6 +3275,7 @@ object LlmQueries {
     "q16i_ann_ivf_pq_indexed" -> q16hOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
+    "q83_image_neardup" -> q83Oracle,
     "q19_sessions" -> q19Oracle,
     "q66_session_overlap" -> q66Oracle,
     "q20_training_prep" -> q20Oracle,

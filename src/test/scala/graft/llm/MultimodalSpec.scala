@@ -276,6 +276,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs((1L, 3L)) <= 2L && pairs((1L, 3L)) >= 1L, "the edit is a near, not exact, match")
   }
 
+  test("ImagesFixture: decoded-pixel dHash equals the closed-form formula hash (q83 bridge)") {
+    import graft.fixtures.ImagesFixture
+    // the exact assumption the q83 DuckDB oracle rests on: BMP encode →
+    // imageio decode → area-average → luminance gradient sign computes the
+    // SAME 64 bits as the integer cellValue formula. Ids cover all three
+    // edit arms (r%3 = 0/1/2) and several patterns.
+    val ids = Seq(0L, 1L, 39L, 40L, 41L, 79L, 80L, 81L, 123L, 456L, 499L, 12345L)
+    ids.foreach { id =>
+      val decoded = Multimodal.dhash(ImagesFixture.encodeBmp(id))
+      assert(decoded.contains(ImagesFixture.formulaHash(id)),
+        s"doc $id: decode-path hash ${decoded.map(_.toHexString)} != " +
+          s"formula ${ImagesFixture.formulaHash(id).toHexString}")
+    }
+  }
+
+  test("ImagesFixture near-dup structure: intra-pattern pairs found, edits bounded, base pair exact") {
+    import graft.fixtures.ImagesFixture
+    import spark.implicits._
+    // ids 0/40/80 share pattern 0 with edit arms r%3 = 0/1/2; id 1 is a
+    // different pattern (distinct base) and must not pair with them unless
+    // its hash genuinely lands within hamming 6 — assert on the formula.
+    val media = Seq(0L, 40L, 80L, 1L).map { id =>
+      val m = ImagesFixture.encodeBmp(id)
+      MediaRecord(id, "image", m, m.length.toLong)
+    }.toDS()
+    val pairs = Multimodal.imageDupPairs(media)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // all three intra-pattern pairs surface (edits flip ≤2 bits per cell)
+    assert(pairs.contains((0L, 40L)) && pairs.contains((0L, 80L)) && pairs.contains((40L, 80L)),
+      s"intra-pattern near-dups must all pair: $pairs")
+    assert(pairs((0L, 40L)) >= 1L && pairs((0L, 40L)) <= 2L, "one-cell edit: 1-2 bits")
+    assert(pairs((0L, 80L)) <= 4L, "two-cell edit: <=4 bits")
+    assert(pairs((40L, 80L)) <= 2L, "edits share cell (2,3): <=2 bits apart")
+    // the cross-pattern pair appears iff its true hamming is <= 6 — and
+    // for patterns 0 vs 1 the bases genuinely differ far apart
+    val cross = java.lang.Long.bitCount(
+      ImagesFixture.formulaHash(0L) ^ ImagesFixture.formulaHash(1L))
+    assert(pairs.contains((0L, 1L)) == (cross <= 6 &&
+      (0 until 8).exists(j => ((ImagesFixture.formulaHash(0L) >> (j * 8)) & 255) ==
+        ((ImagesFixture.formulaHash(1L) >> (j * 8)) & 255))),
+      s"cross-pattern pair must follow the band+hamming rule exactly (hamming $cross)")
+  }
+
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
     val docs = Tables.documents(spark, dir)
     val sql = Multimodal.binaryFeatures(docs).collect()
