@@ -3110,6 +3110,63 @@ object LlmQueries {
       |GROUP BY 1""".stripMargin
   }
 
+  // ---- q84: iterated BPE training ---------------------------------------
+
+  /** Training rounds for q84 — fixed and small so the DuckDB twin can
+    * unroll them as chained CTEs (the q75/q82 convention). */
+  private val BpeTrainRounds = 3
+
+  /** q84 — ITERATED BPE training ([[TextStats.bpeTrainChained]]): the real
+    * Sennrich loop — count pairs, merge the top pair, RE-COUNT on the
+    * rewritten corpus — for [[BpeTrainRounds]] rounds, so a later round
+    * can (and on fixtures provably does, `TextStatsSpec`) select a pair
+    * containing an earlier round's merged token. q72/q75's one-shot
+    * ranking can never do that: it orders one global count. Output: the
+    * learned merge table, one row per round.
+    */
+  def bpeTrainIterated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextStats.bpeTrainChained(docs, "text", BpeTrainRounds)
+  }
+
+  /** Twin: per round, a pair-count CTE over the previous round's rewrite,
+    * a 1-row top-pair CTE (count desc, pair asc, distinct-sided — the
+    * engine's selection order mirrored exactly), and the q75 stateless
+    * merge pass; rounds chain t → s1 → s2 → … with the final round's
+    * rewrite elided (nothing re-counts it).
+    */
+  private val q84Oracle: String = {
+    def pairsCte(r: Int, src: String): String =
+      s"""p$r AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM $src)""".stripMargin
+    def topCte(r: Int): String =
+      s"""m$r AS (SELECT split_part(pair, ' ', 1) AS tok_a,
+         |  split_part(pair, ' ', 2) AS tok_b, count(*) AS n
+         |  FROM p$r GROUP BY pair
+         |  HAVING split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
+         |  ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+    def stepCte(r: Int, src: String): String =
+      s"""s$r AS (SELECT list_filter(list_transform(range(1, len(toks)+1), i ->
+         |    CASE WHEN toks[i] = mm$r.a AND i < len(toks) AND toks[i+1] = mm$r.b
+         |           THEN mm$r.a || mm$r.b
+         |         WHEN i > 1 AND toks[i-1] = mm$r.a AND toks[i] = mm$r.b THEN NULL
+         |         ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+         |  FROM $src, (SELECT tok_a AS a, tok_b AS b FROM m$r) mm$r)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val src = if (r == 1) "t" else s"s${r - 1}"
+      val step = if (r < BpeTrainRounds) ",\n" + stepCte(r, src) else ""
+      pairsCte(r, src) + ",\n" + topCte(r) + step
+    }.mkString(",\n")
+    val arms = (1 to BpeTrainRounds).map(r =>
+      s"SELECT $r AS round, tok_a, tok_b, tok_a || tok_b AS merged, n AS n_pairs FROM m$r")
+    s"""WITH t AS (SELECT
+       |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS toks
+       |  FROM documents),
+       |$rounds
+       |${arms.mkString("\nUNION ALL ")}""".stripMargin
+  }
+
   // ---- q80: LM perplexity filter (CCNet shape) --------------------------
 
   /** Reference slice for the q80 LM: the English documents stand in for
@@ -3244,6 +3301,7 @@ object LlmQueries {
     "q74_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d)),
     "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d)),
+    "q84_bpe_train" -> ((s, d) => bpeTrainIterated(s, d)),
     "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d)),
     "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q79_dsir_resample" -> ((s, d) => dsirResample(s, d)),
@@ -3319,6 +3377,7 @@ object LlmQueries {
     "q74_gopher_rules" -> q74Oracle,
     "q75_bpe_apply" -> q75Oracle,
     "q76_bpe_eval" -> q76Oracle,
+    "q84_bpe_train" -> q84Oracle,
     "q77_pq_index_ingest" -> q77Oracle,
     "q78_dsir_weights" -> q78Oracle,
     "q79_dsir_resample" -> q79Oracle,

@@ -269,6 +269,61 @@ object TextStats {
     kept.orderBy(desc("n_pairs"), asc("pair")).limit(topK)
   }
 
+  /** Iterated BPE TRAINING (Sennrich et al. 2016's actual loop, public):
+    * each round counts adjacent pairs over the corpus AS REWRITTEN by the
+    * merges learned so far, registers the top pair (count desc, pair asc,
+    * restricted to the distinct-sided pairs [[bpeMergeStep]] may legally
+    * merge), applies it corpus-wide, and re-counts — so round k+1's
+    * candidates include tokens PRODUCED by merge k, the chaining that
+    * separates real BPE from the one-shot top-K diagnostic
+    * ([[graft.LlmQueries]]'s q75 `learnedMerges`, which ranks a single
+    * global count and can never select a merged token). Output: one row
+    * per round — (round, tok_a, tok_b, merged, n_pairs), where n_pairs is
+    * the pair's count at selection time (i.e. over the round's input).
+    *
+    * Scale shape: per round, ONE corpus pass — the q72 explode +
+    * partial-aggregated count shuffle with a 1-row
+    * TakeOrderedAndProject collect (bounded metadata, the q75 learn-side
+    * convention) — over the persisted base tokenization plus a
+    * projection chain of the ≤`rounds` merges applied so far (each merge
+    * is a ~10-node stateless HOF pass, q75's apply shape; with `rounds`
+    * fixed and small the chain stays literal-sized, the q16g rule — a
+    * production-size merge table would checkpoint the token arrays every
+    * few hundred rounds instead). Total: `rounds` scans of the tokenized
+    * corpus, never of the raw text.
+    */
+  def bpeTrainChained(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(bpeishTokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var cur = base
+    try {
+      for (r <- 1 to rounds) {
+        val n = greatest(size(col("toks")) - 1, lit(0))
+        val pairs = zip_with(
+          slice(col("toks"), lit(1), n), slice(col("toks"), lit(2), n),
+          (a, b) => concat_ws(" ", a, b))
+        val top = cur.select(explode(pairs).as("pair"))
+          .groupBy("pair")
+          .agg(count(lit(1)).as("n_pairs"))
+          .filter(split(col("pair"), " ").getItem(0) =!=
+            split(col("pair"), " ").getItem(1))
+          .orderBy(desc("n_pairs"), asc("pair")).limit(1)
+          .collect()
+        require(top.nonEmpty,
+          s"round $r: corpus has no distinct-sided adjacent pair left to merge")
+        // bpeish tokens never contain whitespace, so the first space splits
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        learned += ((r, a, b, a + b, top(0).getLong(1)))
+        cur = cur.withColumn("toks", bpeMergeStep(col("toks"), a, b))
+      }
+    } finally base.unpersist(false)
+    learned.toSeq.toDF("round", "tok_a", "tok_b", "merged", "n_pairs")
+  }
+
   /** One simultaneous BPE merge pass over a token array: every adjacent
     * (a, b) occurrence collapses to the single token `a+b`, leftmost-greedy.
     * REQUIRES a ≠ b: then no two matches can overlap (a match ending at

@@ -107,6 +107,28 @@ class VocabularySpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"carry must not introduce a shuffle:\n$p")
   }
 
+  test("bpeTrainChained: round 2 selects a pair containing round 1's merged token") {
+    // Pinned corpus: "a b" dominates round 1 (5 occurrences) -> merge "ab".
+    // AFTER that rewrite, ("ab","c") appears 4 times and dominates round 2
+    // — a pair whose left side EXISTS only post-merge, the chaining the
+    // one-shot q75 learnedMerges ranking cannot produce (its single global
+    // count never contains "ab"). Round 3 then consumes round 2's output.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"), (4L, "a b c"),
+      (5L, "a b x")).toDF("doc_id", "text")
+    val table = TextStats.bpeTrainChained(docs, "text", 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(table(0) == ((1, "a", "b", "ab", 5L)), s"round 1: ${table(0)}")
+    assert(table(1) == ((2, "ab", "c", "abc", 4L)), s"round 2: ${table(1)}")
+    assert(table(2) == ((3, "abc", "d", "abcd", 3L)), s"round 3: ${table(2)}")
+    // the q75 apply path consumes the chained table directly
+    val merges = table.map(r => (r._2, r._3)).toSeq
+    val applied = TextStats.bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(applied(1L) == "abcd" && applied(4L) == "abc" && applied(5L) == "ab x",
+      s"chained merges must tokenize end-to-end: $applied")
+  }
+
   test("vocabulary plan: top-k lowers to TakeOrderedAndProject, never a global sort") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = TextStats.vocabulary(docs, "doc_id", "text", 10)
