@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.{DocumentsFixture, EmbeddingsFixture}
-import graft.llm.{Chunking, Contamination, Dedup, LanguageModel, Similarity, TextStats}
+import graft.llm.{Chunking, Classifier, Contamination, Dedup, LanguageModel, Similarity, TextStats}
 import graft.operators.RangeJoin
 import graft.sources.Tables
 
@@ -1247,6 +1247,83 @@ object LlmQueries {
       |    / 1000000.0 AS mean_val,
       |  n AS n_vecs
       |FROM s2""".stripMargin
+
+  /** Hash-bucket count for the q85 classifier — the model (weights the
+    * driver holds and broadcasts) is O([[ClfBuckets]]) regardless of
+    * vocabulary size, the same bound that makes q78's DSIR tables
+    * 100 TB-safe. */
+  private val ClfBuckets = 512
+
+  /** Training epochs for q85 — fixed and small so the DuckDB twin can
+    * unroll them as chained CTEs (the q82/q84 convention). */
+  private val ClfEpochs = 2
+
+  /** The q85 training slice: a deterministic 40% of the corpus. The
+    * modulus survives the scale-replica construction (doc_id offsets are
+    * multiples of 10⁶), so the train/score split keeps its shape at every
+    * decade. */
+  private val clfTrain = col("doc_id") % 5 < 2
+
+  /** q85 — SUPERVISED QUALITY CLASSIFIER ([[Classifier.trainScore]]):
+    * hashed-feature logistic regression trained in-engine on a labeled
+    * slice (labels = the q78 trusted-source predicate; slice = 40% by
+    * doc_id), scored corpus-wide — the CCNet/fastText trained-filter leg
+    * of the curation stack. [[ClfEpochs]] full-batch epochs, learning
+    * rate 1/2 folded into an exact integer division; every aggregate is
+    * BIGINT micro-units, so the whole FIT is cross-engine checkable (the
+    * q82 iterated-fit discipline applied to a gradient loop).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Classifier.trainScore(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism),
+      dsirTarget, clfTrain, ClfBuckets, ClfEpochs)
+
+  /** Twin: [[ClfEpochs]] unrolled gradient epochs — margins (feature ⋈
+    * weights), residual (one `exp`, re-quantized to micro-units),
+    * per-bucket gradient, half-away-from-zero integer update (the q81
+    * meanPool CASE with the 1/2 rate folded into the denominator), then
+    * the corpus-wide scoring join. Generated by a loop so the epoch count
+    * is one constant in both engines.
+    */
+  private val q85Oracle: String = {
+    val B = ClfBuckets
+    def upd(wPrev: String, g: String, out: String) =
+      s"""$out AS (SELECT w.bucket, w.wI - (CASE WHEN coalesce(g.gI, 0) < 0
+         |    THEN -((2 * abs(coalesce(g.gI, 0)) + 2 * ntr.n) // (4 * ntr.n))
+         |    ELSE ((2 * coalesce(g.gI, 0) + 2 * ntr.n) // (4 * ntr.n)) END) AS wI
+         |  FROM $wPrev w LEFT JOIN $g g USING (bucket) CROSS JOIN ntr)""".stripMargin
+    val epochs = (1 to ClfEpochs).map { e =>
+      val wPrev = s"w${e - 1}"
+      s"""m$e AS (SELECT f.doc_id, sum(w.wI * f.cnt) AS mI
+         |  FROM ftr f JOIN $wPrev w USING (bucket) GROUP BY 1),
+         |r$e AS (SELECT m.doc_id,
+         |    CAST(round(1000000.0 / (1.0 + exp(-(m.mI / 1000000.0)))) AS BIGINT)
+         |      - CASE WHEN t.y THEN 1000000 ELSE 0 END AS rI
+         |  FROM m$e m JOIN t USING (doc_id)),
+         |g$e AS (SELECT f.bucket, sum(r.rI * f.cnt) AS gI
+         |  FROM ftr f JOIN r$e r USING (doc_id) GROUP BY 1),
+         |${upd(wPrev, s"g$e", s"w$e")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id,
+      |    source IN ('src0','src1','src2','src3') AS y,
+      |    doc_id % 5 < 2 AS is_train, $dToks AS toks FROM documents),
+      |f AS (SELECT doc_id, bucket, count(*) AS cnt FROM (
+      |    SELECT doc_id,
+      |      CAST(concat('0x', substr(md5(tok), 1, 6)) AS BIGINT) % $B AS bucket
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)) GROUP BY 1, 2
+      |  UNION ALL SELECT doc_id, -1, 1 FROM t),
+      |ftr AS (SELECT f.doc_id, f.bucket, f.cnt
+      |  FROM f JOIN t USING (doc_id) WHERE t.is_train),
+      |ntr AS (SELECT count(*) AS n FROM t WHERE is_train),
+      |w0 AS (SELECT unnest(range(-1, $B)) AS bucket, CAST(0 AS BIGINT) AS wI),
+      |$epochs,
+      |ms AS (SELECT f.doc_id, sum(w.wI * f.cnt) AS mI
+      |  FROM f JOIN w$ClfEpochs w USING (bucket) GROUP BY 1)
+      |SELECT t.doc_id, t.y AS is_target, t.is_train, len(t.toks) AS n_feats,
+      |  CAST(ms.mI AS DOUBLE) / 1000000.0 AS score, ms.mI > 0 AS keep
+      |FROM ms JOIN t USING (doc_id)""".stripMargin
+  }
 
   /** q74 — Gopher-style quality rule filter ([[TextStats.gopherFlags]])
     * over the rule-exercising fixture corpus (each arm injects one
@@ -3307,7 +3384,8 @@ object LlmQueries {
     "q79_dsir_resample" -> ((s, d) => dsirResample(s, d)),
     "q80_lm_perplexity" -> ((s, d) => lmPerplexity(s, d)),
     "q81_kmeans_refine" -> ((s, d) => kmeansRefine(s, d)),
-    "q82_kmeans_fit" -> ((s, d) => kmeansFitQuery(s, d))
+    "q82_kmeans_fit" -> ((s, d) => kmeansFitQuery(s, d)),
+    "q85_quality_classifier" -> ((s, d) => qualityClassifier(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3383,6 +3461,7 @@ object LlmQueries {
     "q79_dsir_resample" -> q79Oracle,
     "q80_lm_perplexity" -> q80Oracle,
     "q81_kmeans_refine" -> q81Oracle,
-    "q82_kmeans_fit" -> q82Oracle
+    "q82_kmeans_fit" -> q82Oracle,
+    "q85_quality_classifier" -> q85Oracle
   )
 }
