@@ -1248,6 +1248,76 @@ object LlmQueries {
       |  n AS n_vecs
       |FROM s2""".stripMargin
 
+  /** Round cap for q86 — the oracle unrolls exactly this many Lloyd
+    * rounds. The engine may stop EARLIER at a fixed point; that is safe
+    * because a fixed point reproduces itself, so the M-round twin is
+    * hash-identical to any early stop (see
+    * [[Similarity.kmeansFitConverged]]). */
+  private val KmeansConvergeMaxRounds = 6
+
+  /** q86 — CONVERGENCE-DRIVEN k-means ([[Similarity.kmeansFitConverged]]):
+    * q82's bit-stable Lloyd iteration, but stopping at the first centroid
+    * fixed point instead of a pinned round count — the shape a real fit
+    * runs (rounds track cluster geometry, not corpus size; the CC loop's
+    * convergence discipline applied to Lloyd). Same pinned seed set as
+    * q81/q82; cap [[KmeansConvergeMaxRounds]].
+    */
+  def kmeansConvergedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+    Similarity.kmeansFitConverged(e,
+      e.filter(col("id") % 100 === 0 && col("id") < KmeansCentroidIdBound),
+      KmeansConvergeMaxRounds)._1
+  }
+
+  /** Twin generator: `rounds` unrolled Lloyd rounds — q82's assignment +
+    * mean CTEs chained by a loop so q86's round cap is one constant. The
+    * per-round SQL is q82Oracle's text verbatim (assignment tie-break,
+    * DECIMAL component sums, half-away-from-zero integer mean). */
+  private def dLloydOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { e =>
+      val cSrc = if (e == 1) "c0" else s"c${e - 1}n"
+      val core =
+        s"""a$e AS (
+           |  SELECT id, emb, c_id AS bucket FROM (
+           |    SELECT n.id, n.emb, c.c_id,
+           |      row_number() OVER (PARTITION BY n.id
+           |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+           |    FROM n, $cSrc c) WHERE r = 1),
+           |x$e AS (SELECT bucket,
+           |         unnest(list_transform(range(len(emb)), i ->
+           |           {'pos': i + 1, 'xd': CAST(round(emb[i+1], 6) AS DECIMAL(18,6))})) AS u
+           |       FROM a$e),
+           |s$e AS (SELECT bucket, u.pos AS dim_pos,
+           |         CAST(sum(u.xd) * 1000000 AS BIGINT) AS sI, count(*) AS n
+           |       FROM x$e GROUP BY 1, 2)""".stripMargin
+      if (e == rounds) core
+      else core + ",\n" +
+        s"""m$e AS (SELECT bucket, dim_pos,
+           |         CAST(CASE WHEN sI < 0 THEN -((2 * abs(sI) + n) // (2 * n))
+           |                   ELSE (2 * abs(sI) + n) // (2 * n) END AS DOUBLE)
+           |           / 1000000.0 AS mean_val
+           |       FROM s$e),
+           |c$e AS (SELECT bucket AS c_id, list(mean_val ORDER BY dim_pos) AS c_emb
+           |       FROM m$e GROUP BY 1),
+           |c${e}n AS (SELECT c_id, c_emb, sqrt(list_dot_product(c_emb, c_emb)) AS c_nrm FROM c$e)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |c0 AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
+       |       WHERE id % 100 = 0 AND id < $KmeansCentroidIdBound),
+       |$roundCtes
+       |SELECT bucket, dim_pos,
+       |  CAST(CASE WHEN sI < 0 THEN -((2 * abs(sI) + n) // (2 * n))
+       |            ELSE (2 * abs(sI) + n) // (2 * n) END AS DOUBLE)
+       |    / 1000000.0 AS mean_val,
+       |  n AS n_vecs
+       |FROM s$rounds""".stripMargin
+  }
+
+  private val q86Oracle: String = dLloydOracle(KmeansConvergeMaxRounds)
+
   /** Hash-bucket count for the q85 classifier — the model (weights the
     * driver holds and broadcasts) is O([[ClfBuckets]]) regardless of
     * vocabulary size, the same bound that makes q78's DSIR tables
@@ -3385,7 +3455,8 @@ object LlmQueries {
     "q80_lm_perplexity" -> ((s, d) => lmPerplexity(s, d)),
     "q81_kmeans_refine" -> ((s, d) => kmeansRefine(s, d)),
     "q82_kmeans_fit" -> ((s, d) => kmeansFitQuery(s, d)),
-    "q85_quality_classifier" -> ((s, d) => qualityClassifier(s, d))
+    "q85_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+    "q86_kmeans_converged" -> ((s, d) => kmeansConvergedQuery(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3462,6 +3533,7 @@ object LlmQueries {
     "q80_lm_perplexity" -> q80Oracle,
     "q81_kmeans_refine" -> q81Oracle,
     "q82_kmeans_fit" -> q82Oracle,
-    "q85_quality_classifier" -> q85Oracle
+    "q85_quality_classifier" -> q85Oracle,
+    "q86_kmeans_converged" -> q86Oracle
   )
 }

@@ -249,16 +249,71 @@ object Similarity {
     var out: DataFrame = null
     (1 to rounds).foreach { r =>
       out = meanPool(ivfAssign(n, cents), "bucket", "emb")
-      if (r < rounds) {
-        val wide = out.groupBy(col("bucket").as("id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim_pos"), col("mean_val")))),
-            x => x.getField("mean_val")).as("emb"))
-        val ck = wide.localCheckpoint(true)
-        cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-      }
+      if (r < rounds) cents = checkpointed(wideCentroids(out))
     }
     out
+  }
+
+  /** Rebuild [[meanPool]]'s long-format centroid table to the wide
+    * (id, emb) shape [[ivfAssign]] consumes — deterministic struct-sort,
+    * never order-dependent `collect_list` alone. */
+  private def wideCentroids(longTable: DataFrame): DataFrame =
+    longTable.groupBy(col("bucket").as("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim_pos"), col("mean_val")))),
+        x => x.getField("mean_val")).as("emb"))
+
+  /** Eager localCheckpoint rebased to a fresh frame — cuts lineage AND the
+    * cubic sizeInBytes growth (the CC-loop lesson). State-sized inputs
+    * only. */
+  private def checkpointed(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** CONVERGENCE-DRIVEN k-means: [[kmeansFit]]'s bit-stable Lloyd step
+    * iterated until the centroid table reaches a FIXED POINT (round r's
+    * long-format table identical to round r−1's) or `maxRounds` is hit.
+    * Returns the final table plus the number of Lloyd rounds computed.
+    *
+    * Because every round is a deterministic function of the incoming
+    * centroid table (6-decimal exact arithmetic end to end), table
+    * equality is a TRUE fixed point: every further round reproduces the
+    * same table verbatim. That is what makes the variant oracle-checkable
+    * at all — an M-round unrolled twin is hash-identical whether the
+    * engine stopped at round 3 or ran all M, so the oracle never needs to
+    * know the stopping round (it is pinned to `maxRounds` and the early
+    * stop is pure compute savings). Classic Lloyd on rounded means needs
+    * no tolerance knob for this: assignments are discrete, so once they
+    * stop moving the rounded means repeat exactly.
+    *
+    * The convergence signal is a driver collect of the candidate table —
+    * K·d rows, MODEL-sized (the bounded-metadata convention; at the
+    * registered geometry ≤ 20×64 rows ≈ 30 KB). The table is
+    * localCheckpoint'ed first, so the collect reads the same materialized
+    * partitions the next round's wide rebuild consumes — one computation
+    * per round, not two. Rounds track data GEOMETRY (cluster
+    * separation), never corpus size: the scale ladder pins that.
+    */
+  def kmeansFitConverged(
+      n: DataFrame, seeds: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    require(maxRounds >= 1, "kmeansFitConverged needs at least one round")
+    var cents = seeds
+    var prev: Map[(Long, Long), (Double, Long)] = null
+    var out: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      rounds += 1
+      out = checkpointed(meanPool(ivfAssign(n, cents), "bucket", "emb"))
+      val cur = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+      converged = prev != null && cur == prev
+      prev = cur
+      if (!converged && rounds < maxRounds) cents = wideCentroids(out)
+    }
+    (out, rounds)
   }
 
   /** Bit-deterministic element-wise mean pooling in LONG format: one row

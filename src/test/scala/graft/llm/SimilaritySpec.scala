@@ -936,6 +936,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(m2 >= m1 - 1e-9, s"second Lloyd round regressed: $m1 -> $m2")
   }
 
+  test("kmeansFitConverged: detects the fixed point early; output is the fixed point") {
+    // Two tight cosine clusters, one seed in each: round 1 moves the
+    // centroids to the cluster means, round 2 reproduces them exactly
+    // (assignments cannot change), so the fit must stop at round 2 —
+    // well under the cap.
+    val df = Seq(
+      (0L, Seq(1.0, 0.1)), (1L, Seq(1.0, -0.1)), (2L, Seq(0.9, 0.0)),
+      (3L, Seq(0.1, 1.0)), (4L, Seq(-0.1, 1.0)), (5L, Seq(0.0, 0.9))
+    ).toDF("id", "emb")
+    val seeds = df.filter(col("id").isin(0L, 3L))
+    val (out, rounds) = Similarity.kmeansFitConverged(df, seeds, 8)
+    assert(rounds === 2, s"separated clusters must fix at round 2, ran $rounds")
+    // THE property that makes the pinned-round oracle valid: the early
+    // stop is indistinguishable from running the full cap.
+    val capped = Similarity.kmeansFit(df, seeds, 8)
+      .orderBy("bucket", "dim_pos").collect().toSeq
+    assert(out.orderBy("bucket", "dim_pos").collect().toSeq === capped,
+      "converged output must equal the full-cap unrolled fit verbatim")
+    // And it IS the single-step result here (round 2 changed nothing).
+    val one = Similarity.kmeansFit(df, seeds, 1)
+      .orderBy("bucket", "dim_pos").collect().toSeq
+    assert(out.orderBy("bucket", "dim_pos").collect().toSeq === one)
+  }
+
+  test("kmeansFitConverged: on the testdata geometry it equals the capped fit") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val c0 = n.filter(col("id") % 100 === 0)
+    val (out, rounds) = Similarity.kmeansFitConverged(n, c0, 4)
+    assert(rounds >= 1 && rounds <= 4)
+    val capped = Similarity.kmeansFit(n, c0, 4)
+      .orderBy("bucket", "dim_pos").collect().toSeq
+    assert(out.orderBy("bucket", "dim_pos").collect().toSeq === capped,
+      s"early stop at round $rounds must be invisible next to the 4-round fit")
+  }
+
   test("meanPool: hand-computed means; bit-stable across partitioning") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(2.0f, 4.0f)), ("b", Seq(-1.5f, 0.0f))
