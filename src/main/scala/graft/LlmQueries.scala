@@ -2616,6 +2616,14 @@ object LlmQueries {
     * linear — measured 4.9× across the same decade.
     * Same output contract and closure as q48; the trade is near-dups
     * straddling a cell border (see [[Similarity.semanticClustersCells]]).
+    *
+    * Round-15 THIRD-decade finding: the constant-population property that
+    * beats q48 hides an N²/100 nearest-centroid ASSIGNMENT (N vectors ×
+    * N/100 centroids) — invisible behind pair work through 100×
+    * (4.4×/decade), dominant at 1000× (measured 56×/decade: 4591 s vs
+    * 81.6 at 100×). Kept as a declared contrast; [[semanticDedupAdaptive]]
+    * (q48c) is the production point with √N cells balancing both terms at
+    * O(N^1.5).
     */
   def semanticDedupCells(spark: SparkSession, dir: String): DataFrame = {
     val corpus = EmbeddingsFixture.corpusDf(spark, dir)
@@ -2655,6 +2663,65 @@ object LlmQueries {
        |SELECT c.vec_id, coalesce(p.cluster, c.vec_id) AS cluster,
        |  CAST(coalesce(p.cluster, c.vec_id) = c.vec_id AS INT) AS keep
        |FROM corpus c LEFT JOIN comp p USING (vec_id)""".stripMargin
+
+  /** q48c — semantic dedup at SCALE-ADAPTIVE cell geometry, the q16f/q24c
+    * treatment applied to q48b after the round-15 THIRD-decade ladder
+    * measured q48b's hidden quadratic: the `%100` centroid convention
+    * grows the centroid set linearly with the corpus, so while its PAIR
+    * work stays linear (constant cell population — the property that beat
+    * q48's label blocking), its nearest-centroid ASSIGNMENT is N×N/100 —
+    * invisible behind pair work at 10×/100×, dominant at 1000×. Here
+    * k = ⌈√N⌉ stride-selected centroids balance the two terms
+    * (assignment N·√N + pair work N·√N/2 — the O(N^1.5) optimum of
+    * `N·K + N²/2K`), and at this corpus size the √N grid is also COARSER
+    * than N/100, so the cell-border recall trade only relaxes. Same
+    * output contract and closure as q48/q48b.
+    */
+  def semanticDedupAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = EmbeddingsFixture.corpusDf(spark, dir)
+    val n = corpus.count()
+    require(n > 0, "adaptive semantic dedup needs a non-empty corpus")
+    val kCent = math.ceil(math.sqrt(n.toDouble)).toLong
+    val stride = math.max(1L, n / kCent)
+    Similarity.semanticClustersCells(
+      corpus, "vec_id", "embedding", col("id") % stride === 0,
+      CosineDupThreshold)
+  }
+
+  /** Twin: [[q48bOracle]] with the centroid CTE replaced by q24c's
+    * count-derived stride (identical integer/double arithmetic to the
+    * Spark side's `max(1, n / ⌈√n⌉)`). */
+  private val q48cOracle: String =
+    s"""WITH RECURSIVE corpus AS (${EmbeddingsFixture.corpusSql()}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM corpus),
+       |p AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride
+       |      FROM e),
+       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
+       |      WHERE id % (SELECT stride FROM p) = 0),
+       |assigned AS (
+       |  SELECT id, emb, nrm, c_id AS bucket FROM (
+       |    SELECT n.id, n.emb, n.nrm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+       |    FROM n, c) WHERE r = 1),
+       |scoredp AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+       |  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (SELECT * FROM scoredp WHERE score >= $CosineDupThreshold),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       |comp AS (SELECT u AS vec_id, least(u, min(v)) AS cluster
+       |  FROM reach GROUP BY u)
+       |SELECT c.vec_id, coalesce(p2.cluster, c.vec_id) AS cluster,
+       |  CAST(coalesce(p2.cluster, c.vec_id) = c.vec_id AS INT) AS keep
+       |FROM corpus c LEFT JOIN comp p2 USING (vec_id)""".stripMargin
 
   // ---- q49: per-language quality floor ---------------------------------
 
@@ -3433,6 +3500,7 @@ object LlmQueries {
     "q47_interdoc_dup" -> ((s, d) => interDocDup(s, d)),
     "q48_semantic_dedup_labels" -> ((s, d) => semanticDedup(s, d)),
     "q48b_semantic_dedup_cells" -> ((s, d) => semanticDedupCells(s, d)),
+    "q48c_semantic_dedup_adaptive" -> ((s, d) => semanticDedupAdaptive(s, d)),
     "q49_quality_floor" -> ((s, d) => qualityFloor(s, d)),
     "q50_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q51_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -3509,6 +3577,7 @@ object LlmQueries {
     "q47_interdoc_dup" -> q47Oracle,
     "q48_semantic_dedup_labels" -> q48Oracle,
     "q48b_semantic_dedup_cells" -> q48bOracle,
+    "q48c_semantic_dedup_adaptive" -> q48cOracle,
     "q49_quality_floor" -> q49Oracle,
     "q50_token_budget" -> q50Oracle,
     "q51_line_dedup" -> q51Oracle,

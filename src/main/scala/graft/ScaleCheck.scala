@@ -30,6 +30,17 @@ object ScaleCheck {
       val nClusters = cc.select("cluster").distinct().count()
       println(s"""{"dir":"$dir","pairs":$nPairs,"vertices":$nVerts,"clusters":$nClusters,"cc_rounds":$rounds}""")
       pairs.unpersist(false)
+      // q86's convergence claim, made measurable: Lloyd rounds to the
+      // centroid fixed point should track cluster GEOMETRY, not corpus
+      // size — same pinned seed set and cap as the registered query.
+      import org.apache.spark.sql.functions.col
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val (_, kmRounds) = graft.llm.Similarity.kmeansFitConverged(
+        emb, emb.filter(col("id") % 100 === 0 && col("id") < 2000L), 6)
+      println(s"""{"dir":"$dir","kmeans_rounds":$kmRounds,"kmeans_cap":6}""")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -44,8 +44,12 @@ object SparkEntry {
     "q07_events_report_parity" -> "q06_events_report",
     // per-run cluster recompute vs the persisted split artifact
     "q52_cluster_split_oneshot" -> "q52b_cluster_split_artifact",
-    // fixed-cardinality label blocking (157×/decade) vs cell blocking
-    "q48_semantic_dedup_labels" -> "q48b_semantic_dedup_cells",
+    // fixed-cardinality label blocking (157×/decade) vs adaptive cells
+    "q48_semantic_dedup_labels" -> "q48c_semantic_dedup_adaptive",
+    // %100 cell convention: pair work linear but assignment N²/100 —
+    // measured 56×/decade at the r15 THIRD decade (4591 s at 1000× vs
+    // 81.6 at 100×) vs the √N-cell O(N^1.5) balance
+    "q48b_semantic_dedup_cells" -> "q48c_semantic_dedup_adaptive",
     // fixed LSH geometry (54×/decade degeneration) vs adaptive geometry
     "q16e_ann_lsh_fixed" -> "q16g_ann_lsh_adaptive",
     // per-run codebook rebuild + corpus re-encode vs the persisted index

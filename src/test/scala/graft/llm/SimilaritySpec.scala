@@ -504,6 +504,33 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("adaptive cells (q48c geometry): injected near-dups recovered; keep contract holds") {
+    // Same recall argument as the %100 form: an injected duplicate is the
+    // identical vector, so no cell geometry can split it from its
+    // original. The √N stride is count-derived exactly as the registered
+    // query derives it.
+    val corpus = graft.fixtures.EmbeddingsFixture.corpusDf(spark, dir)
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    val out = Similarity.semanticClustersCells(
+        corpus, "vec_id", "embedding", col("id") % stride === 0, 0.995)
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == n, "every input id exactly once")
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val injected = corpus.filter(col("vec_id") >= 10000)
+      .select("vec_id").as[Long].collect()
+    assert(injected.nonEmpty, "fixture sanity: injected dups exist")
+    injected.foreach { dup =>
+      assert(cluster(dup) == cluster(dup - 10000),
+        s"injected dup $dup split from its original by adaptive cells")
+    }
+    out.groupBy(_._2).foreach { case (c, members) =>
+      val keeps = members.filter(_._3 == 1).map(_._1)
+      assert(keeps.toSeq == Seq(members.map(_._1).min),
+        s"cluster $c canonical-keep contract violated: ${members.toSeq}")
+    }
+  }
+
   test("signSig: hand-packed 32-bit words, cross-word boundary, zero/negative excluded") {
     // dim 34 -> two words; positives at 1-based positions 1, 3, 34:
     // word0 = bit0 + bit2 = 5; word1 = bit(34-33) = 2. Position 4 is an
