@@ -100,6 +100,16 @@ class ClassifierSpec extends SparkTestBase {
     assert(!out.getAs[Boolean]("is_train"))
   }
 
+  test("fitWeights is partitioning-independent — the BIGINT-exact claim") {
+    // Every cross-row aggregation in the fit is an exact integer sum, so
+    // the learned weights must be bit-identical on any partitioning (the
+    // meanPool order-stability property, asserted on the gradient loop).
+    val df = separable()
+    val w1 = Classifier.fitWeights(df.repartition(1), col("y"), lit(true), B, 2)
+    val w13 = Classifier.fitWeights(df.repartition(13), col("y"), lit(true), B, 2)
+    assert(w1 === w13, "weights must not depend on partitioning")
+  }
+
   test("halfUpDiv matches the SQL CASE on signs and ties") {
     assert(Classifier.halfUpDiv(5, 2) === 3)    // 2.5 -> 3
     assert(Classifier.halfUpDiv(-5, 2) === -3)  // -2.5 -> -3 (away from 0)
