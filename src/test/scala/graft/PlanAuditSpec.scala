@@ -27,6 +27,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"key counts must partial-aggregate map-side:\n$p")
   }
 
+  test("q85 classifier: weight-table joins broadcast; margin sums partial-aggregate") {
+    // The model side is O(buckets) by design — if it ever stops
+    // broadcasting, a corpus-scale shuffle has crept into every epoch
+    // and the scoring pass. The per-doc margin must partial-aggregate
+    // map-side (sum of wI·cnt), never shuffle raw feature rows.
+    val p = plan(LlmQueries.qualityClassifier(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table must broadcast into the feature join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"margins must partial-aggregate before the doc_id exchange:\n$p")
+  }
+
   test("q10 text stats: parquet scan is pruned to the referenced columns") {
     val p = plan(LlmQueries.textStats(spark, dir))
     val scanLine = p.linesIterator.find(l => l.contains("FileScan parquet") || l.contains("Scan parquet"))
