@@ -393,8 +393,23 @@ object LlmQueries {
   /** Fraction of the centroid set q16f probes per query: 0.2 ≈ the corpus
     * fraction q16d's calibrated fixture point reaches (nprobe=4 of the
     * sf0.01 fixture's ~20 cells), now held CONSTANT at every scale.
+    * `private[graft]` so scale probes ([[AnnFixedQueryProbe]]) measure the
+    * registered geometry instead of re-typing its literals (r15 advice).
     */
-  private val AdaptiveProbeFraction = 0.2
+  private[graft] val AdaptiveProbeFraction = 0.2
+
+  /** Fixed query-set size for the REGISTERED adaptive-ANN searches (q16f,
+    * q16i): queries are `id % (N div 40) = 0` — a count-derived stride
+    * that pins |Q| to ~40 ids spread uniformly over the corpus at EVERY
+    * scale. Replaces the `id % 50` corpus-fraction convention whose
+    * |Q| = N/50 made candidate volume |Q|·0.2N quadratic by benchmark
+    * construction and killed the 1000× q16f run on disk (r15 verdict #1;
+    * `AnnFixedQueryProbe` measured the fixed-|Q| form riding that decade
+    * at 5.7×/decade — the plan was never the problem, the query set was).
+    * A production ANN serves a bounded query batch against a growing
+    * corpus; this makes the registered benchmark that shape.
+    */
+  private[graft] val AnnFixedQueryCount = 40L
 
   /** q16f — IVF at SCALE-ADAPTIVE geometry: centroid count k = ⌈√N⌉
     * (selected as `id % (N div k) = 0` — deterministic and exactly
@@ -418,6 +433,13 @@ object LlmQueries {
     * twin computes `kc`/`stride`/`nprobe` from identical integer inputs
     * through identical double arithmetic (IEEE sqrt/ceil and `0.2·k` are
     * bit-equal cross-engine), so the centroid SET matches exactly.
+    *
+    * Since r16 the QUERY set is bounded too: `id % (N div
+    * [[AnnFixedQueryCount]]) = 0` caps |Q| at ~40 at every scale (the
+    * r15 third-decade failure was |Q| = N/50 — see the constant's doc).
+    * Candidate volume is now |Q|·0.2N = O(N); the in-plan N·⌈√N⌉ cell
+    * assignment is the remaining super-linear term, which the q16i
+    * persisted-index path amortizes into the index build.
     */
   def annIvfAdaptive(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -426,19 +448,22 @@ object LlmQueries {
     val kCent = math.ceil(math.sqrt(n.toDouble)).toLong
     val stride = math.max(1L, n / kCent)
     val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+    val qStride = math.max(1L, n / AnnFixedQueryCount)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
-      col("id") % 50 === 0, col("id") % stride === 0, k = 5, nprobe = nprobe)
+      col("id") % qStride === 0, col("id") % stride === 0, k = 5, nprobe = nprobe)
   }
 
   /** [[q16MultiProbeOracle]] with the geometry derived from `count(*)` in
     * SQL: `kc = ceil(sqrt(n))`, `stride = n // kc` (DuckDB `//` is floor
     * division on BIGINTs = Scala `Long./` for positives), `nprobe =
-    * ceil(0.2 * kc)` — the exact arithmetic [[annIvfAdaptive]] runs.
+    * ceil(0.2 * kc)`, `qstride = n // $AnnFixedQueryCount` — the exact
+    * arithmetic [[annIvfAdaptive]] runs.
     */
   private val q16fOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |p AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
-      |             CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe
+      |             CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe,
+      |             greatest(1, count(*) // $AnnFixedQueryCount) AS qstride
       |      FROM e),
       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
@@ -454,7 +479,7 @@ object LlmQueries {
       |    SELECT n.id, n.emb, n.nrm, c.c_id,
       |      row_number() OVER (PARTITION BY n.id
       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
-      |    FROM n, c WHERE n.id % 50 = 0) WHERE r <= (SELECT nprobe FROM p)),
+      |    FROM n, c WHERE n.id % (SELECT qstride FROM p) = 0) WHERE r <= (SELECT nprobe FROM p)),
       |pairs AS (
       |  SELECT q.query_id, a.id AS neighbor_id,
       |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
@@ -674,13 +699,18 @@ object LlmQueries {
 
   /** Twin: q16f's count-derived centroid/probe CTEs compose with q15d's
     * PQ CTEs; candidates are the probed-bucket pairs, scores are the ADC
-    * sums restricted to them.
+    * sums restricted to them. Parameterized over the query-set predicate:
+    * q16h keeps the historical `% 50` corpus-fraction form (in-plan
+    * composition point, a declared scale contrast of q16i); q16i — the
+    * production persisted-index search — bounds |Q| via the count-derived
+    * [[AnnFixedQueryCount]] stride (r15 verdict #1).
     */
-  private val q16hOracle: String =
+  private def ivfPqOracle(queryMod: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |geo AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cstride,
       |               CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe,
-      |               greatest(1, count(*) // $PqCodewords) AS pqstride
+      |               greatest(1, count(*) // $PqCodewords) AS pqstride,
+      |               greatest(1, count(*) // $AnnFixedQueryCount) AS qstride
       |        FROM e),
       |nn AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |cent AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM nn
@@ -696,7 +726,7 @@ object LlmQueries {
       |    SELECT nn.id, cent.c_id,
       |      row_number() OVER (PARTITION BY nn.id
       |        ORDER BY round(list_dot_product(nn.emb, cent.c_emb) / (nn.nrm * cent.c_nrm), 6) DESC, cent.c_id) AS r
-      |    FROM nn, cent WHERE nn.id % 50 = 0) WHERE r <= (SELECT nprobe FROM geo)),
+      |    FROM nn, cent WHERE nn.id $queryMod) WHERE r <= (SELECT nprobe FROM geo)),
       |cwv AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j
       |        FROM e WHERE vec_id % (SELECT pqstride FROM geo) = 0),
       |cbs AS (SELECT j, m, csub,
@@ -714,7 +744,7 @@ object LlmQueries {
       |    FROM xs x JOIN cbs c ON x.m = c.m) WHERE r = 1),
       |rn AS (SELECT vec_id, sum(sqI) AS rnorm2I FROM codes GROUP BY vec_id),
       |q AS (SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm FROM nn
-      |      WHERE id % 50 = 0),
+      |      WHERE id $queryMod),
       |lut AS (SELECT s.query_id, s.m, c.j,
       |        CAST(round(list_dot_product(s.qsub, c.csub)*1e6, 0) AS BIGINT) AS lutI
       |        FROM (SELECT query_id, m, list_slice(q_emb, m*4+1, m*4+4) AS qsub
@@ -736,6 +766,10 @@ object LlmQueries {
       |        JOIN q ON cd.query_id = q.query_id),
       |ranked AS (SELECT *, rank() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r FROM scored)
       |SELECT query_id, neighbor_id, score FROM ranked WHERE r <= 5""".stripMargin
+
+  private val q16hOracle: String = ivfPqOracle("% 50 = 0")
+
+  private val q16iOracle: String = ivfPqOracle("% (SELECT qstride FROM geo) = 0")
 
   /** Per-JVM registry of PERSISTED IVF-PQ index artifacts, keyed by data
     * dir — the [[ccArtifactPath]] convention applied to ANN. An index is
@@ -805,12 +839,17 @@ object LlmQueries {
       spark.read.parquet(root + "/centroids"))
   }
 
-  /** q16i — IVF-PQ search from the PERSISTED index: q16h's semantics (same
-    * oracle) through the artifact path — the deployment shape where the
-    * corpus scan reads 24-byte index rows, never raw vectors, and the
-    * survivors' exact re-rank joins back to the raw table on id. The
-    * nprobe geometry re-derives from the raw table's count, exactly as the
-    * index build did.
+  /** q16i — IVF-PQ search from the PERSISTED index: q16h's semantics
+    * through the artifact path — the deployment shape where the corpus
+    * scan reads 24-byte index rows, never raw vectors, and the survivors'
+    * exact re-rank joins back to the raw table on id. The nprobe geometry
+    * re-derives from the raw table's count, exactly as the index build
+    * did. Since r16 the query set is the bounded [[AnnFixedQueryCount]]
+    * stride (a production search serves a bounded query batch against a
+    * growing corpus); q16h keeps the `% 50` corpus-fraction set as the
+    * in-plan contrast, so the pair now differs in BOTH the artifact path
+    * and the query-set convention — the two axes the scale ladders
+    * separate.
     */
   def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val (index, codebook, centroids) = pqIndexArtifact(spark, dir)
@@ -821,8 +860,9 @@ object LlmQueries {
     require(cnt > 0, "IVF-PQ search needs a non-empty corpus")
     val kCent = math.ceil(math.sqrt(cnt.toDouble)).toLong
     val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+    val qStride = math.max(1L, cnt / AnnFixedQueryCount)
     Similarity.ivfPqSearchFrom(index, codebook, centroids,
-      raw = n, queries = n.filter(col("id") % 50 === 0),
+      raw = n, queries = n.filter(col("id") % qStride === 0),
       k = 5, nprobe = nprobe, dims = PqDims,
       adcThreshold = PqAdcThreshold)
   }
@@ -1140,15 +1180,29 @@ object LlmQueries {
     */
   /** Seed-centroid id bound: inactive at the oracle-test scales (every
     * base-fixture vec_id is below it) and pins k = 20 at the replica
-    * scales, where id offsets exceed it. */
-  private val KmeansCentroidIdBound = 2000L
+    * scales, where id offsets exceed it. `private[graft]` (with
+    * [[KmeansSeedStride]], [[KmeansConvergeMaxRounds]] and
+    * [[kmeansSeedSet]]) so scale probes ([[ScaleCheck]]) measure the
+    * registered configuration instead of re-typing its literals
+    * (r15 advice). */
+  private[graft] val KmeansCentroidIdBound = 2000L
+
+  /** Seed-centroid residue stride for q81/q82/q86: `id % 100 = 0`. */
+  private[graft] val KmeansSeedStride = 100L
+
+  /** THE pinned q81/q82/q86 seed set over an (id, emb) frame — the one
+    * definition the registered queries and the ScaleCheck kmeans probe
+    * share. */
+  private[graft] def kmeansSeedSet(e: DataFrame): DataFrame =
+    e.filter(col("id") % KmeansSeedStride === 0 &&
+      col("id") < KmeansCentroidIdBound)
 
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("emb"))
     val assigned = Similarity.ivfAssign(e,
-      e.filter(col("id") % 100 === 0 && col("id") < KmeansCentroidIdBound))
+      kmeansSeedSet(e))
     Similarity.meanPool(assigned, "bucket", "emb")
   }
 
@@ -1195,7 +1249,7 @@ object LlmQueries {
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("emb"))
     Similarity.kmeansFit(e,
-      e.filter(col("id") % 100 === 0 && col("id") < KmeansCentroidIdBound),
+      kmeansSeedSet(e),
       KmeansFitRounds)
   }
 
@@ -1253,7 +1307,7 @@ object LlmQueries {
     * because a fixed point reproduces itself, so the M-round twin is
     * hash-identical to any early stop (see
     * [[Similarity.kmeansFitConverged]]). */
-  private val KmeansConvergeMaxRounds = 6
+  private[graft] val KmeansConvergeMaxRounds = 6
 
   /** q86 — CONVERGENCE-DRIVEN k-means ([[Similarity.kmeansFitConverged]]):
     * q82's bit-stable Lloyd iteration, but stopping at the first centroid
@@ -1267,7 +1321,7 @@ object LlmQueries {
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("emb"))
     Similarity.kmeansFitConverged(e,
-      e.filter(col("id") % 100 === 0 && col("id") < KmeansCentroidIdBound),
+      kmeansSeedSet(e),
       KmeansConvergeMaxRounds)._1
   }
 
@@ -1349,14 +1403,37 @@ object LlmQueries {
         .repartition(spark.sparkContext.defaultParallelism),
       dsirTarget, clfTrain, ClfBuckets, ClfEpochs)
 
-  /** Twin: [[ClfEpochs]] unrolled gradient epochs — margins (feature ⋈
-    * weights), residual (one `exp`, re-quantized to micro-units),
-    * per-bucket gradient, half-away-from-zero integer update (the q81
-    * meanPool CASE with the 1/2 rate folded into the denominator), then
-    * the corpus-wide scoring join. Generated by a loop so the epoch count
-    * is one constant in both engines.
+  /** q88 — HELD-OUT EVALUATION of the q85 classifier (r15 verdict #3):
+    * train on the 40% slice, measure on the other 60% — confusion counts
+    * plus precision/recall as exact integer-space ratios
+    * ([[intRatio6]]). One row; the read a curation team takes before
+    * trusting the filter corpus-wide. `ClassifierSpec` pins a separable
+    * fixture where the held-out metrics are exactly 1.0.
     */
-  private val q85Oracle: String = {
+  def classifierEval(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifier(spark, dir).filter(!col("is_train"))
+      .agg(
+        count(lit(1)).as("n_heldout"),
+        sum(when(col("keep") && col("is_target"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") && !col("is_target"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("keep") && col("is_target"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("keep") && !col("is_target"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n_heldout"), col("tp"), col("fp"), col("fn"), col("tn"),
+        intRatio6("tp", "(tp + fp)").as("precision_keep"),
+        intRatio6("tp", "(tp + fn)").as("recall_target"))
+
+  /** Twin: [[ClfEpochs]] unrolled gradient epochs — margins (feature ⋈
+    * weights), residual (integer hard sigmoid: clamped ½ + m/4, the
+    * half-away-from-zero quarter — no transcendental; see
+    * [[Classifier.hardSigmoidI]] for why the original `exp` was
+    * replaced), per-bucket gradient, half-away-from-zero integer update
+    * (the q81 meanPool CASE with the 1/2 rate folded into the
+    * denominator), then the corpus-wide scoring join. Generated by a
+    * loop so the epoch count is one constant in both engines.
+    */
+  /** The q85 CTE chain through `ms` (the final corpus-wide margin),
+    * shared with q88's held-out evaluation tail. */
+  private val q85Ctes: String = {
     val B = ClfBuckets
     def upd(wPrev: String, g: String, out: String) =
       s"""$out AS (SELECT w.bucket, w.wI - (CASE WHEN coalesce(g.gI, 0) < 0
@@ -1368,7 +1445,9 @@ object LlmQueries {
       s"""m$e AS (SELECT f.doc_id, sum(w.wI * f.cnt) AS mI
          |  FROM ftr f JOIN $wPrev w USING (bucket) GROUP BY 1),
          |r$e AS (SELECT m.doc_id,
-         |    CAST(round(1000000.0 / (1.0 + exp(-(m.mI / 1000000.0)))) AS BIGINT)
+         |    greatest(0, least(1000000, 500000 + (CASE WHEN m.mI < 0
+         |      THEN -((2 * abs(m.mI) + 4) // 8)
+         |      ELSE ((2 * m.mI + 4) // 8) END)))
          |      - CASE WHEN t.y THEN 1000000 ELSE 0 END AS rI
          |  FROM m$e m JOIN t USING (doc_id)),
          |g$e AS (SELECT f.bucket, sum(r.rI * f.cnt) AS gI
@@ -1389,11 +1468,31 @@ object LlmQueries {
       |w0 AS (SELECT unnest(range(-1, $B)) AS bucket, CAST(0 AS BIGINT) AS wI),
       |$epochs,
       |ms AS (SELECT f.doc_id, sum(w.wI * f.cnt) AS mI
-      |  FROM f JOIN w$ClfEpochs w USING (bucket) GROUP BY 1)
+      |  FROM f JOIN w$ClfEpochs w USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
+  private val q85Oracle: String =
+    s"""$q85Ctes
       |SELECT t.doc_id, t.y AS is_target, t.is_train, len(t.toks) AS n_feats,
       |  CAST(ms.mI AS DOUBLE) / 1000000.0 AS score, ms.mI > 0 AS keep
       |FROM ms JOIN t USING (doc_id)""".stripMargin
-  }
+
+  /** Twin of [[classifierEval]]: the q85 chain, confusion counts over the
+    * held-out rows (exact BIGINT CASE sums), then the integer-space
+    * ratio rounding ([[sqlIntRatio6]]) for precision/recall.
+    */
+  private val q88Oracle: String =
+    s"""$q85Ctes,
+      |cf AS (SELECT count(*) AS n_heldout,
+      |    CAST(sum(CASE WHEN ms.mI > 0 AND t.y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN ms.mI > 0 AND NOT t.y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN ms.mI <= 0 AND t.y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN ms.mI <= 0 AND NOT t.y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM ms JOIN t USING (doc_id) WHERE NOT t.is_train)
+      |SELECT n_heldout, tp, fp, fn, tn,
+      |  ${sqlIntRatio6("tp", "(tp + fp)")} AS precision_keep,
+      |  ${sqlIntRatio6("tp", "(tp + fn)")} AS recall_target
+      |FROM cf""".stripMargin
 
   /** q74 — Gopher-style quality rule filter ([[TextStats.gopherFlags]])
     * over the rule-exercising fixture corpus (each arm injects one
@@ -1682,13 +1781,24 @@ object LlmQueries {
     * masked out), distinct candidate join, exact Hamming ≤ 6.
     */
   private val q83Oracle: String = {
-    import graft.fixtures.ImagesFixture.{EditDelta, Patterns}
+    import graft.fixtures.ImagesFixture.{EditDelta, Patterns, ReplicaBand,
+      MixM, MixSeedMult, MixStepMult}
+    // The per-replica-band cell mix mirrors ImagesFixture.cellValue term
+    // for term (every factor reduced mod MixM before multiplying — DuckDB
+    // ERRORS on BIGINT overflow, so the bound is part of the contract).
+    // Band 0 — every oracle-scale corpus — gates to 0.
+    val mixSeed = s"(((doc_id // $ReplicaBand) % $MixM) * $MixSeedMult) % $MixM"
+    val mixV = s"((($mixSeed) + 1) * ((doc_id % $Patterns) * 73" +
+      s" + gy.range * 9 + gx.range + 1)) % $MixM"
+    val mix = s"CASE WHEN doc_id // $ReplicaBand = 0 THEN 0 ELSE" +
+      s" (((($mixV) * ($mixV)) % $MixM * $MixStepMult + ($mixV)) % $MixM) % 199 END"
     s"""WITH cells AS (
        |  SELECT doc_id, gy.range AS gy, gx.range AS gx,
-       |    ((doc_id % $Patterns) * gx.range * 129
+       |    (((doc_id % $Patterns) * gx.range * 129
        |     + (doc_id % $Patterns) * gy.range * 127
        |     + gx.range * gy.range * 97 + gx.range * 143 + gy.range * 112
        |     + (doc_id % $Patterns) * 7) % 199
+       |     + $mix) % 199
        |    + CASE WHEN ((doc_id // $Patterns) % 3 = 1
        |                  AND gx.range = 2 AND gy.range = 3)
        |             OR ((doc_id // $Patterns) % 3 = 2
@@ -3219,8 +3329,16 @@ object LlmQueries {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("n_words", TextStats.tokenCount(col("text")).cast("bigint"))
+    bpeEvalFrom(docs, learnedMerges(docs))
+  }
+
+  /** The shared apply+aggregate tail of q76/q87b: evaluate a given merge
+    * table per language. `docs` must carry `n_words` (q76's convention).
+    */
+  private def bpeEvalFrom(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val applied = TextStats.bpeApply(docs, "doc_id", "text",
-      learnedMerges(docs), carry = Seq("lang", "n_words", "n_chars"))
+      merges, carry = Seq("lang", "n_words", "n_chars"))
     applied.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum("n_words").as("words"),
@@ -3381,6 +3499,105 @@ object LlmQueries {
        |${arms.mkString("\nUNION ALL ")}""".stripMargin
   }
 
+  // ---- q87: the closed tokenizer loop — train (q84) → apply/eval (q75/q76)
+
+  /** The q84-trained merge table as an in-order (tok_a, tok_b) list — one
+    * bounded [[BpeTrainRounds]]-row collect of
+    * [[TextStats.bpeTrainChained]]'s output in rank (round) order. The
+    * train side pays its `rounds` corpus passes; callers that already
+    * hold the table hand it to [[TextStats.bpeApply]] directly (the
+    * `VocabularySpec` shape).
+    */
+  private def trainedMerges(docs: DataFrame): Seq[(String, String)] =
+    TextStats.bpeTrainChained(docs, "text", BpeTrainRounds)
+      .orderBy("round").select("tok_a", "tok_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** q87 — BPE apply CONSUMING THE ITERATED TRAINER (r15 verdict #2):
+    * q75's corpus-wide rank-order apply, but the merge table is q84's
+    * [[TextStats.bpeTrainChained]] output instead of the one-shot top-5
+    * ranking — the closed train→apply loop, where a round-2+ merge may
+    * contain a round-1 output token (a pair the one-shot global count can
+    * never surface; `VocabularySpec` pins a fixture where such a merge
+    * fires AND is applied). Scale shape: q84's train (BpeTrainRounds
+    * corpus passes, 1-row collects) + q75's shuffle-free projection
+    * chain.
+    */
+  def bpeTrainApplyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    TextStats.bpeApply(docs, "doc_id", "text", trainedMerges(docs))
+  }
+
+  /** q87b — q76's per-language ship-gate metrics (fertility, compression,
+    * merge savings) over the q87 TRAINED tokenizer, completing the
+    * train→apply→evaluate loop on the iterated merge table.
+    */
+  def bpeTrainEvalByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("n_words", TextStats.tokenCount(col("text")).cast("bigint"))
+    bpeEvalFrom(docs, trainedMerges(docs))
+  }
+
+  /** Twin generator for q87/q87b: q84's per-round train CTEs (pair count
+    * over the previous round's rewrite, 1-row top pair) with `doc_id`
+    * carried through every rewrite INCLUDING the final round's (q84
+    * elides it — nothing re-counts it there; here it IS the tokenized
+    * output), so q75/q76's output projections read off
+    * s[[BpeTrainRounds]]. Literally the q84 train CTEs chained into the
+    * q75 per-rank apply CTEs, the composition the r15 verdict asked for.
+    */
+  private val bpeTrainedCtes: String = {
+    def pairsCte(r: Int, src: String): String =
+      s"""p$r AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM $src)""".stripMargin
+    def topCte(r: Int): String =
+      s"""m$r AS (SELECT split_part(pair, ' ', 1) AS tok_a,
+         |  split_part(pair, ' ', 2) AS tok_b, count(*) AS n
+         |  FROM p$r GROUP BY pair
+         |  HAVING split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
+         |  ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+    def stepCte(r: Int, src: String): String =
+      s"""s$r AS (SELECT doc_id, list_filter(list_transform(range(1, len(toks)+1), i ->
+         |    CASE WHEN toks[i] = mm$r.a AND i < len(toks) AND toks[i+1] = mm$r.b
+         |           THEN mm$r.a || mm$r.b
+         |         WHEN i > 1 AND toks[i-1] = mm$r.a AND toks[i] = mm$r.b THEN NULL
+         |         ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+         |  FROM $src, (SELECT tok_a AS a, tok_b AS b FROM m$r) mm$r)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val src = if (r == 1) "t" else s"s${r - 1}"
+      pairsCte(r, src) + ",\n" + topCte(r) + ",\n" + stepCte(r, src)
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, lang, n_chars, len($dToks) AS n_words,
+       |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS toks
+       |  FROM documents),
+       |$rounds""".stripMargin
+  }
+
+  private val q87Oracle: String =
+    s"""$bpeTrainedCtes
+      |SELECT t.doc_id, len(t.toks) AS n_before, len(s$BpeTrainRounds.toks) AS n_after,
+      |  array_to_string(s$BpeTrainRounds.toks, ' ') AS tokens
+      |FROM t JOIN s$BpeTrainRounds ON t.doc_id = s$BpeTrainRounds.doc_id""".stripMargin
+
+  /** q76Oracle's select (identical CASTs and integer-space ratios) over
+    * the trained chain's final rewrite. */
+  private val q87bOracle: String = {
+    val after = s"CAST(sum(len(s$BpeTrainRounds.toks)) AS BIGINT)"
+    val before = "CAST(sum(len(t.toks)) AS BIGINT)"
+    val words = "CAST(sum(t.n_words) AS BIGINT)"
+    val chars = "CAST(sum(t.n_chars) AS BIGINT)"
+    s"""$bpeTrainedCtes
+      |SELECT t.lang, count(*) AS n_docs, $words AS words,
+      |  $before AS toks_before, $after AS toks_after,
+      |  ${sqlIntRatio6(after, words)} AS fertility,
+      |  ${sqlIntRatio6(chars, after)} AS chars_per_tok,
+      |  ${sqlIntRatio6(s"($before - $after)", before)} AS merge_savings
+      |FROM t JOIN s$BpeTrainRounds ON t.doc_id = s$BpeTrainRounds.doc_id
+      |GROUP BY 1""".stripMargin
+  }
+
   // ---- q80: LM perplexity filter (CCNet shape) --------------------------
 
   /** Reference slice for the q80 LM: the English documents stand in for
@@ -3517,6 +3734,8 @@ object LlmQueries {
     "q75_bpe_apply" -> ((s, d) => bpeApplyDocs(s, d)),
     "q76_bpe_eval" -> ((s, d) => bpeEvalByLang(s, d)),
     "q84_bpe_train" -> ((s, d) => bpeTrainIterated(s, d)),
+    "q87_bpe_train_apply" -> ((s, d) => bpeTrainApplyDocs(s, d)),
+    "q87b_bpe_train_eval" -> ((s, d) => bpeTrainEvalByLang(s, d)),
     "q77_pq_index_ingest" -> ((s, d) => pqIndexIngest(s, d)),
     "q78_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q79_dsir_resample" -> ((s, d) => dsirResample(s, d)),
@@ -3524,6 +3743,7 @@ object LlmQueries {
     "q81_kmeans_refine" -> ((s, d) => kmeansRefine(s, d)),
     "q82_kmeans_fit" -> ((s, d) => kmeansFitQuery(s, d)),
     "q85_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+    "q88_classifier_eval" -> ((s, d) => classifierEval(s, d)),
     "q86_kmeans_converged" -> ((s, d) => kmeansConvergedQuery(s, d))
   )
 
@@ -3547,7 +3767,7 @@ object LlmQueries {
     "q16e_ann_lsh_fixed" -> q16eOracle,
     "q16g_ann_lsh_adaptive" -> q16gOracle,
     "q16h_ann_ivf_pq" -> q16hOracle,
-    "q16i_ann_ivf_pq_indexed" -> q16hOracle,
+    "q16i_ann_ivf_pq_indexed" -> q16iOracle,
     "q17_embed_nearest" -> q17Oracle,
     "q18_multimodal" -> q18Oracle,
     "q83_image_neardup" -> q83Oracle,
@@ -3596,6 +3816,8 @@ object LlmQueries {
     "q75_bpe_apply" -> q75Oracle,
     "q76_bpe_eval" -> q76Oracle,
     "q84_bpe_train" -> q84Oracle,
+    "q87_bpe_train_apply" -> q87Oracle,
+    "q87b_bpe_train_eval" -> q87bOracle,
     "q77_pq_index_ingest" -> q77Oracle,
     "q78_dsir_weights" -> q78Oracle,
     "q79_dsir_resample" -> q79Oracle,
@@ -3603,6 +3825,7 @@ object LlmQueries {
     "q81_kmeans_refine" -> q81Oracle,
     "q82_kmeans_fit" -> q82Oracle,
     "q85_quality_classifier" -> q85Oracle,
+    "q88_classifier_eval" -> q88Oracle,
     "q86_kmeans_converged" -> q86Oracle
   )
 }

@@ -38,9 +38,19 @@ object ScaleCheck {
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("emb"))
+      val kmCap = LlmQueries.KmeansConvergeMaxRounds
       val (_, kmRounds) = graft.llm.Similarity.kmeansFitConverged(
-        emb, emb.filter(col("id") % 100 === 0 && col("id") < 2000L), 6)
-      println(s"""{"dir":"$dir","kmeans_rounds":$kmRounds,"kmeans_cap":6}""")
+        emb, LlmQueries.kmeansSeedSet(emb), kmCap)
+      println(s"""{"dir":"$dir","kmeans_rounds":$kmRounds,"kmeans_cap":$kmCap}""")
+      // q83's honest ladder (r16): with the per-replica-band cell mix in
+      // ImagesFixture, TRUE image-dup pairs grow ~R× like the text corpus
+      // — this measures the registered query itself at each decade, so
+      // the ratio is evidence, not composition-by-analogy with q64.
+      val it0 = System.nanoTime()
+      val imgPairs = graft.llm.Multimodal.imageDupPairs(
+        graft.fixtures.ImagesFixture.imageCorpus(spark, dir)).count()
+      val itSec = (System.nanoTime() - it0) / 1e9
+      println(f"""{"dir":"$dir%s","image_pairs":$imgPairs%d,"image_sec":$itSec%.2f}""")
       spark.catalog.clearCache()
     }
     spark.stop()

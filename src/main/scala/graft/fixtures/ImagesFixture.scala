@@ -27,15 +27,24 @@ import graft.sources.Tables
   *     sign `lum(v1) < lum(v2)` equals the INTEGER comparison `v1 < v2`
   *     — the only thing the oracle needs to evaluate.
   *
-  * Near-dup structure: docs sharing `doc_id % Patterns` are replicas of
-  * one base pattern; a third of each pattern's replicas carry a one-cell
-  * edit (+[[EditDelta]] at (2,3)), another third a two-cell edit (adds
-  * (5,6)). One edited cell flips at most its 2 adjacent row gradients, so
-  * intra-pattern Hamming distances are 0/≤2/≤4/≤6 — all within q83's
-  * maxHamming=6 and therefore pigeonhole-guaranteed to share a band at
-  * bands=8. Cross-pattern pairs only surface through chance band
-  * collisions and are filtered by the exact Hamming check, identically in
-  * both engines.
+  * Near-dup structure: docs sharing `doc_id % Patterns` (within one
+  * replica band — see below) are replicas of one base pattern; a third of
+  * each pattern's replicas carry a one-cell edit (+[[EditDelta]] at
+  * (2,3)), another third a two-cell edit (adds (5,6)). One edited cell
+  * flips at most its 2 adjacent row gradients, so intra-pattern Hamming
+  * distances are 0/≤2/≤4/≤6 — all within q83's maxHamming=6 and therefore
+  * pigeonhole-guaranteed to share a band at bands=8. Cross-pattern pairs
+  * only surface through chance band collisions and are filtered by the
+  * exact Hamming check, identically in both engines.
+  *
+  * REPLICA BANDS (r16, verdict #4): `doc_id // ReplicaBand` — the replica
+  * index under `tools/make_scale_replica.py`'s k·10⁶ id offsets — mixes a
+  * per-band pseudo-random offset into every grid cell, so each replica
+  * carries its own 40 image families instead of repeating band 0's. TRUE
+  * image-dup pairs therefore grow LINEARLY in the replica count (the text
+  * corpus's per-replica token-suffix discipline, applied to pixels), which
+  * is what makes a measured q83 ladder honest. Band 0 is byte-identical
+  * to the pre-r16 fixture, so oracle-scale corpora are untouched.
   */
 object ImagesFixture {
 
@@ -52,6 +61,22 @@ object ImagesFixture {
 
   /** Luminance bump applied by the edit arms; 199+50 stays within a byte. */
   val EditDelta = 50
+
+  /** The replica id-offset convention of `tools/make_scale_replica.py`:
+    * replica k shifts doc_id by k·10⁶, so `doc_id // ReplicaBand` IS the
+    * replica index. Docs in band 0 (every oracle-scale corpus: doc_id <
+    * 10⁶ everywhere the driver runs DuckDB) are byte-identical to the
+    * pre-r16 fixture. */
+  val ReplicaBand = 1000000L
+
+  /** Modulus (2³¹−1, prime) and multipliers of the per-band cell mixer.
+    * All intermediates are bounded below 2⁶³ BY CONSTRUCTION (each factor
+    * reduced mod [[MixM]] before multiplying), because the DuckDB twin
+    * ERRORS on BIGINT overflow while the JVM silently wraps — a
+    * divergence the arithmetic must make unreachable, not just unlikely. */
+  val MixM = 2147483647L
+  private[graft] val MixSeedMult = 2654435761L
+  private[graft] val MixStepMult = 48271L
 
   /** Closed-form grid-cell luminance — the single source of truth both
     * the BMP pixels and the DuckDB oracle's hash arithmetic derive from.
@@ -71,8 +96,32 @@ object ImagesFixture {
     // hash ≤4 bits, so cross-pattern pairs stay ≥10 > maxHamming=6 apart)
     // while every intra-pattern edit distance stays within the documented
     // 0/≤2/≤4 bounds.
-    val base = ((p * gx * 129 + p * gy * 127 + gx * gy * 97 +
+    val grid = ((p * gx * 129 + p * gy * 127 + gx * gy * 97 +
       gx * 143 + gy * 112 + p * 7) % 199).toInt
+    // Per-REPLICA-BAND cell mix (r16, verdict #4): without it the hash is
+    // a function of doc_id mod (Patterns·3·ReplicaBand-structure) only —
+    // 120 distinct hashes TOTAL — so a replicated corpus's true dup pairs
+    // grow QUADRATICALLY in the replica count and every image ladder
+    // point was scale evidence by composition, not measurement. The mix
+    // gives each (band, pattern) family its own pseudo-random 9×8 grid:
+    // seed = Lehmer step of the band, squared per cell with the cell
+    // index MULTIPLIED in (v² — a linear-in-cell mix keeps the quadratic
+    // coefficient family-independent and the 72-cell window never wraps
+    // the modulus, which measured 80k+ near-identical families; the
+    // multiplicative form measures 40 000/40 000 distinct hashes,
+    // min pairwise Hamming 2, 158 family pairs ≤6 over 8·10⁸ — chance
+    // level, ≤1% pair inflation at the 1000× decade). Band 0 is gated to
+    // EXACTLY the original formula, so every oracle-scale corpus and the
+    // searched ≥18-bit cross-pattern separation claim are untouched.
+    val rq = java.lang.Math.floorDiv(docId, ReplicaBand)
+    val mix =
+      if (rq == 0L) 0L
+      else {
+        val s = java.lang.Math.floorMod(rq, MixM) * MixSeedMult % MixM
+        val v = (s + 1L) * (p * 73L + gy * 9L + gx + 1L) % MixM
+        (v * v % MixM * MixStepMult + v) % MixM % 199L
+      }
+    val base = ((grid + mix) % 199L).toInt
     val rm = java.lang.Math.floorMod(r, 3L)
     val edited = (rm == 1L && gx == 2 && gy == 3) ||
       (rm == 2L && ((gx == 2 && gy == 3) || (gx == 5 && gy == 6)))

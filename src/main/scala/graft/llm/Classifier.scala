@@ -31,13 +31,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * strengthened past q78's DECIMAL sums): weights, margins, residuals and
   * gradients are all BIGINT micro-units, so every cross-row aggregation
   * is EXACT integer arithmetic — association-free on any partitioning,
-  * any engine. The single transcendental per epoch (the sigmoid's `exp`)
-  * is computed on a bit-identical double in both engines and immediately
-  * re-quantized by `round(p·10⁶)`; the learning-rate division uses the
-  * half-away-from-zero integer quotient both engines express exactly
-  * (`(2|x|+d) div (2d)`, signed — the meanPool tie-exact form). The fixed
-  * learning rate 1/2 is FOLDED into that division (denominator 2N), so no
-  * fractional rate ever touches a double.
+  * any engine. The link function is the HARD sigmoid
+  * `σh(m) = clamp(½ + m/4, 0, 1)` — the standard piecewise-linear
+  * logistic stand-in from quantized/binarized training — evaluated
+  * entirely in micro-unit integers (`clamp(5·10⁵ + halfUp(mI/4), 0,
+  * 10⁶)`), so the fit contains NO transcendental at all. (The first
+  * version used `round(10⁶·σ(m))` on a double `exp`; the r15 advisor
+  * flagged that JVM `Math.exp` vs DuckDB's libm are only 1-ulp-agreed
+  * and the round-after-divide-on-double hazard the meanPool round-13
+  * note documents therefore applied per-doc-per-epoch. Replacing the
+  * link closes the hazard CLASS instead of probing for it.) All
+  * divisions use the half-away-from-zero integer quotient both engines
+  * express exactly (`(2|x|+d) div (2d)`, signed — the meanPool tie-exact
+  * form). The fixed learning rate 1/2 is FOLDED into the update division
+  * (denominator 2N), so no fractional rate ever touches a double.
   *
   * Bias is a synthetic feature: every doc carries one (bucket = −1,
   * cnt = 1) row. That keeps the epoch uniform (one join, one aggregate —
@@ -75,11 +82,28 @@ object Classifier {
         lit(1L).as("cnt")))
   }
 
+  /** Hard sigmoid in micro-units over a micro-unit margin column:
+    * `clamp(500000 + halfUp(mI/4), 0, 1000000)` — BIGINT in, BIGINT out,
+    * the quarter-slope division in the meanPool half-away-from-zero form
+    * (`(2|x|+4) div 8`, signed), so both engines evaluate it exactly.
+    * σh(0) = ½ exactly, like the logistic it replaces.
+    */
+  private[graft] def hardSigmoidI(mI: Column): Column = {
+    // (2|mI|+4) is non-negative, so >>3 IS the floor quotient by 8 —
+    // a pure integral op (Column has no integer-div method; a double
+    // round-trip here would reintroduce the hazard this removes).
+    val q = shiftright(lit(2L) * abs(mI) + lit(4L), 3)
+    greatest(lit(0L), least(lit(1000000L),
+      lit(500000L) + when(mI < 0L, -q).otherwise(q)))
+  }
+
   /** The per-doc margin in micro-units: feature rows ⋈ broadcast weight
     * table (B+1 rows — every bucket present, so the inner join drops
-    * nothing), summed exactly in BIGINT.
+    * nothing), summed exactly in BIGINT. `private[graft]` so the plan
+    * audit can inspect a single EPOCH's plan (r15 advice #3), not just
+    * the final scoring pass.
     */
-  private def margins(feats: DataFrame, wTable: DataFrame): DataFrame =
+  private[graft] def margins(feats: DataFrame, wTable: DataFrame): DataFrame =
     feats.join(broadcast(wTable), "bucket")
       .groupBy("doc_id").agg(sum(col("wI") * col("cnt")).as("mI"))
 
@@ -102,14 +126,12 @@ object Classifier {
       ((BiasBucket until buckets.toLong).map(_ -> 0L)).toMap
     (1 to epochs).foreach { _ =>
       val wTable = weightTable(spark, w)
-      // residual in micro-units: round(σ(m)·10⁶) − y·10⁶ — the round and
-      // the division keep the exact operand structure of the SQL twin.
+      // residual in micro-units: σh(m)·10⁶ − y·10⁶, hard sigmoid in pure
+      // BIGINT (clamped ½ + m/4, halfUp quarter) — no double anywhere.
       val resid = margins(feats, wTable)
         .join(train.select("doc_id", "y"), "doc_id")
         .select(col("doc_id"),
-          (round(lit(1000000.0)
-              / (lit(1.0) + exp(-(col("mI").cast("double") / lit(1000000.0)))))
-            .cast("long")
+          (hardSigmoidI(col("mI"))
             - when(col("y"), lit(1000000L)).otherwise(lit(0L))).as("rI"))
       // ≤ B+1 rows — bounded in the bucket count, never in corpus size
       val grad = feats.join(resid, "doc_id")
@@ -122,7 +144,7 @@ object Classifier {
     w
   }
 
-  private def weightTable(
+  private[graft] def weightTable(
       spark: org.apache.spark.sql.SparkSession, w: Map[Long, Long]): DataFrame = {
     val rows = w.toSeq.sortBy(_._1)
       .map { case (b, wi) => org.apache.spark.sql.Row(b, wi) }

@@ -32,11 +32,30 @@ class PlanAuditSpec extends SparkTestBase {
     // broadcasting, a corpus-scale shuffle has crept into every epoch
     // and the scoring pass. The per-doc margin must partial-aggregate
     // map-side (sum of wI·cnt), never shuffle raw feature rows.
+    //
+    // Audit the EPOCH plan directly (r15 advice #3): build one epoch's
+    // margin frame from featureRows ⋈ weightTable without running the
+    // training loop — auditing trainScore's output would execute every
+    // epoch as a side effect and only ever inspect the final scoring
+    // plan, leaving the per-epoch joins unguarded.
+    import graft.llm.Classifier
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val zeroW: Map[Long, Long] =
+      (Classifier.BiasBucket until 512L).map(_ -> 0L).toMap
+    val epoch = Classifier.margins(
+      Classifier.featureRows(docs.select(col("doc_id"), col("text")), 512),
+      Classifier.weightTable(spark, zeroW))
+    val pe = plan(epoch)
+    assert(pe.contains("BroadcastHashJoin"),
+      s"weight table must broadcast into the per-epoch feature join:\n$pe")
+    assert(pe.contains("partial_sum") || pe.contains("partial sum"),
+      s"epoch margins must partial-aggregate before the doc_id exchange:\n$pe")
+    // The final corpus-wide scoring plan keeps the same discipline.
     val p = plan(LlmQueries.qualityClassifier(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
-      s"weight table must broadcast into the feature join:\n$p")
+      s"weight table must broadcast into the scoring join:\n$p")
     assert(p.contains("partial_sum") || p.contains("partial sum"),
-      s"margins must partial-aggregate before the doc_id exchange:\n$p")
+      s"scoring margins must partial-aggregate before the doc_id exchange:\n$p")
   }
 
   test("q10 text stats: parquet scan is pruned to the referenced columns") {

@@ -3,11 +3,13 @@ package graft.llm
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
-/** [[Classifier]] — the hashed-feature logistic-regression quality filter
-  * (CCNet/fastText shape). The gradient arithmetic is pinned on a corpus
-  * small enough to fold by eye; the LEARNING property (a separable corpus
-  * separates, with the discriminative buckets signed correctly) is
-  * asserted directly, since that is what a trained filter is for.
+/** [[Classifier]] — the hashed-feature linear quality filter
+  * (CCNet/fastText shape; integer hard-sigmoid link since r16, so the
+  * whole fit is BIGINT-exact). The gradient arithmetic is pinned on a
+  * corpus small enough to fold by eye; the LEARNING property (a separable
+  * corpus separates, with the discriminative buckets signed correctly,
+  * including on held-out docs) is asserted directly, since that is what
+  * a trained filter is for.
   */
 class ClassifierSpec extends SparkTestBase {
   import spark.implicits._
@@ -108,6 +110,44 @@ class ClassifierSpec extends SparkTestBase {
     val w1 = Classifier.fitWeights(df.repartition(1), col("y"), lit(true), B, 2)
     val w13 = Classifier.fitWeights(df.repartition(13), col("y"), lit(true), B, 2)
     assert(w1 === w13, "weights must not depend on partitioning")
+  }
+
+  test("hardSigmoidI: integer hard sigmoid — center, slope, ties, clamps") {
+    // σh(m) = clamp(½ + m/4, 0, 1) in micro-units, halfUp quarter. The
+    // values are pinned against the q85 oracle's CASE arithmetic.
+    val in = Seq(0L, 2L, -2L, 4L, -4L, 2000000L, -2000000L, 3000000L,
+      -3000000L).toDF("mI")
+    val got = in.select(col("mI"),
+        Classifier.hardSigmoidI(col("mI")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === 500000L)        // σh(0) = ½ exactly
+    assert(got(2L) === 500001L)        // halfUp(0.5 µ) rounds away
+    assert(got(-2L) === 499999L)       // symmetric
+    assert(got(4L) === 500001L)
+    assert(got(-4L) === 499999L)
+    assert(got(2000000L) === 1000000L) // exactly at the upper clamp edge
+    assert(got(-2000000L) === 0L)      // exactly at the lower clamp edge
+    assert(got(3000000L) === 1000000L) // saturated
+    assert(got(-3000000L) === 0L)
+  }
+
+  test("held-out eval on a separable corpus: precision and recall exactly 1.0") {
+    // Train on 2 docs per class, hold out the purest doc of each class
+    // (q88's split shape). A separable corpus must classify BOTH held-out
+    // docs correctly — tp=1 fp=0 fn=0 tn=1, i.e. precision = recall = 1.0,
+    // the spec-pinned claim behind the registered q88 metrics.
+    val df = separable()
+    val isTrain = col("doc_id").isin(0L, 1L, 3L, 4L)
+    val held = Classifier.trainScore(df, col("y"), isTrain, B, 2)
+      .filter(!col("is_train"))
+      .select("doc_id", "is_target", "keep")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(held.map(_._1).toSet === Set(2L, 5L))
+    val tp = held.count { case (_, y, k) => y && k }
+    val fp = held.count { case (_, y, k) => !y && k }
+    val fn = held.count { case (_, y, k) => y && !k }
+    assert(tp === 1 && fp === 0 && fn === 0,
+      s"held-out confusion must be perfect on a separable corpus: ${held.toSeq}")
   }
 
   test("halfUpDiv matches the SQL CASE on signs and ties") {

@@ -281,8 +281,11 @@ class MultimodalSpec extends SparkTestBase {
     // the exact assumption the q83 DuckDB oracle rests on: BMP encode →
     // imageio decode → area-average → luminance gradient sign computes the
     // SAME 64 bits as the integer cellValue formula. Ids cover all three
-    // edit arms (r%3 = 0/1/2) and several patterns.
-    val ids = Seq(0L, 1L, 39L, 40L, 41L, 79L, 80L, 81L, 123L, 456L, 499L, 12345L)
+    // edit arms (r%3 = 0/1/2), several patterns, and — since the r16
+    // replica-band mix — ids beyond ReplicaBand (bands 1, 2 and 999,
+    // the 1000× ladder's top), so the bridge holds on replicated corpora.
+    val ids = Seq(0L, 1L, 39L, 40L, 41L, 79L, 80L, 81L, 123L, 456L, 499L,
+      12345L, 1000000L, 1000041L, 2000082L, 999000123L)
     ids.foreach { id =>
       val decoded = Multimodal.dhash(ImagesFixture.encodeBmp(id))
       assert(decoded.contains(ImagesFixture.formulaHash(id)),
@@ -317,6 +320,41 @@ class MultimodalSpec extends SparkTestBase {
       (0 until 8).exists(j => ((ImagesFixture.formulaHash(0L) >> (j * 8)) & 255) ==
         ((ImagesFixture.formulaHash(1L) >> (j * 8)) & 255))),
       s"cross-pattern pair must follow the band+hamming rule exactly (hamming $cross)")
+  }
+
+  test("ImagesFixture replica bands: band 0 unchanged, per-band families distinct, intra-band structure preserved") {
+    import graft.fixtures.ImagesFixture
+    // Band 0 must be EXACTLY the pre-mix formula (the gate) — pin one
+    // hash value so a silent gating regression fails loudly rather than
+    // shifting every oracle row at once.
+    (0 until 9).foreach { gx =>
+      (0 until 8).foreach { gy =>
+        val p = 7L; val id = 7L // pattern 7, arm 0, band 0
+        val expect = ((p * gx * 129 + p * gy * 127 + gx * gy * 97 +
+          gx * 143 + gy * 112 + p * 7) % 199).toInt
+        assert(ImagesFixture.cellValue(id, gx, gy) === expect,
+          s"band-0 cell ($gx,$gy) must gate to the original formula")
+      }
+    }
+    // The SAME (pattern, arm) in different bands is a different image
+    // family: the whole point of the mix is that replicas do NOT pair
+    // with each other, so true pairs grow linearly in the replica count.
+    val bands = Seq(0L, 1L, 2L, 5L, 17L, 999L)
+    val hs = bands.map(b => ImagesFixture.formulaHash(b * ImagesFixture.ReplicaBand))
+    for (i <- hs.indices; j <- hs.indices if i < j) {
+      val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+      assert(d > 6,
+        s"bands ${bands(i)} vs ${bands(j)}: hamming $d <= 6 — replicas would cross-pair")
+    }
+    // Within a band > 0, the intra-pattern edit structure carries over
+    // unchanged: arm edits move the hash <= 2 / <= 4 bits off the band's
+    // base, exactly the band-0 bounds the near-dup ladder counts on.
+    val b = ImagesFixture.ReplicaBand
+    val base = ImagesFixture.formulaHash(b)          // pattern 0, arm 0
+    val oneEdit = ImagesFixture.formulaHash(b + 40L) // arm 1
+    val twoEdit = ImagesFixture.formulaHash(b + 80L) // arm 2
+    assert(java.lang.Long.bitCount(base ^ oneEdit) <= 2, "one-cell edit: <=2 bits in band 1")
+    assert(java.lang.Long.bitCount(base ^ twoEdit) <= 4, "two-cell edit: <=4 bits in band 1")
   }
 
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {
