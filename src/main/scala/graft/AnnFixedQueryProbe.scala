@@ -9,8 +9,8 @@ package graft
   * the plan) was what squared.
   *
   * Round 16 promoted that fixed-|Q| form into the registered query
-  * itself ([[LlmQueries.AnnFixedQueryCount]]: queries are the
-  * count-derived `id % (N div 40) = 0` stride, ~40 ids at every scale),
+  * itself ([[LlmQueries.AnnFixedQueryIdBound]]: queries are the
+  * fixed `id < 2000 AND id % 50 = 0` window, 40 ids at every scale),
   * so the probe now simply MEASURES the registered q16f — no re-typed
   * geometry constants, by construction (r15 advice: probes must not
   * duplicate literals the registry keeps private). Residual growth is
@@ -27,7 +27,7 @@ object AnnFixedQueryProbe {
       val t0 = System.nanoTime()
       val rows = LlmQueries.annIvfAdaptive(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"dir":"$dir%s","query":"q16f_registered","fixed_queries":${LlmQueries.AnnFixedQueryCount}%d,"rows":$rows%d,"sec":$sec%.2f}""")
+      println(f"""{"dir":"$dir%s","query":"q16f_registered","fixed_queries":${LlmQueries.AnnFixedQueryIdBound / LlmQueries.AnnFixedQueryStride}%d,"rows":$rows%d,"sec":$sec%.2f}""")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -398,18 +398,26 @@ object LlmQueries {
     */
   private[graft] val AdaptiveProbeFraction = 0.2
 
-  /** Fixed query-set size for the REGISTERED adaptive-ANN searches (q16f,
-    * q16i): queries are `id % (N div 40) = 0` — a count-derived stride
-    * that pins |Q| to ~40 ids spread uniformly over the corpus at EVERY
-    * scale. Replaces the `id % 50` corpus-fraction convention whose
-    * |Q| = N/50 made candidate volume |Q|·0.2N quadratic by benchmark
-    * construction and killed the 1000× q16f run on disk (r15 verdict #1;
-    * `AnnFixedQueryProbe` measured the fixed-|Q| form riding that decade
-    * at 5.7×/decade — the plan was never the problem, the query set was).
-    * A production ANN serves a bounded query batch against a growing
-    * corpus; this makes the registered benchmark that shape.
+  /** Fixed query WINDOW for the REGISTERED adaptive-ANN searches (q16f,
+    * q16i): queries are `id < 2000 AND id % 50 = 0` — at most 40 ids,
+    * constant at EVERY scale. Replaces the bare `id % 50` corpus-fraction
+    * convention whose |Q| = N/50 made candidate volume |Q|·0.2N quadratic
+    * by benchmark construction and killed the 1000× q16f run on disk
+    * (r15 verdict #1; `AnnFixedQueryProbe` measured exactly this fixed
+    * window riding that decade at 5.7×/decade — the plan was never the
+    * problem, the query set was). A production ANN serves a bounded query
+    * batch against a growing corpus; this makes the registered benchmark
+    * that shape.
+    *
+    * Why a fixed id WINDOW and not a count-derived stride `id % (N div
+    * 40)`: replica corpora carry BLOCK-SPARSE ids (k·10⁶ offsets,
+    * `make_scale_replica.py`), so once the stride exceeds the 2000-id
+    * block width it selects one id per replica — |Q| grows linearly with
+    * R again and the measured 100× run quietly carried 100 queries. The
+    * window is id-geometry-proof: it can only ever see the first block.
     */
-  private[graft] val AnnFixedQueryCount = 40L
+  private[graft] val AnnFixedQueryIdBound = 2000L
+  private[graft] val AnnFixedQueryStride = 50L
 
   /** q16f — IVF at SCALE-ADAPTIVE geometry: centroid count k = ⌈√N⌉
     * (selected as `id % (N div k) = 0` — deterministic and exactly
@@ -434,12 +442,13 @@ object LlmQueries {
     * through identical double arithmetic (IEEE sqrt/ceil and `0.2·k` are
     * bit-equal cross-engine), so the centroid SET matches exactly.
     *
-    * Since r16 the QUERY set is bounded too: `id % (N div
-    * [[AnnFixedQueryCount]]) = 0` caps |Q| at ~40 at every scale (the
-    * r15 third-decade failure was |Q| = N/50 — see the constant's doc).
-    * Candidate volume is now |Q|·0.2N = O(N); the in-plan N·⌈√N⌉ cell
-    * assignment is the remaining super-linear term, which the q16i
-    * persisted-index path amortizes into the index build.
+    * Since r16 the QUERY set is bounded too: the fixed
+    * [[AnnFixedQueryIdBound]]/[[AnnFixedQueryStride]] window caps |Q| at
+    * 40 at every scale (the r15 third-decade failure was |Q| = N/50 —
+    * see the constants' doc). Candidate volume is now |Q|·0.2N = O(N);
+    * the in-plan N·⌈√N⌉ cell assignment is the remaining super-linear
+    * term, which the q16i persisted-index path amortizes into the index
+    * build.
     */
   def annIvfAdaptive(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -448,22 +457,22 @@ object LlmQueries {
     val kCent = math.ceil(math.sqrt(n.toDouble)).toLong
     val stride = math.max(1L, n / kCent)
     val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
-    val qStride = math.max(1L, n / AnnFixedQueryCount)
     Similarity.ivfTopK(emb, "vec_id", "embedding",
-      col("id") % qStride === 0, col("id") % stride === 0, k = 5, nprobe = nprobe)
+      col("id") < AnnFixedQueryIdBound && col("id") % AnnFixedQueryStride === 0,
+      col("id") % stride === 0, k = 5, nprobe = nprobe)
   }
 
   /** [[q16MultiProbeOracle]] with the geometry derived from `count(*)` in
     * SQL: `kc = ceil(sqrt(n))`, `stride = n // kc` (DuckDB `//` is floor
     * division on BIGINTs = Scala `Long./` for positives), `nprobe =
-    * ceil(0.2 * kc)`, `qstride = n // $AnnFixedQueryCount` — the exact
-    * arithmetic [[annIvfAdaptive]] runs.
+    * ceil(0.2 * kc)` — the exact arithmetic [[annIvfAdaptive]] runs; the
+    * query set is the fixed `id < $AnnFixedQueryIdBound AND id %
+    * $AnnFixedQueryStride = 0` window.
     */
   private val q16fOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |p AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
-      |             CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe,
-      |             greatest(1, count(*) // $AnnFixedQueryCount) AS qstride
+      |             CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe
       |      FROM e),
       |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
@@ -479,7 +488,7 @@ object LlmQueries {
       |    SELECT n.id, n.emb, n.nrm, c.c_id,
       |      row_number() OVER (PARTITION BY n.id
       |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
-      |    FROM n, c WHERE n.id % (SELECT qstride FROM p) = 0) WHERE r <= (SELECT nprobe FROM p)),
+      |    FROM n, c WHERE n.id < $AnnFixedQueryIdBound AND n.id % $AnnFixedQueryStride = 0) WHERE r <= (SELECT nprobe FROM p)),
       |pairs AS (
       |  SELECT q.query_id, a.id AS neighbor_id,
       |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score
@@ -642,7 +651,8 @@ object LlmQueries {
       |p AS (SELECT greatest(1, count(*) // $PqCodewords) AS stride FROM e),
       |nn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |cwv AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      |        FROM e WHERE vec_id % (SELECT stride FROM p) = 0),
+      |        FROM e WHERE vec_id % (SELECT stride FROM p) = 0
+      |        QUALIFY j < $PqCodewords),
       |cbs AS (SELECT j, m, csub,
       |        greatest(0, CAST(round(list_dot_product(csub, csub)*1e6, 0) AS BIGINT)) AS sqI
       |        FROM (SELECT j, m, list_slice(emb, m*4+1, m*4+4) AS csub
@@ -703,14 +713,13 @@ object LlmQueries {
     * q16h keeps the historical `% 50` corpus-fraction form (in-plan
     * composition point, a declared scale contrast of q16i); q16i — the
     * production persisted-index search — bounds |Q| via the count-derived
-    * [[AnnFixedQueryCount]] stride (r15 verdict #1).
+    * fixed [[AnnFixedQueryIdBound]] window (r15 verdict #1).
     */
   private def ivfPqOracle(queryMod: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |geo AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cstride,
       |               CAST(ceil(0.2 * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe,
-      |               greatest(1, count(*) // $PqCodewords) AS pqstride,
-      |               greatest(1, count(*) // $AnnFixedQueryCount) AS qstride
+      |               greatest(1, count(*) // $PqCodewords) AS pqstride
       |        FROM e),
       |nn AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |cent AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM nn
@@ -728,7 +737,8 @@ object LlmQueries {
       |        ORDER BY round(list_dot_product(nn.emb, cent.c_emb) / (nn.nrm * cent.c_nrm), 6) DESC, cent.c_id) AS r
       |    FROM nn, cent WHERE nn.id $queryMod) WHERE r <= (SELECT nprobe FROM geo)),
       |cwv AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      |        FROM e WHERE vec_id % (SELECT pqstride FROM geo) = 0),
+      |        FROM e WHERE vec_id % (SELECT pqstride FROM geo) = 0
+      |        QUALIFY j < $PqCodewords),
       |cbs AS (SELECT j, m, csub,
       |        greatest(0, CAST(round(list_dot_product(csub, csub)*1e6, 0) AS BIGINT)) AS sqI
       |        FROM (SELECT j, m, list_slice(emb, m*4+1, m*4+4) AS csub
@@ -769,7 +779,10 @@ object LlmQueries {
 
   private val q16hOracle: String = ivfPqOracle("% 50 = 0")
 
-  private val q16iOracle: String = ivfPqOracle("% (SELECT qstride FROM geo) = 0")
+  // bare `id` resolves to nn.id in both CTEs that interpolate this (cent
+  // carries only c_-prefixed columns)
+  private val q16iOracle: String = ivfPqOracle(
+    s"< $AnnFixedQueryIdBound AND id % $AnnFixedQueryStride = 0")
 
   /** Per-JVM registry of PERSISTED IVF-PQ index artifacts, keyed by data
     * dir — the [[ccArtifactPath]] convention applied to ANN. An index is
@@ -828,7 +841,8 @@ object LlmQueries {
       val cStride = math.max(1L, cnt / kCent)
       val pqStride = math.max(1L, cnt / PqCodewords)
       val centroids = n.filter(col("id") % cStride === 0)
-      val codebook = Similarity.pqCodebook(n, pqStride, PqDims)
+      val codebook = Similarity.pqCodebook(n, pqStride, PqDims,
+        maxCodewords = PqCodewords)
       Similarity.ivfPqIndexRows(n, centroids, codebook, PqDims)
         .write.mode("overwrite").parquet(root + "/index")
       codebook.write.mode("overwrite").parquet(root + "/codebook")
@@ -844,7 +858,7 @@ object LlmQueries {
     * scan reads 24-byte index rows, never raw vectors, and the survivors'
     * exact re-rank joins back to the raw table on id. The nprobe geometry
     * re-derives from the raw table's count, exactly as the index build
-    * did. Since r16 the query set is the bounded [[AnnFixedQueryCount]]
+    * did. Since r16 the query set is the bounded [[AnnFixedQueryIdBound]]
     * stride (a production search serves a bounded query batch against a
     * growing corpus); q16h keeps the `% 50` corpus-fraction set as the
     * in-plan contrast, so the pair now differs in BOTH the artifact path
@@ -860,9 +874,9 @@ object LlmQueries {
     require(cnt > 0, "IVF-PQ search needs a non-empty corpus")
     val kCent = math.ceil(math.sqrt(cnt.toDouble)).toLong
     val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
-    val qStride = math.max(1L, cnt / AnnFixedQueryCount)
     Similarity.ivfPqSearchFrom(index, codebook, centroids,
-      raw = n, queries = n.filter(col("id") % qStride === 0),
+      raw = n, queries = n.filter(col("id") < AnnFixedQueryIdBound &&
+        col("id") % AnnFixedQueryStride === 0),
       k = 5, nprobe = nprobe, dims = PqDims,
       adcThreshold = PqAdcThreshold)
   }
@@ -904,7 +918,7 @@ object LlmQueries {
     // worst lose 1/10 of the class otherwise
     val centroids = existing.filter(col("id") % cStride === 1)
     val codebook = Similarity.pqCodebook(existing, pqStride, PqDims,
-      residue = 1L)
+      residue = 1L, maxCodewords = PqCodewords)
     Similarity.ivfPqIndexRows(batch, centroids, codebook, PqDims)
       .select(col("id"), col("bucket"),
         // the index row carries the PACKED layout since r14; the oracle
@@ -938,7 +952,8 @@ object LlmQueries {
       |        ORDER BY round(list_dot_product(nn.emb, cent.c_emb) / (nn.nrm * cent.c_nrm), 6) DESC, cent.c_id) AS r
       |    FROM nn, cent) WHERE r = 1),
       |cwv AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      |        FROM ex WHERE vec_id % (SELECT pqstride FROM geo) = 1),
+      |        FROM ex WHERE vec_id % (SELECT pqstride FROM geo) = 1
+      |        QUALIFY j < $PqCodewords),
       |cbs AS (SELECT j, m, csub,
       |        greatest(0, CAST(round(list_dot_product(csub, csub)*1e6, 0) AS BIGINT)) AS sqI
       |        FROM (SELECT j, m, list_slice(emb, m*4+1, m*4+4) AS csub

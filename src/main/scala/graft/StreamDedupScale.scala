@@ -45,6 +45,11 @@ import graft.streaming.{StreamingNearDedup, StreamingSemanticDedup}
   * assignment ≡ full-corpus assignment, so cumulative incremental pairs
   * must equal the batch [[Similarity.cosinePairs]] over the assigned
   * corpus pair-for-pair — the check the final line performs.
+  *
+  * `SPARK_GRAFT_MODE=image` runs the ladder over
+  * [[graft.streaming.StreamingImageDedup]] — the perceptual-hash twin
+  * (decode + dHash per trigger, banded signature index, cumulative ≡
+  * one-shot q83 check). See [[runImage]].
   */
 object StreamDedupScale {
 
@@ -84,6 +89,12 @@ object StreamDedupScale {
 
     if (sys.env.get("SPARK_GRAFT_MODE").contains("semantic")) {
       runSemantic(spark, sfDir, nBatches, skipBatchCheck, compactEvery,
+        indexDir, pairsDir, batchFrom, batchTo)
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_MODE").contains("image")) {
+      runImage(spark, sfDir, nBatches, skipBatchCheck, compactEvery,
         indexDir, pairsDir, batchFrom, batchTo)
       spark.stop()
       return
@@ -193,6 +204,54 @@ object StreamDedupScale {
       val diff = incremental.exceptAll(batchPairs).count() +
         batchPairs.exceptAll(incremental).count()
       println(s"""{"batch_q48b_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q48b_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
+    }
+  }
+
+  /** `SPARK_GRAFT_MODE=image`: the ladder over
+    * [[graft.streaming.StreamingImageDedup]] — the perceptual-hash twin
+    * (r15 VERDICT ask #7). Each trigger DECODES its slice of the image
+    * corpus (the per-batch cost a real ingest pays), dHashes it, probes
+    * the persisted banded signature index, and folds itself in; the final
+    * line checks cumulative pairs ≡ the one-shot q83
+    * [[graft.llm.Multimodal.imageDupPairs]] pair-for-pair.
+    */
+  private def runImage(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int, skipBatchCheck: Boolean, compactEvery: Int,
+      indexDir: String, pairsDir: String,
+      batchFrom: Int = 0, batchTo: Int = Int.MaxValue): Unit = {
+    import graft.llm.Multimodal
+    import graft.streaming.StreamingImageDedup
+    val corpus = graft.fixtures.ImagesFixture.imageCorpus(spark, sfDir)
+    val total = corpus.count()
+    println(s"""{"mode":"image","sf":${Bench.jstr(sfDir)},"rows":$total,"batches":$nBatches,"index":${Bench.jstr(indexDir)}}""")
+
+    (batchFrom to math.min(batchTo, nBatches - 1)).foreach { b =>
+      val batch = corpus.filter(pmod(xxhash64(col("id")), lit(nBatches)) === b)
+      val t0 = System.nanoTime()
+      val nPairs = StreamingImageDedup.ingestBatch(
+        Multimodal.imageHashes(batch), indexDir, pairsDir)
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val indexRows = spark.read.parquet(s"$indexDir/bands").count()
+      println(s"""{"batch":$b,"ingest_sec":${math.round(ingestSec * 1000) / 1000.0},"pairs_appended":$nPairs,"index_rows":$indexRows,"index_bytes":${dirBytes(Paths.get(indexDir))}}""")
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0 && b + 1 < nBatches) {
+        val tc = System.nanoTime()
+        val written = StreamingImageDedup.compactIndex(spark, indexDir)
+        val compactSec = (System.nanoTime() - tc) / 1e9
+        println(s"""{"compact_after":$b,"compact_sec":${math.round(compactSec * 1000) / 1000.0},"files":$written}""")
+      }
+    }
+
+    if (!skipBatchCheck && math.min(batchTo, nBatches - 1) == nBatches - 1) {
+      val t1 = System.nanoTime()
+      val batchPairs = Multimodal.imageDupPairs(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchN = batchPairs.count()
+      val batchSec = (System.nanoTime() - t1) / 1e9
+      val incremental = spark.read.parquet(pairsDir)
+      val diff = incremental.exceptAll(batchPairs).count() +
+        batchPairs.exceptAll(incremental).count()
+      println(s"""{"batch_q83_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q83_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
     }
   }
 }

@@ -155,8 +155,23 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 10000,
       capObservation: Option[Observation] = None): DataFrame = {
-    val shingled = shingleFrame(df, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `spark.graft.dedup.persistShingles=false` trades one recompute of
+    // the shingle pass for NOT caching a data-scale string-array frame —
+    // the q78 recompute-beats-persist convention as a memory knob. Why it
+    // exists (measured, r16 MemPressure at the 1000× decade / 8 GiB
+    // heap): SQL caching builds COLUMNAR batches per task, and
+    // `ColumnBuilder.ensureFreeSpace` on the shingle array column is
+    // heap-fatal at 32-way concurrency regardless of storage level —
+    // DISK_ONLY dies identically, because the columnar BUILD precedes the
+    // store. With the knob off, q12 completes the decade gracefully;
+    // default stays on (strictly faster wherever the working set fits).
+    val doPersist = df.sparkSession.conf
+      .get("spark.graft.dedup.persistShingles", "true").toBoolean
+    val shingledPlan = shingleFrame(df, idCol, textCol, shingleSize)
+    val shingled =
+      if (doPersist)
+        shingledPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingledPlan
     val cands = candidatePairs(
       bandFrame(withSignature(shingled, numHashes), numHashes, rowsPerBand),
       maxBucketSize, capObservation)
@@ -791,34 +806,102 @@ object Dedup {
     require(bands > maxHamming,
       s"pigeonhole guarantee needs bands > maxHamming, got $bands <= $maxHamming")
     require(bits % bands == 0, s"bands must divide bits, got $bits % $bands")
-    val width = bits / bands
-    val mask = (1L << width) - 1
     val sketches = df.select(col(idCol).as("id"),
       sketchOf(col(textCol), bits).as("sk"))
-    val banded = sketches.select(col("id"), col("sk"),
+    val banded = simhashBandFrame(sketches, bits, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashPairsFromBands(banded, banded, maxHamming, maxBucketSize,
+      capObservation, selfJoin = true)
+  }
+
+  /** Banded rows of an `(id, sk)` signature frame — the q64/q83 blocking
+    * layout as a PERSISTABLE artifact ([[bandFrame]]'s analogue for the
+    * simhash signature family): one (id, sk, band, bv) row per band.
+    * Carrying `sk` beside the band key keeps an ingest index
+    * self-contained: the probe join yields both signatures, so the exact
+    * Hamming verify needs no second lookup table (signatures have no
+    * shingle analogue — the signature IS the verifier).
+    */
+  def simhashBandFrame(sigs: DataFrame, bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, s"bands must divide bits, got $bits % $bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    sigs.select(col("id"), col("sk"),
       explode(array((0 until bands).map(j => struct(lit(j).as("band"),
         shiftright(col("sk"), j * width).bitwiseAND(mask).as("bv"))): _*)).as("b"))
       .select(col("id"), col("sk"), col("b.band").as("band"), col("b.bv").as("bv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The shared pairing tail over banded signature frames: cap the LEFT
+    * (probed) side per bucket — deterministic smallest-ids, the
+    * [[candidatePairs]] convention — bucket-join against the right side,
+    * dedupe multi-band agreements, verify by exact Hamming. `selfJoin`
+    * selects the one-shot semantics (strict `id_a < id_b` against the
+    * SAME frame); the incremental ingest passes the index as the capped
+    * left and the batch as the right with an id-inequality guard (a
+    * replayed doc's bands already sit in the index and must not pair
+    * with themselves — the at-least-once convention of
+    * [[incrementalMinhashPairsFromArtifacts]]).
+    */
+  private def simhashPairsFromBands(
+      capped: DataFrame,
+      right: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      capObservation: Option[Observation] = None,
+      selfJoin: Boolean): DataFrame = {
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bv").orderBy("id")
-    val rn = banded.withColumn("__rn", row_number().over(wCap))
+    val rn = capped.withColumn("__rn", row_number().over(wCap))
     val observed = capObservation.fold(rn)(o => rn.observe(o,
       coalesce(sum(when(col("__rn") === maxBucketSize + 1, 1L).otherwise(0L)), lit(0L))
         .as("truncated_band_buckets"),
       coalesce(sum(when(col("__rn") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
         .as("dropped_band_rows")))
     val kept = observed.filter(col("__rn") <= maxBucketSize).drop("__rn")
-    kept.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+    val joined =
+      if (selfJoin)
+        kept.as("a").join(right.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      else
+        kept.as("a").join(right.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.id") =!= col("b.id"))
+          .select(
+            least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"),
+            when(col("a.id") < col("b.id"), col("a.sk")).otherwise(col("b.sk")).as("sk_a"),
+            when(col("a.id") < col("b.id"), col("b.sk")).otherwise(col("a.sk")).as("sk_b"))
+    joined
       .distinct() // a pair agreeing on several bands appears once
       .withColumn("hamming", hamming(col("sk_a"), col("sk_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Incremental simhash-family near-dup: pairs between a batch's banded
+    * signatures and the persisted banded index, PLUS within-batch pairs —
+    * [[incrementalMinhashPairsFromArtifacts]]'s contract for the
+    * signature family (q83's image hashes in the streaming ingest loop).
+    * The INDEX side is the capped one (a hot bucket must not make one
+    * trigger quadratic in the corpus; within-batch pairing caps the batch
+    * side as the one-shot form does), id-inequality guards at-least-once
+    * replay, and the final distinct folds a pair surfacing through both
+    * the cross and within paths to one row.
+    */
+  private[graft] def incrementalSimhashPairsFromArtifacts(
+      indexBands: DataFrame,
+      batchBands: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
+    val within = simhashPairsFromBands(batchBands, batchBands,
+      maxHamming, maxBucketSize, selfJoin = true)
+    val cross = simhashPairsFromBands(indexBands, batchBands,
+      maxHamming, maxBucketSize, selfJoin = false)
+    within.union(cross).distinct()
   }
 
   /** Exact duplicated-SPAN removal over the token stream — the document

@@ -679,7 +679,8 @@ object Similarity {
     * [[ivfAssign]]'s centroid ranks).
     */
   def pqCodebook(n: DataFrame, stride: Long, dims: Int,
-      subspaces: Int = PqSubspaces, residue: Long = 0L): DataFrame = {
+      subspaces: Int = PqSubspaces, residue: Long = 0L,
+      maxCodewords: Long = Long.MaxValue): DataFrame = {
     require(stride > 0, s"PQ codebook stride must be positive, got $stride")
     // `residue` picks the stride class: q77's ingest selects codewords
     // from an EXISTING corpus already defined by a modulo split, and the
@@ -687,9 +688,20 @@ object Similarity {
     // can be empty (450-row fixture: every multiple of cstride=20 is a
     // multiple of 10, i.e. in the batch) — residue 1 never collides with
     // a `% b === 0` split for any stride.
+    //
+    // `maxCodewords` caps the selected class to its first members BY ID —
+    // the codebook is a MODEL constant (FAISS trains codebooks on a
+    // sample), so its size must be id-geometry-proof: on replica corpora
+    // the ids are BLOCK-SPARSE (k·10⁶ offsets), a corpus-derived stride
+    // degenerates to one member per replica block, and the class
+    // population becomes the REPLICA COUNT — the 1000× q16i index build
+    // died on pqEncode's packed-field guard with 1000 "codewords" (r16).
+    // The window below is bounded: it orders the already-filtered
+    // candidate class, never the corpus.
     val w = Window.orderBy("id")
     n.filter(col("id") % stride === residue)
       .withColumn("j", row_number().over(w).cast("long") - 1L)
+      .filter(col("j") < maxCodewords)
       .select(col("j"), inline(pqSubVectors(col("emb"), dims, subspaces)))
       .select(col("m"), col("j"), col("sub").as("csub"))
       .withColumn("sqI", greatest(lit(0L),
@@ -890,10 +902,11 @@ object Similarity {
     val cnt = n.count()
     require(cnt > 0, "PQ codebook selection needs a non-empty corpus")
     val stride = math.max(1L, cnt / codewords)
-    val codebook = pqCodebook(n, stride, dims, subspaces)
-    // packed layout only inside the 8-bit field bound (margin for the
-    // stride-rounding overshoot); diagnostic geometries like the
-    // stride-1 zero-error probe (k = N) keep the unpacked array
+    val codebook = pqCodebook(n, stride, dims, subspaces,
+      maxCodewords = codewords)
+    // packed layout only inside the 8-bit field bound; diagnostic
+    // geometries like the stride-1 zero-error probe (k = N, passed as
+    // `codewords`) keep the unpacked array
     val usePacked = codewords <= 128
     val enc = pqEncode(n, codebook, dims, subspaces, packed = usePacked)
     val lutq = pqQueryLut(n.filter(queryFilter), codebook, dims, subspaces)
@@ -965,7 +978,8 @@ object Similarity {
     val cnt = n.count()
     require(cnt > 0, "PQ codebook selection needs a non-empty corpus")
     val stride = math.max(1L, cnt / codewords)
-    val codebook = pqCodebook(n, stride, dims, subspaces)
+    val codebook = pqCodebook(n, stride, dims, subspaces,
+      maxCodewords = codewords)
     val usePacked = codewords <= 128 // see pqTopK's packed-bound note
     val enc = pqEncode(n, codebook, dims, subspaces, packed = usePacked)
     val assigned = ivfAssign(n, n.filter(centroidFilter))

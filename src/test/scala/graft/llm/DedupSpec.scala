@@ -42,6 +42,22 @@ class DedupSpec extends SparkTestBase {
     assert(exact._3 == 1.0)
   }
 
+  test("minhashPairs: the persistShingles memory knob never changes the answer") {
+    // spark.graft.dedup.persistShingles=false trades a recompute of the
+    // shingle pass for not columnar-caching a data-scale string-array
+    // frame — the r16 MemPressure finding (the columnar BUILD is
+    // heap-fatal at the 1000x decade on an 8 GiB heap, at every storage
+    // level). The knob must be a pure execution choice: identical pairs.
+    val cached = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.conf.set("spark.graft.dedup.persistShingles", "false")
+    try {
+      val recomputed = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(recomputed == cached, "knob changed the pair set")
+    } finally spark.conf.unset("spark.graft.dedup.persistShingles")
+  }
+
   test("candidatePairs: hot-bucket cap bounds a mega-cluster to O(cap * n) pairs") {
     // 500 identical docs -> every band puts all 500 in one bucket; uncapped
     // self-join would emit n(n-1)/2 = 124750 pairs.

@@ -867,7 +867,11 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.asDouble(col("embedding")).as("emb"))
     val cnt = n.count()
     val centroids = n.filter(cf)
-    val codebook = Similarity.pqCodebook(n, math.max(1L, cnt / 16), 64)
+    // maxCodewords mirrors ivfPqTopK's in-plan cap (the r16 id-geometry
+    // bound) — an uncapped hand-built codebook would carry the stride
+    // class's rounding overshoot and diverge from the in-plan search
+    val codebook = Similarity.pqCodebook(n, math.max(1L, cnt / 16), 64,
+      maxCodewords = 16)
     val root = java.nio.file.Files.createTempDirectory("pqidx-spec-").toString
     Similarity.ivfPqIndexRows(n, centroids, codebook, 64)
       .write.parquet(root + "/index")
