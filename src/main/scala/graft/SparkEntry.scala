@@ -52,6 +52,17 @@ object SparkEntry {
     "q48b_semantic_dedup_cells" -> "q48c_semantic_dedup_adaptive",
     // fixed LSH geometry (54×/decade degeneration) vs adaptive geometry
     "q16e_ann_lsh_fixed" -> "q16g_ann_lsh_adaptive",
+    // the %100 fixed-centroid IVF convention (14.8–14.9×/decade, recall
+    // silently decaying every decade — the r11 scale tables) vs the
+    // √N-centroid fraction-held-probe form
+    "q16_ann_ivf" -> "q16f_ann_ivf_adaptive",
+    "q16b_ann_ivf_nprobe2" -> "q16f_ann_ivf_adaptive",
+    "q16d_ann_ivf_nprobe4" -> "q16f_ann_ivf_adaptive",
+    // fixed 4-plane single-table LSH (33×/decade) vs adaptive geometry
+    "q16c_ann_lsh" -> "q16g_ann_lsh_adaptive",
+    // the float32 brute-force scan (182.97 s at 100×) vs the 1-bit
+    // radius scan at its calibrated ≥0.9-recall point (12.23 s — 15×)
+    "q15_ann_topk" -> "q15c_ann_binary",
     // per-run codebook rebuild + corpus re-encode vs the persisted index
     "q16h_ann_ivf_pq" -> "q16i_ann_ivf_pq_indexed",
     // fixed-nprobe recall decay vs the fraction-held adaptive probe
