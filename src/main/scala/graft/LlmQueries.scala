@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.{DocumentsFixture, EmbeddingsFixture}
@@ -398,8 +398,9 @@ object LlmQueries {
     */
   private[graft] val AdaptiveProbeFraction = 0.2
 
-  /** Fixed query WINDOW for the REGISTERED adaptive-ANN searches (q16f,
-    * q16i): queries are `id < 2000 AND id % 50 = 0` — at most 40 ids,
+  /** Fixed query WINDOW for every REGISTERED non-contrast ANN search
+    * (q15b/q15c/q15d since r17, q16f, q16g since r17, q16i): queries are
+    * `id < 2000 AND id % 50 = 0` — at most 40 ids,
     * constant at EVERY scale. Replaces the bare `id % 50` corpus-fraction
     * convention whose |Q| = N/50 made candidate volume |Q|·0.2N quadratic
     * by benchmark construction and killed the 1000× q16f run on disk
@@ -418,6 +419,22 @@ object LlmQueries {
     */
   private[graft] val AnnFixedQueryIdBound = 2000L
   private[graft] val AnnFixedQueryStride = 50L
+
+  /** The fixed query window as a Column predicate — the ONE registered
+    * query-set convention for every non-contrast ANN search (q15b/c/d,
+    * q16f/g/i since r17; the bare `% 50` corpus-fraction form survives
+    * only in the declared scale contrasts, where |Q| ∝ N is the point
+    * being demonstrated).
+    */
+  private[graft] def annFixedQueryCol: Column =
+    col("id") < AnnFixedQueryIdBound && col("id") % AnnFixedQueryStride === 0
+
+  /** The same window as a SQL fragment for the DuckDB twins; `idCol` is
+    * the oracle CTE's id column name (`vec_id` in the q15 family, bare
+    * `id` in the IVF/LSH CTEs).
+    */
+  private[graft] def annFixedQuerySql(idCol: String): String =
+    s"$idCol < $AnnFixedQueryIdBound AND $idCol % $AnnFixedQueryStride = 0"
 
   /** q16f — IVF at SCALE-ADAPTIVE geometry: centroid count k = ⌈√N⌉
     * (selected as `id % (N div k) = 0` — deterministic and exactly
@@ -458,7 +475,7 @@ object LlmQueries {
     val stride = math.max(1L, n / kCent)
     val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
     Similarity.ivfTopK(emb, "vec_id", "embedding",
-      col("id") < AnnFixedQueryIdBound && col("id") % AnnFixedQueryStride === 0,
+      annFixedQueryCol,
       col("id") % stride === 0, k = 5, nprobe = nprobe)
   }
 
@@ -529,7 +546,7 @@ object LlmQueries {
 
   def annQuantized(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizedTopK(embeddings(spark, dir), "vec_id", "embedding",
-      col("id") % 50 === 0, k = 5)
+      annFixedQueryCol, k = 5)
 
   /** DuckDB twin of quantize → dequantize → brute-force top-k. The
     * quantization arithmetic mirrors [[Similarity.quantizeInt8]] exactly:
@@ -549,7 +566,8 @@ object LlmQueries {
        |           CAST(round((x - lo) / sscale, 0) AS INT))) * scale) AS emb
        |       FROM qz),
        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM dq),
-       |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n
+       |      WHERE ${annFixedQuerySql("vec_id")}),
        |pairs AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
        |    round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS score
@@ -578,7 +596,7 @@ object LlmQueries {
     */
   def annBinary(spark: SparkSession, dir: String): DataFrame =
     Similarity.binaryTopK(embeddings(spark, dir), "vec_id", "embedding",
-      col("id") % 50 === 0, k = 5, maxHamming = BinaryMaxHamming)
+      annFixedQueryCol, k = 5, maxHamming = BinaryMaxHamming)
 
   /** DuckDB twin of sign-pack → Hamming radius cut → exact re-rank.
     * The signature packing mirrors [[Similarity.signSig]] word-for-word
@@ -596,7 +614,7 @@ object LlmQueries {
       |  FROM e),
       |n AS (SELECT vec_id, emb, sig, sqrt(list_dot_product(emb, emb)) AS nrm FROM sg),
       |q AS (SELECT vec_id AS query_id, emb AS q_emb, sig AS q_sig, nrm AS q_nrm
-      |      FROM n WHERE vec_id % 50 = 0),
+      |      FROM n WHERE ${annFixedQuerySql("vec_id")}),
       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
       |    round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS score
       |  FROM n c, q WHERE c.vec_id <> q.query_id
@@ -636,7 +654,7 @@ object LlmQueries {
     */
   def annPq(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(embeddings(spark, dir), "vec_id", "embedding",
-      col("id") % 50 === 0, k = 5, dims = PqDims, codewords = PqCodewords,
+      annFixedQueryCol, k = 5, dims = PqDims, codewords = PqCodewords,
       adcThreshold = Some(PqAdcThreshold))
 
   /** DuckDB twin of codebook-select → encode → ADC-score → rank. Every
@@ -668,7 +686,7 @@ object LlmQueries {
       |    FROM xs x JOIN cbs c ON x.m = c.m) WHERE r = 1),
       |rn AS (SELECT vec_id, sum(sqI) AS rnorm2I FROM codes GROUP BY vec_id),
       |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM nn
-      |      WHERE vec_id % 50 = 0),
+      |      WHERE ${annFixedQuerySql("vec_id")}),
       |lut AS (SELECT s.query_id, s.m, c.j,
       |        CAST(round(list_dot_product(s.qsub, c.csub)*1e6, 0) AS BIGINT) AS lutI
       |        FROM (SELECT query_id, m, list_slice(q_emb, m*4+1, m*4+4) AS qsub
@@ -875,8 +893,7 @@ object LlmQueries {
     val kCent = math.ceil(math.sqrt(cnt.toDouble)).toLong
     val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
     Similarity.ivfPqSearchFrom(index, codebook, centroids,
-      raw = n, queries = n.filter(col("id") < AnnFixedQueryIdBound &&
-        col("id") % AnnFixedQueryStride === 0),
+      raw = n, queries = n.filter(annFixedQueryCol),
       k = 5, nprobe = nprobe, dims = PqDims,
       adcThreshold = PqAdcThreshold)
   }
@@ -1676,7 +1693,7 @@ object LlmQueries {
     val emb = embeddings(spark, dir)
     val (np, nt) = Similarity.adaptiveLshGeometry(emb.count())
     Similarity.lshTopKTables(emb, "vec_id", "embedding",
-      col("id") % 50 === 0, k = 5,
+      annFixedQueryCol, k = 5,
       nPlanes = np, nTables = nt, dims = LshDims)
   }
 
@@ -1723,7 +1740,7 @@ object LlmQueries {
       |      FROM (SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm, tbl,
       |              list_prepend(bucket, list_transform(range(prm.np), i ->
       |                xor(bucket, CAST(1 AS BIGINT) << i))) AS pbs
-      |            FROM assigned, prm WHERE id % 50 = 0)),
+      |            FROM assigned, prm WHERE ${annFixedQuerySql("id")})),
       |pairs AS (
       |  SELECT DISTINCT q.query_id, a.id AS neighbor_id,
       |    round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) AS score

@@ -136,7 +136,11 @@ object StreamDedupScale {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batchN = batchPairs.count()
       val batchSec = (System.nanoTime() - t1) / 1e9
-      val incremental = spark.read.parquet(pairsDir)
+      // distinct() first: an at-least-once replay legally re-appends an
+      // already-ingested batch's pairs (readers dedup, per the replay
+      // spec), so a multiset exceptAll on the raw append log would report
+      // a false mismatch after any resume that re-ran a batch
+      val incremental = spark.read.parquet(pairsDir).distinct()
       val diff = incremental.exceptAll(batchPairs).count() +
         batchPairs.exceptAll(incremental).count()
       println(s"""{"batch_q12_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q12_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
@@ -200,7 +204,11 @@ object StreamDedupScale {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batchN = batchPairs.count()
       val batchSec = (System.nanoTime() - t1) / 1e9
-      val incremental = spark.read.parquet(pairsDir)
+      // distinct() first: an at-least-once replay legally re-appends an
+      // already-ingested batch's pairs (readers dedup, per the replay
+      // spec), so a multiset exceptAll on the raw append log would report
+      // a false mismatch after any resume that re-ran a batch
+      val incremental = spark.read.parquet(pairsDir).distinct()
       val diff = incremental.exceptAll(batchPairs).count() +
         batchPairs.exceptAll(incremental).count()
       println(s"""{"batch_q48b_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q48b_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
@@ -248,7 +256,11 @@ object StreamDedupScale {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batchN = batchPairs.count()
       val batchSec = (System.nanoTime() - t1) / 1e9
-      val incremental = spark.read.parquet(pairsDir)
+      // distinct() first: an at-least-once replay legally re-appends an
+      // already-ingested batch's pairs (readers dedup, per the replay
+      // spec), so a multiset exceptAll on the raw append log would report
+      // a false mismatch after any resume that re-ran a batch
+      val incremental = spark.read.parquet(pairsDir).distinct()
       val diff = incremental.exceptAll(batchPairs).count() +
         batchPairs.exceptAll(incremental).count()
       println(s"""{"batch_q83_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q83_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")

@@ -349,12 +349,23 @@ class MultimodalSpec extends SparkTestBase {
     // Within a band > 0, the intra-pattern edit structure carries over
     // unchanged: arm edits move the hash <= 2 / <= 4 bits off the band's
     // base, exactly the band-0 bounds the near-dup ladder counts on.
+    // Arm ids follow floorDiv(id, Patterns) % 3, which is NOT 0 at the
+    // band boundary (10^6/40 = 25000 ≡ 1 mod 3) — derive each arm's id
+    // instead of assuming arm 0 at b (that mislabeling once made both
+    // asserted pairs single-cell edits, so the <=4-bit two-cell bound
+    // was never exercised off band 0).
     val b = ImagesFixture.ReplicaBand
-    val base = ImagesFixture.formulaHash(b)          // pattern 0, arm 0
-    val oneEdit = ImagesFixture.formulaHash(b + 40L) // arm 1
-    val twoEdit = ImagesFixture.formulaHash(b + 80L) // arm 2
+    def armId(arm: Long): Long =
+      Iterator.iterate(b)(_ + ImagesFixture.Patterns) // pattern 0 in band 1
+        .find(id => java.lang.Math.floorDiv(id, ImagesFixture.Patterns.toLong) % 3 == arm)
+        .get
+    val base = ImagesFixture.formulaHash(armId(0))    // unedited
+    val oneEdit = ImagesFixture.formulaHash(armId(1)) // (2,3) edited
+    val twoEdit = ImagesFixture.formulaHash(armId(2)) // (2,3) + (5,6) edited
     assert(java.lang.Long.bitCount(base ^ oneEdit) <= 2, "one-cell edit: <=2 bits in band 1")
     assert(java.lang.Long.bitCount(base ^ twoEdit) <= 4, "two-cell edit: <=4 bits in band 1")
+    // arms 1 and 2 share the (2,3) edit, so they too differ by one cell
+    assert(java.lang.Long.bitCount(oneEdit ^ twoEdit) <= 2, "arm1 vs arm2: one differing cell")
   }
 
   test("declarative binaryFeatures agrees with the mapPartitions path on byte counts") {

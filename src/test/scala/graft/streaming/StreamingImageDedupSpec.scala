@@ -80,15 +80,21 @@ class StreamingImageDedupSpec extends SparkTestBase {
   }
 
   test("cumulative incremental pairs equal the one-shot imageDupPairs, across a compaction") {
-    // the StreamDedupScale equivalence at spec scale: a 120-image corpus
-    // (3 replica-band blocks x 40 patterns, every edit arm populated)
-    // split into 4 hash-slices and ingested sequentially, with a
-    // compaction mid-stream, must end with exactly the pair set the
-    // one-shot q83 operator computes on the full corpus.
+    // the StreamDedupScale equivalence at spec scale: a 360-image corpus
+    // spanning 3 REPLICA BANDS (ids k·10⁶ + j, k < 3, j < 120 — so each
+    // band carries its own 40 mixed pattern families with every edit arm
+    // populated; ids 0–119 alone would all sit in band 0 and never
+    // exercise the per-band mix in the streaming path) split into 4
+    // hash-slices and ingested sequentially, with a compaction
+    // mid-stream, must end with exactly the pair set the one-shot q83
+    // operator computes on the full corpus.
     val tmp = Files.createTempDirectory("graft-imgdedup-equiv").toFile
     val indexDir = s"${tmp.getAbsolutePath}/index"
     val pairsDir = s"${tmp.getAbsolutePath}/pairs"
-    val ids = (0L until 120L)
+    val ids = for {
+      k <- 0L until 3L
+      j <- 0L until 120L
+    } yield k * ImagesFixture.ReplicaBand + j
     val corpus = media(ids: _*).toDS()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSlices = 4
@@ -108,6 +114,19 @@ class StreamingImageDedupSpec extends SparkTestBase {
     assert(diff == 0L,
       s"cumulative (${incremental.count()}) must equal one-shot (${oneShot.count()})")
     assert(oneShot.count() > 0L, "the equivalence must be on a non-empty pair set")
+    // the equivalence must have exercised every band's own families: each
+    // band contributes intra-band pairs (both endpoints in the band) and
+    // replicas never cross-pair (the r16 fixture's linearity property)
+    val typed = incremental.as[(Long, Long, Long)].collect()
+    (0L until 3L).foreach { k =>
+      val lo = k * ImagesFixture.ReplicaBand
+      val hi = lo + ImagesFixture.ReplicaBand
+      assert(typed.exists(p => p._1 >= lo && p._1 < hi && p._2 >= lo && p._2 < hi),
+        s"band $k contributed no intra-band pairs")
+    }
+    assert(typed.forall(p =>
+      p._1 / ImagesFixture.ReplicaBand == p._2 / ImagesFixture.ReplicaBand),
+      "replica bands must not cross-pair")
     corpus.unpersist()
   }
 }
