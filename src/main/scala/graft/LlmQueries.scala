@@ -3659,8 +3659,10 @@ object LlmQueries {
     * unnest (DuckDB has no posexplode); the head position's `prev` is NULL,
     * exactly the Spark side's unigram-scored first token.
     */
-  private val q80Oracle: String =
-    s"""WITH tok AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
+  /** The q80 CTE chain through `lp` (per-position log-probs), shared with
+    * q89's in-pipeline perplexity gate. */
+  private val q80Ctes: String =
+    s"""tok AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
        |rt AS (SELECT unnest(toks) AS w FROM tok WHERE lang = '$LmRefLang'),
        |uni AS (SELECT w, count(*) AS c FROM rt GROUP BY 1),
        |tot AS (SELECT sum(c) AS t, count(*) AS v FROM uni),
@@ -3691,11 +3693,247 @@ object LlmQueries {
        |              ELSE CAST(${LanguageModel.Lambda} AS DOUBLE) * cond
        |                 + CAST(${LanguageModel.UnigramWeight} AS DOUBLE) * puni
        |         END), 6) AS DECIMAL(20,6)) AS lp
-       |       FROM sc)
-       |SELECT doc_id, count(*) AS n_tokens,
-       |  CAST((2 * CAST(-sum(lp) * 1000000 AS BIGINT) + count(*))
-       |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS nll_per_token
-       |FROM lp GROUP BY doc_id""".stripMargin
+       |       FROM sc)""".stripMargin
+
+  /** The q80 final select (per-doc token count + integer-rounded mean
+    * NLL), shared with q89 where it becomes a `ppl` CTE. */
+  private val q80Select: String =
+    """SELECT doc_id, count(*) AS n_tokens,
+      |  CAST((2 * CAST(-sum(lp) * 1000000 AS BIGINT) + count(*))
+      |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS nll_per_token
+      |FROM lp GROUP BY doc_id""".stripMargin
+
+  private val q80Oracle: String = s"WITH $q80Ctes\n$q80Select"
+
+  // ---- q89: modern pretraining curation (capstone) ----------------------
+
+  /** Perplexity-gate quantile for q89: keep documents at or below the
+    * corpus MEDIAN NLL under the reference LM — the CCNet head+middle
+    * tier cut, expressed with the q49 exact-percentile convention
+    * (round-6 before any compare). */
+  private val PplGateQuantile = 0.5
+
+  /** q89 — the MODERN pretraining-curation pipeline, composing the
+    * engine's strongest component from each stage family into ONE chained
+    * plan (the r16 verdict's capstone ask; q29 remains the round-7-era
+    * heuristic chain for contrast):
+    *
+    *   1. TRAINED quality filter (q85): hashed-feature logistic
+    *      regression fit in-engine on the trusted-source labels, keep =
+    *      margin > 0 — replaces q29's hand-tuned quality threshold.
+    *   2. LM perplexity gate (q80 + q49): interpolated-bigram NLL under
+    *      the `lang='en'` reference model, keep docs at or below the
+    *      corpus median ([[PplGateQuantile]]) — the CCNet tier cut.
+    *   3. Benchmark exclusion + SEMANTIC decontamination (q24c): drop the
+    *      benchmark docs themselves (`doc_id % SemBenchMod = SemBenchRem`)
+    *      and every training doc whose embedding cosine-matches a
+    *      benchmark embedding at ≥ [[CosineDupThreshold]] through the
+    *      scale-adaptive cell probe.
+    *   4. SEMANTIC dedup (q48c): cell-blocked cosine pairs → connected
+    *      components over the full embedding corpus; the kept
+    *      representative is the min-id doc AMONG THE GATE SURVIVORS (the
+    *      sequential-pipeline semantics — a cluster whose canonical member
+    *      was already dropped by an earlier gate still contributes its
+    *      best surviving member).
+    *   5. Temperature mix (q53) then per-language token budget (q50) over
+    *      the survivors — the final mixing stages, computed on
+    *      post-filter counts as a real recipe would.
+    *
+    * Plan-level composition wins (the reason this is one query, not five):
+    * the embeddings are scanned ONCE into a single adaptive √N-cell
+    * [[Similarity.ivfAssign]] that BOTH the decontamination probe and the
+    * dedup pair join consume (the packaged q24c/q48c components each
+    * build their own); the classifier weights, LM tables, benchmark
+    * probes, and language-rate tables all ride broadcasts; `n_tokens`
+    * comes from the perplexity scorer's existing count instead of a
+    * second tokenize. Documents are scanned once per stage family
+    * (classifier features, LM positions, final gate projection) — exactly
+    * the components' own scan count. Driver-side actions are the q16f
+    * bounded-metadata kind: one `count()` (geometry), one 1-row
+    * percentile `first()` (the median literal — carried as a literal for
+    * the same reason [[LanguageModel.perplexity]] carries T/V: a 1-row
+    * cross join is banned), plus the classifier's ≤B+1-row gradient
+    * collects.
+    *
+    * Embedding coverage contract: docs without an embedding row (the
+    * sf0.1 shape — 5000 docs, 2000 vectors) pass stages 3b/4 as singleton
+    * keeps; semantic decon recall is bounded by embedding coverage, which
+    * is the honest production semantics (embed-everything is the fix, not
+    * a pipeline change).
+    */
+  def pretrainCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, dir).repartition(par)
+
+    // stage 1: trained classifier keep (q85 geometry/labels/slice)
+    val clfKeepIds = Classifier
+      .trainScore(docs, dsirTarget, clfTrain, ClfBuckets, ClfEpochs)
+      .filter(col("keep")).select("doc_id")
+
+    // stage 2: perplexity + median gate; persist — the N-row score frame
+    // feeds the median aggregate AND the gate join (q49's caller-owned
+    // lifecycle convention). The column REORDER before the persist is
+    // load-bearing: q80's registered query is this exact plan subtree,
+    // and Spark's cache manager substitutes any canonically-equal
+    // fragment — a same-order persist here would silently rewrite q80's
+    // (and its bench timing's) physical plan whenever both live in one
+    // session without a clearCache between (measured: the same collision
+    // class flipped q16h's plan-audit via the shared assignment below).
+    val ppl = LanguageModel
+      .perplexity(docs, "doc_id", "text", col("lang") === LmRefLang)
+      .select("doc_id", "nll_per_token", "n_tokens")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nllMedian = ppl
+      .agg(round(percentile(col("nll_per_token"), lit(PplGateQuantile)), 6))
+      .first().getDouble(0)
+    val pplKeep = ppl.filter(col("nll_per_token") <= nllMedian)
+      .select("doc_id", "n_tokens")
+
+    // stages 3+4 share ONE embedding scan and ONE adaptive assignment
+    val embRaw = Tables.embeddings(spark, dir).repartition(par)
+    val nEmb = embRaw.count()
+    require(nEmb > 0, "curation needs a non-empty embedding corpus")
+    val kCent = math.ceil(math.sqrt(nEmb.toDouble)).toLong
+    val stride = math.max(1L, nEmb / kCent)
+    val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+    val vecs = embRaw.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val centroids = vecs.filter(col("id") % stride === 0)
+    // reordered before the persist for the same cache-collision reason as
+    // ppl above: q16h/q16i/q48c build this exact ivfAssign subtree (same
+    // corpus, same count-derived stride), and the cached fragment must
+    // never substitute into THEIR plans
+    val assigned = Similarity.ivfAssign(vecs, centroids)
+      .select("id", "bucket", "emb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchPred = col("id") % SemBenchMod === SemBenchRem
+    val contaminatedIds = assigned.filter(!benchPred)
+      .join(broadcast(
+        Similarity.probeBuckets(vecs.filter(benchPred), centroids, nprobe)),
+        Seq("bucket"))
+      .filter(round(Similarity.fusedCosine(col("emb"), col("q_emb")), 6)
+        >= CosineDupThreshold)
+      .select(col("id").as("doc_id")).distinct()
+    val clusters = Dedup.connectedComponents(
+        Similarity.cosinePairs(assigned, "id", "emb", col("bucket"),
+          CosineDupThreshold))
+      .withColumnRenamed("id", "doc_id")
+
+    // gate conjunction → surviving-representative dedup → mix → budget
+    val gated = docs.select(col("doc_id"), col("lang"))
+      .join(clfKeepIds, "doc_id")
+      .join(pplKeep, "doc_id")
+      .filter(col("doc_id") % SemBenchMod =!= SemBenchRem)
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
+    // persisted: temperatureSample evaluates its input TWICE (the
+    // per-language count aggregate and the rate-join probe side), and
+    // without the cache each evaluation re-runs the whole gate pipeline
+    // above — classifier join, perplexity join, decontamination anti-join
+    // and the cluster window. |reps| rows ≤ corpus, narrow 3 columns.
+    val reps = gated
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster").orderBy("doc_id")))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "lang", "n_tokens")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mixed = graft.operators.Sampling.temperatureSample(
+      reps, col("lang"), col("doc_id"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("doc_id", "lang", "n_tokens", "rate", "cum_tokens")
+  }
+
+  /** Twin: every stage is the PROVEN component oracle re-chained —
+    * [[q85Ctes]] through `ms` (classifier margins), [[q80Ctes]]/
+    * [[q80Select]] as a `ppl` CTE plus a `quantile_cont` median
+    * (`percentile` ≡ `quantile_cont`, the q49-proven pairing, round-6
+    * before the compare), the q24c probe and q48c pair/closure chains
+    * sharing ONE `eassigned` nearest-centroid CTE (count-derived √N
+    * geometry), then q53's rate CTEs and q50's running-sum window over
+    * the survivors. CTE names are disjoint by construction (the q85
+    * chain owns t/f/ftr/ntr/w·/m·/r·/g·/ms; q80 owns tok…lp; the
+    * embedding chain is e-prefixed).
+    */
+  private val q89Oracle: String = {
+    val clfCtes = q85Ctes.stripPrefix("WITH ")
+    s"""WITH RECURSIVE $clfCtes,
+      |$q80Ctes,
+      |ppl AS ($q80Select),
+      |med AS (SELECT round(quantile_cont(nll_per_token, $PplGateQuantile), 6) AS m
+      |        FROM ppl),
+      |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |geo AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
+      |               CAST(ceil($AdaptiveProbeFraction * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe
+      |        FROM emb0),
+      |en AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM emb0),
+      |ec AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM en
+      |       WHERE id % (SELECT stride FROM geo) = 0),
+      |eassigned AS (
+      |  SELECT id, emb, nrm, c_id AS bucket FROM (
+      |    SELECT en.id, en.emb, en.nrm, ec.c_id,
+      |      row_number() OVER (PARTITION BY en.id
+      |        ORDER BY round(list_dot_product(en.emb, ec.c_emb) / (en.nrm * ec.c_nrm), 6) DESC, ec.c_id) AS r
+      |    FROM en, ec) WHERE r = 1),
+      |bprobe AS (
+      |  SELECT id AS query_id, emb AS q_emb, nrm AS q_nrm, c_id AS bucket FROM (
+      |    SELECT en.id, en.emb, en.nrm, ec.c_id,
+      |      row_number() OVER (PARTITION BY en.id
+      |        ORDER BY round(list_dot_product(en.emb, ec.c_emb) / (en.nrm * ec.c_nrm), 6) DESC, ec.c_id) AS r
+      |    FROM en, ec WHERE en.id % $SemBenchMod = $SemBenchRem)
+      |  WHERE r <= (SELECT nprobe FROM geo)),
+      |contam AS (
+      |  SELECT DISTINCT a.id FROM eassigned a JOIN bprobe q ON a.bucket = q.bucket
+      |  WHERE a.id % $SemBenchMod <> $SemBenchRem
+      |    AND round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) >= $CosineDupThreshold),
+      |spairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b FROM eassigned a JOIN eassigned b
+      |  ON a.bucket = b.bucket AND a.id < b.id
+      |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= $CosineDupThreshold),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM spairs
+      |          UNION ALL SELECT id_b, id_a FROM spairs),
+      |reach AS (SELECT u, v FROM edges
+      |          UNION SELECT r2.u, e2.v FROM reach r2 JOIN edges e2 ON r2.v = e2.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+      |gated AS (
+      |  SELECT d.doc_id, d.lang, p2.n_tokens
+      |  FROM documents d
+      |  JOIN ms ON ms.doc_id = d.doc_id
+      |  JOIN ppl p2 ON p2.doc_id = d.doc_id
+      |  CROSS JOIN med
+      |  WHERE ms.mI > 0 AND p2.nll_per_token <= med.m
+      |    AND d.doc_id % $SemBenchMod <> $SemBenchRem
+      |    AND d.doc_id NOT IN (SELECT id FROM contam)),
+      |reps AS (
+      |  SELECT doc_id, lang, n_tokens FROM (
+      |    SELECT g.*, row_number() OVER (
+      |        PARTITION BY coalesce(c2.cluster, g.doc_id) ORDER BY g.doc_id) AS rn
+      |    FROM gated g LEFT JOIN comp c2 USING (doc_id)) WHERE rn = 1),
+      |lc AS (SELECT lang, count(*) AS n FROM reps GROUP BY lang),
+      |lmin AS (SELECT min(n) AS n_min FROM lc),
+      |lr AS (SELECT lang, round(sqrt(CAST(n_min AS DOUBLE) / n), 6) AS rate
+      |       FROM lc CROSS JOIN lmin),
+      |mixed AS (
+      |  SELECT r3.doc_id, r3.lang, r3.n_tokens, lr.rate
+      |  FROM reps r3 JOIN lr USING (lang)
+      |  WHERE lr.rate >= 1.0 OR substr(md5(CAST(r3.doc_id AS VARCHAR)), 1, 8)
+      |    < printf('%08x', least(CAST(floor(lr.rate * 4294967296.0) AS BIGINT),
+      |                           4294967295))),
+      |bud AS (
+      |  SELECT doc_id, lang, n_tokens, rate,
+      |    CAST(sum(n_tokens) OVER (
+      |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM mixed)
+      |SELECT doc_id, lang, n_tokens, rate, cum_tokens FROM bud
+      |WHERE cum_tokens <= $TokenBudget""".stripMargin
+  }
 
   // ---- registry --------------------------------------------------------
 
@@ -3776,7 +4014,8 @@ object LlmQueries {
     "q82_kmeans_fit" -> ((s, d) => kmeansFitQuery(s, d)),
     "q85_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "q88_classifier_eval" -> ((s, d) => classifierEval(s, d)),
-    "q86_kmeans_converged" -> ((s, d) => kmeansConvergedQuery(s, d))
+    "q86_kmeans_converged" -> ((s, d) => kmeansConvergedQuery(s, d)),
+    "q89_pretrain_curation" -> ((s, d) => pretrainCuration(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3858,6 +4097,7 @@ object LlmQueries {
     "q82_kmeans_fit" -> q82Oracle,
     "q85_quality_classifier" -> q85Oracle,
     "q88_classifier_eval" -> q88Oracle,
-    "q86_kmeans_converged" -> q86Oracle
+    "q86_kmeans_converged" -> q86Oracle,
+    "q89_pretrain_curation" -> q89Oracle
   )
 }

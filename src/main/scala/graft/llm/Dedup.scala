@@ -141,6 +141,35 @@ object Dedup {
     inter / (size(sa) + size(sb) - inter)
   }
 
+  /** The UNSET-conf shingle-persist decision, from measured bytes (r16
+    * verdict ask #4 — a default that survives the decade the knob was
+    * added for, with no hand conf): persist iff the estimated COLUMNAR
+    * shingle-cache footprint fits the executors' storage capacity.
+    *
+    *  - `inputBytes` is the corpus plan's `stats.sizeInBytes` — known
+    *    without running a job (file-scan stats propagate through the
+    *    fixture unions), the same zero-job discipline as the CC loop's
+    *    edge-grain derivation.
+    *  - The expansion factor `6 · shingleSize` is compressed-parquet →
+    *    in-memory-columnar-shingles: text decompresses ~3–4× out of
+    *    parquet, every token heads one `shingleSize`-token shingle
+    *    (≈ shingleSize × text bytes as strings), and the columnar
+    *    string-array build carries ~1.5× offset/slack overhead.
+    *  - `storageBytes` is the block managers' max storage capacity
+    *    (`getExecutorMemoryStatus`), i.e. the unified region — the same
+    *    pool the columnar BUILD allocates from, which is what actually
+    *    failed at 8 GiB × 1000×.
+    *
+    * The constant needs no precision: the measured decision boundary sits
+    * A DECADE apart on each side (100× ≈ 1.4 GB estimated vs ~4.3 GB
+    * capacity at the 8 GiB heap — persist, measured-safe in r16; 1000× ≈
+    * 14 GB vs the same 4.3 GB — recompute, the r16-fatal configuration),
+    * so only an order-of-magnitude error could flip a decided case.
+    */
+  private[llm] def shouldPersistShingles(
+      inputBytes: BigInt, storageBytes: BigInt, shingleSize: Int): Boolean =
+    inputBytes * (6L * shingleSize) <= storageBytes
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
     * → exact-Jaccard verification at `threshold`. Output:
     * (id_a, id_b, jaccard).
@@ -155,18 +184,29 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 10000,
       capObservation: Option[Observation] = None): DataFrame = {
-    // `spark.graft.dedup.persistShingles=false` trades one recompute of
-    // the shingle pass for NOT caching a data-scale string-array frame —
-    // the q78 recompute-beats-persist convention as a memory knob. Why it
+    // `spark.graft.dedup.persistShingles` trades one recompute of the
+    // shingle pass against caching a data-scale string-array frame — the
+    // q78 recompute-beats-persist convention as a memory knob. Why it
     // exists (measured, r16 MemPressure at the 1000× decade / 8 GiB
     // heap): SQL caching builds COLUMNAR batches per task, and
     // `ColumnBuilder.ensureFreeSpace` on the shingle array column is
     // heap-fatal at 32-way concurrency regardless of storage level —
     // DISK_ONLY dies identically, because the columnar BUILD precedes the
-    // store. With the knob off, q12 completes the decade gracefully;
-    // default stays on (strictly faster wherever the working set fits).
-    val doPersist = df.sparkSession.conf
-      .get("spark.graft.dedup.persistShingles", "true").toBoolean
+    // store. An explicit `true`/`false` pin wins both ways; UNSET (the
+    // default since r17) decides from measured bytes — see
+    // [[shouldPersistShingles]] — so the 8 GiB × 1000× run completes with
+    // no hand conf while every fits-in-memory scale keeps the strictly
+    // faster cache.
+    val spark = df.sparkSession
+    val doPersist = spark.conf
+      .getOption("spark.graft.dedup.persistShingles") match {
+        case Some(v) => v.toBoolean
+        case None =>
+          val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          val storageBytes = spark.sparkContext.getExecutorMemoryStatus
+            .values.map(_._1).sum
+          shouldPersistShingles(inputBytes, storageBytes, shingleSize)
+      }
     val shingledPlan = shingleFrame(df, idCol, textCol, shingleSize)
     val shingled =
       if (doPersist)

