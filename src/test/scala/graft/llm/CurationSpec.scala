@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{LlmQueries, SparkTestBase}
+import graft.sources.Tables
+
+/** q89 capstone semantics, pinned INDEPENDENTLY of the DuckDB twin: the
+  * gates compose as a conjunction of the registered component queries, the
+  * mixing tail is the exact q50/q53 arithmetic over the survivors, and the
+  * semantic-dedup stage keeps at most one member per embedding cluster.
+  * Every check here recomputes its reference through a DIFFERENT public
+  * path (the registered q85/q80 queries, the packaged semanticClustersCells
+  * component) so a bug in the capstone's inlined composition cannot hide
+  * behind the same code computing both sides.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val out = LlmQueries.queries("q89_pretrain_curation")(spark, dir)
+    .select("doc_id", "lang", "n_tokens", "rate", "cum_tokens")
+    .as[(Long, String, Long, Double, Long)].collect().toSeq
+
+  test("output is non-empty and excludes every benchmark doc") {
+    assert(out.nonEmpty)
+    // SemBenchMod/SemBenchRem = 48/5, the q24-family benchmark convention
+    assert(out.forall(_._1 % 48 != 5), "a benchmark doc leaked through")
+  }
+
+  test("every kept doc passes the registered classifier AND perplexity-median gates") {
+    val clfKeep = LlmQueries.queries("q85_quality_classifier")(spark, dir)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val ppl = LlmQueries.queries("q80_lm_perplexity")(spark, dir)
+      .select(col("doc_id"), col("nll_per_token"))
+      .as[(Long, Double)].collect()
+    val med = {
+      val v = ppl.map(_._2).sorted
+      val m =
+        if (v.length % 2 == 1) v(v.length / 2)
+        else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+      math.round(m * 1e6) / 1e6
+    }
+    val pplKeep = ppl.filter(_._2 <= med).map(_._1).toSet
+    out.foreach { r =>
+      assert(clfKeep.contains(r._1), s"doc ${r._1} failed the classifier gate")
+      assert(pplKeep.contains(r._1), s"doc ${r._1} is above the perplexity median")
+    }
+  }
+
+  test("at most one kept doc per semantic cluster (the packaged component as the referee)") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val stride = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    // 0.4 = the registry's CosineDupThreshold; same adaptive-cell geometry
+    // as the capstone, but through the PACKAGED component
+    val clusters = Similarity.semanticClustersCells(
+        emb, "vec_id", "embedding", col("id") % stride === 0, 0.4)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    val kept = out.map(_._1)
+    val byCluster = kept.flatMap(id => clusters.get(id).map(_ -> id)).groupBy(_._1)
+    byCluster.foreach { case (c, members) =>
+      assert(members.size == 1, s"cluster $c kept ${members.map(_._2)}")
+    }
+  }
+
+  test("mixing tail: budget is the greedy md5-order prefix; cum_tokens is the exact running sum") {
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      // kept rows must be the md5-order prefix with an exact running sum
+      val ordered = rows.sortBy(r => (md5Hex(r._1), r._1))
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r._3
+        assert(r._5 == cum, s"$lang doc ${r._1}: cum ${r._5} != recomputed $cum")
+      }
+      assert(cum <= 500L, s"$lang exceeded the token budget: $cum")
+      // the per-language rate is constant within the group
+      assert(rows.map(_._4).distinct.size == 1, s"$lang has mixed rates")
+    }
+  }
+
+  private def md5Hex(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+}
