@@ -2051,6 +2051,34 @@ object LlmQueries {
   private val SemBenchRem = 5
   private val SemNprobe = 2
 
+  /** Fixed id BOUND on the REGISTERED semantic-benchmark sets (q24c, q89
+    * — r17): the benchmark suite is `id < 2000 AND id % 48 = 5`, BOUNDED
+    * at every scale, because a production decontamination serves a FIXED
+    * eval suite against a growing corpus — the [[AnnFixedQueryIdBound]]
+    * argument applied to the bench side. The unbounded `% 48` form makes
+    * |bench| ∝ N, and with the adaptive nprobe ∝ √N the probe table is
+    * N·√N/240 rows EACH CARRYING the 512-byte query vector (the r13
+    * per-probe-payload hazard) and candidate volume is N²·0.2/48 —
+    * quadratic by benchmark construction. Measured: the q89 1000× run
+    * died in the bench-probe BroadcastExchange ("Not enough memory to
+    * build and broadcast"); with the bound it completes (r17 BASELINE
+    * section). Every oracle-scale corpus has ids < 2000, so the bound
+    * changes NO gated output; replica ids beyond it (k·10⁶ twins of
+    * benchmark docs) become ordinary TRAINING docs — which is the correct
+    * production semantics: a replica of a benchmark doc in the training
+    * corpus is contamination for the probe to CATCH, not a benchmark row.
+    * q24b keeps the unbounded form as a declared contrast.
+    */
+  private[graft] val SemBenchIdBound = 2000L
+
+  /** The bounded benchmark predicate shared by q24c and q89 (Spark side)
+    * with [[semBenchSql]] its SQL twin. */
+  private def semBenchCol: Column =
+    col("id") < SemBenchIdBound && col("id") % SemBenchMod === SemBenchRem
+
+  private def semBenchSql(idCol: String): String =
+    s"$idCol < $SemBenchIdBound AND $idCol % $SemBenchMod = $SemBenchRem"
+
   /** q24b — embedding-space decontamination, the semantic twin of q24:
     * training vectors whose cosine against any benchmark vector reaches
     * the q48 duplicate threshold are flagged with hit count + max score.
@@ -2114,6 +2142,13 @@ object LlmQueries {
     * ever-smaller fraction of an ever-finer cell grid, silently decaying
     * recall each decade — the q16 lesson, now applied to the eval-leakage
     * check where silent decay means contamination shipping to training.
+    *
+    * Since r17 the benchmark set is also BOUNDED ([[SemBenchIdBound]]):
+    * the unbounded `% 48` suite grew with the corpus and made the probe
+    * broadcast N·√N-sized and candidates quadratic — the q89 1000× run
+    * measured the broadcast OOM (see the constant's doc). No gated output
+    * changes (every oracle-scale id < 2000); q24b keeps the unbounded
+    * form as the declared contrast.
     */
   def semanticDecontaminateAdaptive(spark: SparkSession, dir: String): DataFrame = {
     val corpus = EmbeddingsFixture.corpusDf(spark, dir)
@@ -2123,7 +2158,7 @@ object LlmQueries {
     val stride = math.max(1L, n / kCent)
     val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
     Contamination.semanticOverlap(corpus, "vec_id", "embedding",
-      col("id") % SemBenchMod === SemBenchRem, col("id") % stride === 0,
+      semBenchCol, col("id") % stride === 0,
       CosineDupThreshold, nprobe)
   }
 
@@ -2145,13 +2180,13 @@ object LlmQueries {
        |    SELECT n.id, n.emb, n.nrm, c.c_id,
        |      row_number() OVER (PARTITION BY n.id
        |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
-       |    FROM n, c WHERE n.id % $SemBenchMod <> $SemBenchRem) WHERE r = 1),
+       |    FROM n, c WHERE NOT (${semBenchSql("n.id")})) WHERE r = 1),
        |bench AS (
        |  SELECT id, emb, nrm, c_id AS bucket FROM (
        |    SELECT n.id, n.emb, n.nrm, c.c_id,
        |      row_number() OVER (PARTITION BY n.id
        |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
-       |    FROM n, c WHERE n.id % $SemBenchMod = $SemBenchRem) WHERE r <= (SELECT nprobe FROM p)),
+       |    FROM n, c WHERE ${semBenchSql("n.id")}) WHERE r <= (SELECT nprobe FROM p)),
        |hits AS (
        |  SELECT t.id AS vec_id,
        |    round(list_dot_product(t.emb, b.emb) / (t.nrm * b.nrm), 6) AS score
@@ -3807,7 +3842,10 @@ object LlmQueries {
     val assigned = Similarity.ivfAssign(vecs, centroids)
       .select("id", "bucket", "emb")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val benchPred = col("id") % SemBenchMod === SemBenchRem
+    // BOUNDED benchmark suite ([[SemBenchIdBound]]): the unbounded % 48
+    // form made the probe broadcast N·√N-sized and candidates quadratic —
+    // the measured 1000× broadcast OOM (r17 BASELINE section)
+    val benchPred = semBenchCol
     val contaminatedIds = assigned.filter(!benchPred)
       .join(broadcast(
         Similarity.probeBuckets(vecs.filter(benchPred), centroids, nprobe)),
@@ -3824,7 +3862,10 @@ object LlmQueries {
     val gated = docs.select(col("doc_id"), col("lang"))
       .join(clfKeepIds, "doc_id")
       .join(pplKeep, "doc_id")
-      .filter(col("doc_id") % SemBenchMod =!= SemBenchRem)
+      // exclusion tracks the BOUNDED suite: replica twins of benchmark
+      // docs are ordinary training docs for the decontamination to catch
+      .filter(!(col("doc_id") < SemBenchIdBound &&
+        col("doc_id") % SemBenchMod === SemBenchRem))
       .join(contaminatedIds, Seq("doc_id"), "left_anti")
     // persisted: temperatureSample evaluates its input TWICE (the
     // per-language count aggregate and the rate-join probe side), and
@@ -3885,11 +3926,11 @@ object LlmQueries {
       |    SELECT en.id, en.emb, en.nrm, ec.c_id,
       |      row_number() OVER (PARTITION BY en.id
       |        ORDER BY round(list_dot_product(en.emb, ec.c_emb) / (en.nrm * ec.c_nrm), 6) DESC, ec.c_id) AS r
-      |    FROM en, ec WHERE en.id % $SemBenchMod = $SemBenchRem)
+      |    FROM en, ec WHERE ${semBenchSql("en.id")})
       |  WHERE r <= (SELECT nprobe FROM geo)),
       |contam AS (
       |  SELECT DISTINCT a.id FROM eassigned a JOIN bprobe q ON a.bucket = q.bucket
-      |  WHERE a.id % $SemBenchMod <> $SemBenchRem
+      |  WHERE NOT (${semBenchSql("a.id")})
       |    AND round(list_dot_product(a.emb, q.q_emb) / (a.nrm * q.q_nrm), 6) >= $CosineDupThreshold),
       |spairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b FROM eassigned a JOIN eassigned b
@@ -3907,7 +3948,7 @@ object LlmQueries {
       |  JOIN ppl p2 ON p2.doc_id = d.doc_id
       |  CROSS JOIN med
       |  WHERE ms.mI > 0 AND p2.nll_per_token <= med.m
-      |    AND d.doc_id % $SemBenchMod <> $SemBenchRem
+      |    AND NOT (${semBenchSql("d.doc_id")})
       |    AND d.doc_id NOT IN (SELECT id FROM contam)),
       |reps AS (
       |  SELECT doc_id, lang, n_tokens FROM (

@@ -25,8 +25,10 @@ class CurationSpec extends SparkTestBase {
 
   test("output is non-empty and excludes every benchmark doc") {
     assert(out.nonEmpty)
-    // SemBenchMod/SemBenchRem = 48/5, the q24-family benchmark convention
-    assert(out.forall(_._1 % 48 != 5), "a benchmark doc leaked through")
+    // the BOUNDED suite convention (SemBenchIdBound/Mod/Rem = 2000/48/5):
+    // ids beyond the bound with the same residue are ordinary docs
+    assert(out.forall(r => !(r._1 < 2000 && r._1 % 48 == 5)),
+      "a benchmark doc leaked through")
   }
 
   test("every kept doc passes the registered classifier AND perplexity-median gates") {
