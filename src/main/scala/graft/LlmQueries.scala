@@ -2047,8 +2047,8 @@ object LlmQueries {
     * avoid here) would put every twin back in the benchmark set and
     * leave only the natural pairs.
     */
-  private val SemBenchMod = 48
-  private val SemBenchRem = 5
+  private[graft] val SemBenchMod = 48
+  private[graft] val SemBenchRem = 5
   private val SemNprobe = 2
 
   /** Fixed id BOUND on the REGISTERED semantic-benchmark sets (q24c, q89
@@ -2735,7 +2735,7 @@ object LlmQueries {
 
   // ---- q48: semantic dedup (embedding clusters) ------------------------
 
-  private val CosineDupThreshold = 0.4
+  private[graft] val CosineDupThreshold = 0.4
 
   /** Semantic dedup over the duplicate-injected embeddings corpus
     * ([[Similarity.semanticClusters]]): label-blocked cosine pairs at
@@ -2954,7 +2954,7 @@ object LlmQueries {
 
   // ---- q50: per-language token budget ----------------------------------
 
-  private val TokenBudget = 500L
+  private[graft] val TokenBudget = 500L
 
   /** Deterministic TOKEN-budget draw per language — the mixing primitive
     * when the recipe says "N tokens of each language", not "N documents"
@@ -3795,6 +3795,15 @@ object LlmQueries {
     * keeps; semantic decon recall is bounded by embedding coverage, which
     * is the honest production semantics (embed-everything is the fix, not
     * a pipeline change).
+    *
+    * Cache lifecycle is CALLER-OWNED (the q49/tfidf convention): the
+    * returned plan references three MEMORY_AND_DISK persists (perplexity
+    * scores, the shared cell assignment, the gated representatives) that
+    * cannot be unpersisted here — the result consumes them lazily. A
+    * long-lived session invoking this repeatedly must
+    * `spark.catalog.clearCache()` (or unpersist via the frames' plans)
+    * between invocations, as Bench/Verify and the probes do; otherwise
+    * corpus-scale cached frames accumulate per call.
     */
   def pretrainCuration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3819,9 +3828,16 @@ object LlmQueries {
       .perplexity(docs, "doc_id", "text", col("lang") === LmRefLang)
       .select("doc_id", "nll_per_token", "n_tokens")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nllMedian = ppl
+    val medianRow = ppl
       .agg(round(percentile(col("nll_per_token"), lit(PplGateQuantile)), 6))
-      .first().getDouble(0)
+      .first()
+    // percentile over ZERO rows returns SQL NULL, not an error — surface
+    // the empty-corpus case as a message instead of getDouble's opaque
+    // NPE (the embedding corpus gets the same guard via `nEmb > 0` below)
+    require(!medianRow.isNullAt(0),
+      "curation needs at least one perplexity-scored document " +
+        "(documents table empty, or no rows to score)")
+    val nllMedian = medianRow.getDouble(0)
     val pplKeep = ppl.filter(col("nll_per_token") <= nllMedian)
       .select("doc_id", "n_tokens")
 

@@ -65,6 +65,13 @@ object SparkEntry {
     "q15_ann_topk" -> "q15c_ann_binary",
     // per-run codebook rebuild + corpus re-encode vs the persisted index
     "q16h_ann_ivf_pq" -> "q16i_ann_ivf_pq_indexed",
+    // int8 quantized scan: same O(N·d) full-dim arithmetic as q15 with a
+    // ~4× constant saving — measured at the third decade (r17 ladder) to
+    // exist "to be undercut" by the 1-bit radius scan's 64×-narrower read
+    "q15b_ann_quantized" -> "q15c_ann_binary",
+    // per-query PQ re-encode: the N×M×k encode term is per-RUN work that
+    // the persisted-codebook index pays once and amortizes (r17 ladder)
+    "q15d_ann_pq" -> "q16i_ann_ivf_pq_indexed",
     // fixed-nprobe recall decay vs the fraction-held adaptive probe
     "q24b_semantic_decontaminate" -> "q24c_semantic_decontaminate_adaptive")
 }

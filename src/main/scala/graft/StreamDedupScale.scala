@@ -139,11 +139,18 @@ object StreamDedupScale {
       // distinct() first: an at-least-once replay legally re-appends an
       // already-ingested batch's pairs (readers dedup, per the replay
       // spec), so a multiset exceptAll on the raw append log would report
-      // a false mismatch after any resume that re-ran a batch
-      val incremental = spark.read.parquet(pairsDir).distinct()
+      // a false mismatch after any resume that re-ran a batch. distinct()
+      // also forgives a GENUINE duplicate-emission bug (a batch written
+      // twice within one trigger), so the raw-vs-distinct delta is
+      // reported alongside: a no-replay run must show delta 0, and a
+      // replayed run's delta must equal the replayed batches' pair count.
+      val rawPairs = spark.read.parquet(pairsDir)
+      val rawRows = rawPairs.count()
+      val incremental = rawPairs.distinct()
       val diff = incremental.exceptAll(batchPairs).count() +
         batchPairs.exceptAll(incremental).count()
-      println(s"""{"batch_q12_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q12_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
+      val distinctRows = incremental.count()
+      println(s"""{"batch_q12_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q12_pairs":$batchN,"incremental_pairs":${distinctRows},"raw_pair_rows":$rawRows,"replay_dup_rows":${rawRows - distinctRows},"incremental_equals_batch":${diff == 0L}}""")
     }
     spark.stop()
   }
@@ -207,11 +214,18 @@ object StreamDedupScale {
       // distinct() first: an at-least-once replay legally re-appends an
       // already-ingested batch's pairs (readers dedup, per the replay
       // spec), so a multiset exceptAll on the raw append log would report
-      // a false mismatch after any resume that re-ran a batch
-      val incremental = spark.read.parquet(pairsDir).distinct()
+      // a false mismatch after any resume that re-ran a batch. distinct()
+      // also forgives a GENUINE duplicate-emission bug (a batch written
+      // twice within one trigger), so the raw-vs-distinct delta is
+      // reported alongside: a no-replay run must show delta 0, and a
+      // replayed run's delta must equal the replayed batches' pair count.
+      val rawPairs = spark.read.parquet(pairsDir)
+      val rawRows = rawPairs.count()
+      val incremental = rawPairs.distinct()
       val diff = incremental.exceptAll(batchPairs).count() +
         batchPairs.exceptAll(incremental).count()
-      println(s"""{"batch_q48b_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q48b_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
+      val distinctRows = incremental.count()
+      println(s"""{"batch_q48b_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q48b_pairs":$batchN,"incremental_pairs":${distinctRows},"raw_pair_rows":$rawRows,"replay_dup_rows":${rawRows - distinctRows},"incremental_equals_batch":${diff == 0L}}""")
     }
   }
 
@@ -259,11 +273,18 @@ object StreamDedupScale {
       // distinct() first: an at-least-once replay legally re-appends an
       // already-ingested batch's pairs (readers dedup, per the replay
       // spec), so a multiset exceptAll on the raw append log would report
-      // a false mismatch after any resume that re-ran a batch
-      val incremental = spark.read.parquet(pairsDir).distinct()
+      // a false mismatch after any resume that re-ran a batch. distinct()
+      // also forgives a GENUINE duplicate-emission bug (a batch written
+      // twice within one trigger), so the raw-vs-distinct delta is
+      // reported alongside: a no-replay run must show delta 0, and a
+      // replayed run's delta must equal the replayed batches' pair count.
+      val rawPairs = spark.read.parquet(pairsDir)
+      val rawRows = rawPairs.count()
+      val incremental = rawPairs.distinct()
       val diff = incremental.exceptAll(batchPairs).count() +
         batchPairs.exceptAll(incremental).count()
-      println(s"""{"batch_q83_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q83_pairs":$batchN,"incremental_pairs":${incremental.count()},"incremental_equals_batch":${diff == 0L}}""")
+      val distinctRows = incremental.count()
+      println(s"""{"batch_q83_pairs_sec":${math.round(batchSec * 1000) / 1000.0},"batch_q83_pairs":$batchN,"incremental_pairs":${distinctRows},"raw_pair_rows":$rawRows,"replay_dup_rows":${rawRows - distinctRows},"incremental_equals_batch":${diff == 0L}}""")
     }
   }
 }

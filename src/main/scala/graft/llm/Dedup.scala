@@ -158,7 +158,10 @@ object Dedup {
     *  - `storageBytes` is the block managers' max storage capacity
     *    (`getExecutorMemoryStatus`), i.e. the unified region — the same
     *    pool the columnar BUILD allocates from, which is what actually
-    *    failed at 8 GiB × 1000×.
+    *    failed at 8 GiB × 1000×. The caller aggregates per-executor
+    *    capacities as min × count (not the sum): the failure is
+    *    per-executor, so a heterogeneous fleet is judged by its SMALLEST
+    *    member — equal to the sum on homogeneous clusters and local mode.
     *
     * The constant needs no precision: the measured decision boundary sits
     * A DECADE apart on each side (100× ≈ 1.4 GB estimated vs ~4.3 GB
@@ -203,8 +206,14 @@ object Dedup {
         case Some(v) => v.toBoolean
         case None =>
           val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-          val storageBytes = spark.sparkContext.getExecutorMemoryStatus
-            .values.map(_._1).sum
+          // min-capacity × executor-count, NOT the plain sum: the measured
+          // failure mode (ColumnBuilder.ensureFreeSpace) is PER-EXECUTOR
+          // heap pressure, and on a heterogeneous cluster the sum can
+          // overstate what the smallest executor's concurrent columnar
+          // builds absorb. Identical to the sum on homogeneous clusters
+          // and in local mode (one block manager).
+          val caps = spark.sparkContext.getExecutorMemoryStatus.values.map(_._1)
+          val storageBytes = BigInt(caps.min) * caps.size
           shouldPersistShingles(inputBytes, storageBytes, shingleSize)
       }
     val shingledPlan = shingleFrame(df, idCol, textCol, shingleSize)

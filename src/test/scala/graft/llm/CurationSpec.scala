@@ -25,9 +25,12 @@ class CurationSpec extends SparkTestBase {
 
   test("output is non-empty and excludes every benchmark doc") {
     assert(out.nonEmpty)
-    // the BOUNDED suite convention (SemBenchIdBound/Mod/Rem = 2000/48/5):
-    // ids beyond the bound with the same residue are ordinary docs
-    assert(out.forall(r => !(r._1 < 2000 && r._1 % 48 == 5)),
+    // the BOUNDED suite convention, read from the registry's own
+    // constants (not re-typed literals — a constant change must fail
+    // HERE, pointing at the source): ids beyond the bound with the same
+    // residue are ordinary docs
+    assert(out.forall(r => !(r._1 < LlmQueries.SemBenchIdBound &&
+        r._1 % LlmQueries.SemBenchMod == LlmQueries.SemBenchRem)),
       "a benchmark doc leaked through")
   }
 
@@ -55,10 +58,11 @@ class CurationSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     val stride = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
-    // 0.4 = the registry's CosineDupThreshold; same adaptive-cell geometry
+    // the registry's own CosineDupThreshold; same adaptive-cell geometry
     // as the capstone, but through the PACKAGED component
     val clusters = Similarity.semanticClustersCells(
-        emb, "vec_id", "embedding", col("id") % stride === 0, 0.4)
+        emb, "vec_id", "embedding", col("id") % stride === 0,
+        LlmQueries.CosineDupThreshold)
       .select(col("vec_id").as("doc_id"), col("cluster"))
       .as[(Long, Long)].collect().toMap
     val kept = out.map(_._1)
@@ -77,7 +81,8 @@ class CurationSpec extends SparkTestBase {
         cum += r._3
         assert(r._5 == cum, s"$lang doc ${r._1}: cum ${r._5} != recomputed $cum")
       }
-      assert(cum <= 500L, s"$lang exceeded the token budget: $cum")
+      assert(cum <= LlmQueries.TokenBudget,
+        s"$lang exceeded the token budget: $cum")
       // the per-language rate is constant within the group
       assert(rows.map(_._4).distinct.size == 1, s"$lang has mixed rates")
     }
