@@ -274,9 +274,14 @@ object LlmQueries {
     * pair search (different widths).
     */
   private def dSimhashCtes(bits: Int): String = {
+    // bit j = bit plane j/32 of md5 hex digit j%32 (Dedup.md5BitWide);
+    // plane 0 is the original digit-parity set, so bits <= 32 unchanged
+    val planeSets = (0 until 4).map(p => "0123456789abcdef"
+      .filter(c => ((Integer.parseInt(c.toString, 16) >> p) & 1) == 1))
     val bitSums = (0 until bits).map { j =>
       s"coalesce(list_sum(list_transform(toks, t -> CASE WHEN " +
-        s"strpos('13579bdf', substr(md5(t), ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END)), 0) AS s$j"
+        s"strpos('${planeSets(j / 32)}', substr(md5(t), ${(j % 32) + 1}, 1)) > 0 " +
+        s"THEN 1 ELSE -1 END)), 0) AS s$j"
     }
     val pack = (0 until bits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
@@ -321,6 +326,57 @@ object LlmQueries {
     }.mkString(" UNION ALL ")
     s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
        |${dSimhashCtes(SimHashPairBits)},
+       |bands AS ($bandArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sk_a, b.simhash AS sk_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sk_a, sk_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sk_a, sk_b)) <= $SimHashMaxHamming""".stripMargin
+  }
+
+  // ---- q64b: block-combination banded SimHash pairs (scale-honest) ------
+
+  private val SimHashWideBits = 56
+  private val SimHashWideBlocks = 8
+
+  /** q64b — q64's banding FIXED for scale ([[Dedup.simhashPairsBlocked]]):
+    * a 56-bit md5 sketch (two md5 bit planes, [[Dedup.md5BitWide]]) split
+    * into 8 blocks of 7 bits; candidates keyed by every C(8,5) = 56
+    * combination of 5 blocks — pigeonhole-complete for Hamming <= 3 with
+    * 35-bit band keys, so chance band collisions fall from q64's N²/256
+    * to 56·N²/2^35 (the Manku–Jain–Sarma multi-table construction). Same
+    * output contract as q64 modulo the wider sketch: (id_a, id_b,
+    * hamming), equal to brute force. The explode factor is 56 rows per
+    * doc — linear, the deliberate trade that retires the quadratic
+    * verify q64's fixed-cardinality buckets pay at the third decade.
+    */
+  def simhashNearDupWide(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocumentsFixture.corpusDf(spark, dir)
+    Dedup.simhashPairsBlocked(corpus, "doc_id", "text", SimHashWideBits,
+      SimHashWideBlocks, SimHashMaxHamming, Dedup.simhashMd5)
+  }
+
+  /** DuckDB twin of q64b: the 56-bit sketch CTEs (plane-aware
+    * [[dSimhashCtes]]), then one UNION ALL arm per block combination with
+    * the combination's 7-bit slice values packed into the band key by
+    * exact integer division (sketch < 2^56, keys < 2^35 — everything
+    * non-negative BIGINT), then the same candidate-join + bit_count
+    * verification as q64.
+    */
+  private val q64bOracle: String = {
+    val width = SimHashWideBits / SimHashWideBlocks
+    val combos = Dedup.blockCombos(SimHashWideBlocks,
+      SimHashWideBlocks - SimHashMaxHamming)
+    val bandArms = combos.zipWithIndex.map { case (combo, ci) =>
+      val packed = combo.zipWithIndex.map { case (b, pos) =>
+        s"((simhash // ${1L << (b * width)}) % ${1L << width}) * ${1L << (pos * width)}"
+      }.mkString(" + ")
+      s"SELECT doc_id, simhash, $ci AS band, $packed AS bv FROM sk"
+    }.mkString(" UNION ALL ")
+    s"""WITH corpus AS (${DocumentsFixture.corpusSql()}),
+       |${dSimhashCtes(SimHashWideBits)},
        |bands AS ($bandArms),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -996,7 +1052,7 @@ object LlmQueries {
     * importance model is two B-row histograms, never a vocabulary.
     */
   private val DsirBuckets = 1024
-  private val dsirTarget = col("source").isin("src0", "src1", "src2", "src3")
+  private[graft] val dsirTarget = col("source").isin("src0", "src1", "src2", "src3")
 
   /** q78 — DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023 — public): score every document by the
@@ -1408,17 +1464,17 @@ object LlmQueries {
     * driver holds and broadcasts) is O([[ClfBuckets]]) regardless of
     * vocabulary size, the same bound that makes q78's DSIR tables
     * 100 TB-safe. */
-  private val ClfBuckets = 512
+  private[graft] val ClfBuckets = 512
 
   /** Training epochs for q85 — fixed and small so the DuckDB twin can
     * unroll them as chained CTEs (the q82/q84 convention). */
-  private val ClfEpochs = 2
+  private[graft] val ClfEpochs = 2
 
   /** The q85 training slice: a deterministic 40% of the corpus. The
     * modulus survives the scale-replica construction (doc_id offsets are
     * multiples of 10⁶), so the train/score split keeps its shape at every
     * decade. */
-  private val clfTrain = col("doc_id") % 5 < 2
+  private[graft] val clfTrain = col("doc_id") % 5 < 2
 
   /** q85 — SUPERVISED QUALITY CLASSIFIER ([[Classifier.trainScore]]):
     * hashed-feature logistic regression trained in-engine on a labeled
@@ -3669,7 +3725,7 @@ object LlmQueries {
 
   /** Reference slice for the q80 LM: the English documents stand in for
     * CCNet's trusted target-language Wikipedia. */
-  private val LmRefLang = "en"
+  private[graft] val LmRefLang = "en"
 
   /** q80 — interpolated-bigram LM PERPLEXITY scoring
     * ([[graft.llm.LanguageModel]], the CCNet filter shape): train unigram +
@@ -3746,7 +3802,7 @@ object LlmQueries {
     * corpus MEDIAN NLL under the reference LM — the CCNet head+middle
     * tier cut, expressed with the q49 exact-percentile convention
     * (round-6 before any compare). */
-  private val PplGateQuantile = 0.5
+  private[graft] val PplGateQuantile = 0.5
 
   /** q89 — the MODERN pretraining-curation pipeline, composing the
     * engine's strongest component from each stage family into ONE chained
@@ -4002,6 +4058,7 @@ object LlmQueries {
     "q13_blocked_jaccard" -> ((s, d) => blockedJaccard(s, d)),
     "q14_simhash" -> ((s, d) => simhashSketch(s, d)),
     "q64_simhash_pairs" -> ((s, d) => simhashNearDup(s, d)),
+    "q64b_simhash_pairs_wide" -> ((s, d) => simhashNearDupWide(s, d)),
     "q15_ann_topk" -> ((s, d) => annBruteForce(s, d)),
     "q15b_ann_quantized" -> ((s, d) => annQuantized(s, d)),
     "q15c_ann_binary" -> ((s, d) => annBinary(s, d)),
@@ -4083,6 +4140,7 @@ object LlmQueries {
     "q13_blocked_jaccard" -> q13Oracle,
     "q14_simhash" -> q14Oracle,
     "q64_simhash_pairs" -> q64Oracle,
+    "q64b_simhash_pairs_wide" -> q64bOracle,
     "q15_ann_topk" -> q15Oracle,
     "q15b_ann_quantized" -> q15bOracle,
     "q15c_ann_binary" -> q15cOracle,

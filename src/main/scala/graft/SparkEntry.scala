@@ -65,6 +65,11 @@ object SparkEntry {
     "q15_ann_topk" -> "q15c_ann_binary",
     // per-run codebook rebuild + corpus re-encode vs the persisted index
     "q16h_ann_ivf_pq" -> "q16i_ann_ivf_pq_indexed",
+    // fixed-slice banding: 8-bit band buckets are a FIXED-cardinality
+    // blocking, so chance collisions grow ∝ N²/256 and the exact-Hamming
+    // verify pays them (measured 25× third-decade step, r17 ladder) vs
+    // the block-combination banding's 35-bit keys
+    "q64_simhash_pairs" -> "q64b_simhash_pairs_wide",
     // int8 quantized scan: same O(N·d) full-dim arithmetic as q15 with a
     // ~4× constant saving — measured at the third decade (r17 ladder) to
     // exist "to be undercut" by the 1-bit radius scan's 64×-narrower read

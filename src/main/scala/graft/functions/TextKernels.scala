@@ -334,17 +334,21 @@ class MinHashKernel(numHashes: Int) extends Serializable {
   * j of md5(token) is odd, else −1) is positive; a NULL token element
   * contributes −1 to every bit (`when(null).otherwise(-1)`); an empty
   * array yields 0; a null array yields null (callers wanting the
-  * composable chain's 0-on-null wrap in `coalesce(.., 0)`). `bits` <= 32
-  * (one md5 hex digit per bit position).
+  * composable chain's 0-on-null wrap in `coalesce(.., 0)`). `bits` <= 64:
+  * bit position j reads BIT PLANE j/32 of md5 hex digit j%32 — plane 0
+  * (j < 32) is the original digit-parity semantics unchanged, plane 1
+  * (32 <= j < 64) taps the digit's second bit, so one md5 yields up to 64
+  * independent hyperplane signs (md5's 128 bits support 4 planes; two
+  * keep the sketch inside a non-negative-safe BIGINT for the SQL twin).
   */
 case class SimHashSketch(child: Expression, bits: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if bits > 0 && bits <= 32 =>
+    case ArrayType(StringType, _) if bits > 0 && bits <= 64 =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(StringType, _) =>
-      TypeCheckResult.TypeCheckFailure("simhash_md5 requires 0 < bits <= 32")
+      TypeCheckResult.TypeCheckFailure("simhash_md5 requires 0 < bits <= 64")
     case other =>
       TypeCheckResult.TypeCheckFailure(
         s"simhash_md5 requires array<string> tokens, got ${other.simpleString}")
@@ -390,10 +394,12 @@ class SimHashKernel(bits: Int) extends Serializable {
         val raw = md.digest()
         var j = 0
         while (j < bits) {
-          // hex digit j = high nibble of raw(j/2) for even j, low for odd;
-          // digit parity (odd hex char <=> low bit set) decides +1/-1
-          val nibble = if ((j & 1) == 0) (raw(j >> 1) >> 4) & 0xf else raw(j >> 1) & 0xf
-          sums(j) += (if ((nibble & 1) == 1) 1 else -1)
+          // bit j reads bit plane j/32 of hex digit j%32; hex digit d =
+          // high nibble of raw(d/2) for even d, low for odd. Plane 0 is
+          // the original digit-parity (odd hex char <=> low bit set).
+          val d = j & 31
+          val nibble = if ((d & 1) == 0) (raw(d >> 1) >> 4) & 0xf else raw(d >> 1) & 0xf
+          sums(j) += (if (((nibble >> (j >> 5)) & 1) == 1) 1 else -1)
           j += 1
         }
       }

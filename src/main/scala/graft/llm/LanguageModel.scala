@@ -121,6 +121,23 @@ object LanguageModel {
     require(t > 0,
       "LM reference slice is empty (isRef matched no tokens) — " +
         "a perplexity filter trained on nothing scores every document 0")
+    perplexityFrom(docs, idCol, textCol, uni, bi, t, v)
+  }
+
+  /** The SCORING half of [[perplexity]] against PREBUILT model tables —
+    * the artifact form the streaming curation loop consumes: `uni`
+    * ((w, c)) and `bi` ((w1, w2, c2)) are the persisted count tables, and
+    * `(t, v)` the persisted totals, all built once on the model cadence
+    * (by [[unigramCounts]]/[[bigramCounts]] over the reference slice) and
+    * identical to what [[perplexity]] trains inline — so a batch scored
+    * here is bit-identical to the same batch inside a [[perplexity]]
+    * call. Plan shape unchanged: two broadcast unigram probes sharing one
+    * exchange, one broadcast bigram probe, T/V carried as literals.
+    */
+  def perplexityFrom(
+      docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, t: Long, v: Long): DataFrame = {
+    require(t > 0, "perplexityFrom needs a non-empty trained model (t > 0)")
     val denom = (t + v + 1).toDouble
     val flat = positions(docs, idCol, textCol)
     // Both unigram probes join the BARE `uni` aggregate (aliases only, no

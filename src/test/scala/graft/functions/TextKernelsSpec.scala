@@ -167,14 +167,16 @@ class TextKernelsSpec extends SparkTestBase {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
-  test("simhash_md5 == composable md5-bit simhash at 16 and 32 bits, incl. edges") {
+  test("simhash_md5 == composable md5-bit simhash at 16, 32 and 56 bits, incl. edges") {
     val texts = samples(textGen, 60) ++ Seq(
       "", "   ", "the the the", "x9 x9", "héllo wörld ünïcode", null)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
-    for (bits <- Seq(16, 32)) {
+    for (bits <- Seq(16, 32, 56)) {
+      // past 32 positions the composable reference is the plane-aware
+      // md5BitWide (identical to md5Bit on plane 0, so 16/32 double-cover)
       val rows = df.select(col("id"),
         Dedup.simhashMd5(col("text"), bits).as("native"),
-        Dedup.simhash(col("text"), bits, Dedup.md5Bit).as("hof")).collect()
+        Dedup.simhash(col("text"), bits, Dedup.md5BitWide).as("hof")).collect()
       rows.foreach { r =>
         assert(r.getLong(1) == r.getLong(2),
           s"kernel diverged from composable at $bits bits for id=${r.getLong(0)}")

@@ -425,6 +425,81 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("md5BitWide: plane 0 is md5Bit verbatim; planes are independent reads of one md5") {
+    val toks = Seq("alpha", "beta", "gamma", "7", "", "Ünïcode").toDF("t")
+    (0 until 32).foreach { j =>
+      val same = toks.select(
+        (Dedup.md5Bit(col("t"), j) === Dedup.md5BitWide(col("t"), j)).as("eq"))
+        .as[Boolean].collect()
+      assert(same.forall(identity), s"plane 0 bit $j diverged from md5Bit")
+    }
+    // plane 1 must read bit 1 of the digit: for token with md5 digit '3'
+    // at some position both planes are set; digit '1' sets only plane 0.
+    // Checked structurally: the two planes are NOT the same predicate.
+    val differs = toks.select(
+      (0 until 32).map(j =>
+        (Dedup.md5BitWide(col("t"), j) =!= Dedup.md5BitWide(col("t"), j + 32))
+          .cast("int")).reduce(_ + _).as("d")).as[Int].collect().sum
+    assert(differs > 0, "plane 1 collapsed onto plane 0")
+  }
+
+  test("blockCombos: C(8,5)=56 distinct lexicographic 5-subsets") {
+    val combos = Dedup.blockCombos(8, 5)
+    assert(combos.size == 56)
+    assert(combos.distinct.size == 56)
+    assert(combos.forall(c => c.size == 5 && c == c.sorted && c.forall(b => b >= 0 && b < 8)))
+    assert(combos.head == Seq(0, 1, 2, 3, 4) && combos.last == Seq(3, 4, 5, 6, 7))
+  }
+
+  test("simhashPairsBlocked: equals the exhaustive all-pairs ground truth (pigeonhole-complete)") {
+    // same corpus shape as the simhashPairs test, at the q64b geometry:
+    // 56-bit sketch, 8 blocks, C(8,5)=56 combination bands. Truth through
+    // the composable md5BitWide chain, pairs through the native kernel —
+    // equality doubles as the 56-bit kernel parity check.
+    val corpus = ((1 to 20).map(i =>
+      (i.toLong, s"document number $i about topic ${i % 5} with shared filler words")) ++
+      Seq((21L, "document number 1 about topic 1 with shared filler words"),
+          (22L, "document number 2 about topic 2 with shared filler altered")))
+      .toDF("doc_id", "text")
+    val sk = corpus
+      .select(col("doc_id"), Dedup.simhash(col("text"), 56, Dedup.md5BitWide).as("sk"))
+      .as[(Long, Long)].collect().toMap
+    assert(sk.values.forall(_ >= 0L), "56-bit sketch must stay non-negative (SQL-oracle-safe)")
+    val truth = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      h = java.lang.Long.bitCount(sk(a) ^ sk(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(truth.nonEmpty && truth.exists(_._3 == 0), "fixture must contain dup pairs")
+    val got = Dedup.simhashPairsBlocked(corpus, "doc_id", "text", 56, 8, 3, Dedup.simhashMd5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == truth, s"blocked search must equal brute force: missing ${truth -- got}, extra ${got -- truth}")
+  }
+
+  test("simhashComboFrame: 56 rows per id; agreeing pair collides exactly where >= 5 blocks match") {
+    // two hand-built sketches differing ONLY in block 7 (bits 49-55):
+    // every combo avoiding block 7 (C(7,5)=21 of the 56) must collide,
+    // every combo containing it must not.
+    val a = 0x00AABBCCDDEE11L
+    val diff = a ^ (0x55L << 49)
+    val sigs = Seq((1L, a), (2L, diff)).toDF("id", "sk")
+    val banded = Dedup.simhashComboFrame(sigs, 56, 8, 3)
+    assert(banded.count() == 2 * 56)
+    val collisions = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.id") < col("y.id")).count()
+    assert(collisions == 21, s"expected C(7,5)=21 colliding bands, got $collisions")
+  }
+
+  test("simhashPairsBlocked: rejects geometry voiding pigeonhole or overflowing the packed key") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBlocked(docs, "doc_id", "text", bits = 56, blocks = 3, maxHamming = 3)
+    }
+    intercept[IllegalArgumentException] {
+      // 16-bit blocks x 5-block combos = 80-bit packed key
+      Dedup.simhashComboFrame(Seq((1L, 1L)).toDF("id", "sk"), 128, 8, 3)
+    }
+  }
+
   test("spanDedup: cuts every non-canonical occurrence, keeps the first, every doc appears") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"),
