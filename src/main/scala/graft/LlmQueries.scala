@@ -3804,14 +3804,25 @@ object LlmQueries {
     * (round-6 before any compare). */
   private[graft] val PplGateQuantile = 0.5
 
+  /** Classifier-gate quantile for q89: keep documents at or above the
+    * corpus MEDIAN classifier margin — rank-based selection (same
+    * exact-percentile/round-6 convention as the NLL gate). Why a rank and
+    * not q85's margin>0 cut: see the stage-1 comment in
+    * [[pretrainCuration]] (the measured 5000-doc degeneration). */
+  private[graft] val ClfGateQuantile = 0.5
+
   /** q89 — the MODERN pretraining-curation pipeline, composing the
     * engine's strongest component from each stage family into ONE chained
     * plan (the r16 verdict's capstone ask; q29 remains the round-7-era
     * heuristic chain for contrast):
     *
-    *   1. TRAINED quality filter (q85): hashed-feature logistic
+    *   1. TRAINED quality filter (q85 ranking): hashed-feature logistic
     *      regression fit in-engine on the trusted-source labels, keep =
-    *      margin > 0 — replaces q29's hand-tuned quality threshold.
+    *      classifier score at or above the corpus median
+    *      ([[ClfGateQuantile]] — rank-based selection; the margin>0 cut
+    *      measurably degenerates to keep-nothing at the 5000-doc scale,
+    *      see the stage-1 comment) — replaces q29's hand-tuned quality
+    *      threshold.
     *   2. LM perplexity gate (q80 + q49): interpolated-bigram NLL under
     *      the `lang='en'` reference model, keep docs at or below the
     *      corpus median ([[PplGateQuantile]]) — the CCNet tier cut.
@@ -3853,8 +3864,9 @@ object LlmQueries {
     * a pipeline change).
     *
     * Cache lifecycle is CALLER-OWNED (the q49/tfidf convention): the
-    * returned plan references three MEMORY_AND_DISK persists (perplexity
-    * scores, the shared cell assignment, the gated representatives) that
+    * returned plan references four MEMORY_AND_DISK persists (classifier
+    * scores, perplexity scores, the shared cell assignment, the gated
+    * representatives) that
     * cannot be unpersisted here — the result consumes them lazily. A
     * long-lived session invoking this repeatedly must
     * `spark.catalog.clearCache()` (or unpersist via the frames' plans)
@@ -3866,10 +3878,33 @@ object LlmQueries {
     val par = spark.sparkContext.defaultParallelism
     val docs = Tables.documents(spark, dir).repartition(par)
 
-    // stage 1: trained classifier keep (q85 geometry/labels/slice)
-    val clfKeepIds = Classifier
+    // stage 1: trained classifier, RANK-based keep — score at or above
+    // the corpus median margin ([[ClfGateQuantile]]), NOT q85's raw
+    // margin > 0 cut. Measured reason (r18 CurationScaleProbe): under the
+    // fixture's 20/80 class imbalance, two full-batch epochs of the
+    // hashed-feature model leave almost every margin negative once the
+    // corpus reaches 5000 docs — margin > 0 kept 83 of 5000 at sf0.1 and
+    // 0 of 50,000 at the 10× replica (whose per-replica token suffixes
+    // grow the hashed vocabulary and wash the per-bucket signal out),
+    // silently emptying the whole mix while each stage looked healthy.
+    // Keeping a top FRACTION by classifier score is the quality-filter
+    // convention the public curation recipes use (CCNet/DSIR-style
+    // selection), is scale-stable for any class balance, and parallels
+    // the perplexity median gate below. q85 itself keeps its calibrated
+    // margin>0 semantics (q88 evaluates that cut); the pipeline consumes
+    // the RANKING. The median is one bounded `first()` carried as a
+    // literal, exactly like the NLL median.
+    val clfScores = Classifier
       .trainScore(docs, dsirTarget, clfTrain, ClfBuckets, ClfEpochs)
-      .filter(col("keep")).select("doc_id")
+      .select("doc_id", "score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clfMedRow = clfScores
+      .agg(round(percentile(col("score"), lit(ClfGateQuantile)), 6))
+      .first()
+    require(!clfMedRow.isNullAt(0),
+      "curation needs at least one classifier-scored document")
+    val clfKeepIds = clfScores
+      .filter(col("score") >= clfMedRow.getDouble(0)).select("doc_id")
 
     // stage 2: perplexity + median gate; persist — the N-row score frame
     // feeds the median aggregate AND the gate join (q49's caller-owned
@@ -3980,6 +4015,8 @@ object LlmQueries {
       |ppl AS ($q80Select),
       |med AS (SELECT round(quantile_cont(nll_per_token, $PplGateQuantile), 6) AS m
       |        FROM ppl),
+      |clfmed AS (SELECT round(quantile_cont(mI / 1000000.0, $ClfGateQuantile), 6) AS m
+      |           FROM ms),
       |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |geo AS (SELECT greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
       |               CAST(ceil($AdaptiveProbeFraction * ceil(sqrt(count(*)))) AS BIGINT) AS nprobe
@@ -4018,8 +4055,8 @@ object LlmQueries {
       |  FROM documents d
       |  JOIN ms ON ms.doc_id = d.doc_id
       |  JOIN ppl p2 ON p2.doc_id = d.doc_id
-      |  CROSS JOIN med
-      |  WHERE ms.mI > 0 AND p2.nll_per_token <= med.m
+      |  CROSS JOIN med CROSS JOIN clfmed
+      |  WHERE ms.mI / 1000000.0 >= clfmed.m AND p2.nll_per_token <= med.m
       |    AND NOT (${semBenchSql("d.doc_id")})
       |    AND d.doc_id NOT IN (SELECT id FROM contam)),
       |reps AS (

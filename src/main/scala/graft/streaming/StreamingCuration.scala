@@ -140,19 +140,26 @@ object StreamingCuration {
 
     // classifier margin against the PERSISTED weights — bit-identical to
     // trainScore's scoring pass because it IS that pass (margins over
-    // featureRows), minus the training epochs the artifact already paid
+    // featureRows), minus the training epochs the artifact already paid.
+    // The RAW score is logged, not a keep flag: q89's gate is rank-based
+    // (score >= the corpus-median margin), and a corpus quantile can only
+    // be taken at selection time over the full accumulated log.
     val clf = Classifier.margins(
         Classifier.featureRows(b.select(col("doc_id"), col("text")), buckets),
         weights)
-      .select(col("doc_id"), (col("mI") > 0L).as("clf_keep"))
+      .select(col("doc_id"),
+        (col("mI").cast("double") / lit(1000000.0)).as("clf_score"))
     // perplexity against the persisted count tables; docs tokenizing to
-    // nothing drop out here — exactly the one-shot ppl row set
+    // nothing have no NLL row (q70/q80's convention) — LEFT join so the
+    // score log still carries their classifier score, keeping the
+    // selection-time margin median over ALL docs, as the one-shot form
+    // computes it
     val ppl = LanguageModel.perplexityFrom(b, "doc_id", "text",
       uni, bi, totals.getLong(0), totals.getLong(1))
-    val scores = ppl.join(clf, "doc_id")
+    val scores = clf.join(ppl, Seq("doc_id"), "left")
       .join(b.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("nll_per_token"), col("clf_keep"))
+        col("nll_per_token"), col("clf_score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = scores.count()
     scores.write.mode("append").parquet(s"$stateDir/scores")
@@ -181,9 +188,10 @@ object StreamingCuration {
     n
   }
 
-  /** The selection tail over the accumulated state — q89's stages 2b–5 as
-    * a read-time pass: median-NLL gate (the quantile is computed over the
-    * full accumulated score log, exactly the one-shot corpus median),
+  /** The selection tail over the accumulated state — q89's gate and mix
+    * stages as a read-time pass: median-margin classifier gate and
+    * median-NLL perplexity gate (both quantiles computed over the full
+    * accumulated score log, exactly the one-shot corpus medians),
     * benchmark exclusion by `isBenchDoc`, decontamination anti-join,
     * connected components over the accumulated pair log with
     * min-surviving-id representative selection, temperature mix, then the
@@ -201,22 +209,31 @@ object StreamingCuration {
       stateDir: String,
       isBenchDoc: Column,
       tokenBudget: Long,
-      pplQuantile: Double = 0.5): DataFrame = {
+      pplQuantile: Double = 0.5,
+      clfQuantile: Double = 0.5): DataFrame = {
     val scores = spark.read.parquet(s"$stateDir/scores").distinct()
+    // both gate medians over the ACCUMULATED log = the one-shot corpus
+    // medians on the ingested prefix: the margin median over every scored
+    // doc, the NLL median over docs with an NLL row (percentile skips the
+    // left-join nulls, matching the one-shot ppl row set)
     val medianRow = scores
-      .agg(round(percentile(col("nll_per_token"), lit(pplQuantile)), 6))
+      .agg(round(percentile(col("nll_per_token"), lit(pplQuantile)), 6),
+        round(percentile(col("clf_score"), lit(clfQuantile)), 6))
       .first()
-    require(!medianRow.isNullAt(0),
+    require(!medianRow.isNullAt(0) && !medianRow.isNullAt(1),
       "curatedMix needs at least one scored document in the state dir")
     val nllMedian = medianRow.getDouble(0)
+    val clfMedian = medianRow.getDouble(1)
     val contaminated = spark.read.parquet(s"$stateDir/contaminated").distinct()
     val pairs = spark.read.parquet(s"$stateDir/pairs")
       .select("id_a", "id_b").distinct()
     val clusters = Dedup.connectedComponents(pairs)
       .withColumnRenamed("id", "doc_id")
 
+    // null NLL (doc never tokenized) fails <= like the one-shot inner join
     val gated = scores
-      .filter(col("clf_keep") && col("nll_per_token") <= nllMedian)
+      .filter(col("clf_score") >= clfMedian &&
+        col("nll_per_token") <= nllMedian)
       .filter(!isBenchDoc)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_tokens")

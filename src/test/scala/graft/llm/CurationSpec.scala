@@ -34,24 +34,59 @@ class CurationSpec extends SparkTestBase {
       "a benchmark doc leaked through")
   }
 
-  test("every kept doc passes the registered classifier AND perplexity-median gates") {
-    val clfKeep = LlmQueries.queries("q85_quality_classifier")(spark, dir)
-      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+  /** Driver-side exact median with the registry's round-6 convention —
+    * shared by both gate checks (quantile_cont/percentile midpoint). */
+  private def median6(values: Seq[Double]): Double = {
+    val v = values.sorted
+    val m =
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+    math.round(m * 1e6) / 1e6
+  }
+
+  test("every kept doc passes the classifier-MEDIAN and perplexity-median gates") {
+    // the classifier gate is RANK-based (score >= corpus median margin),
+    // not q85's margin>0 cut — see the q89 stage-1 comment for the
+    // measured 5000-doc degeneration that forced this
+    val clfScores = LlmQueries.queries("q85_quality_classifier")(spark, dir)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
+    val clfMed = median6(clfScores.map(_._2).toSeq)
+    val clfKeep = clfScores.filter(_._2 >= clfMed).map(_._1).toSet
     val ppl = LlmQueries.queries("q80_lm_perplexity")(spark, dir)
       .select(col("doc_id"), col("nll_per_token"))
       .as[(Long, Double)].collect()
-    val med = {
-      val v = ppl.map(_._2).sorted
-      val m =
-        if (v.length % 2 == 1) v(v.length / 2)
-        else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
-      math.round(m * 1e6) / 1e6
-    }
+    val med = median6(ppl.map(_._2).toSeq)
     val pplKeep = ppl.filter(_._2 <= med).map(_._1).toSet
     out.foreach { r =>
-      assert(clfKeep.contains(r._1), s"doc ${r._1} failed the classifier gate")
+      assert(clfKeep.contains(r._1), s"doc ${r._1} is below the margin median")
       assert(pplKeep.contains(r._1), s"doc ${r._1} is above the perplexity median")
     }
+  }
+
+  test("rank gate vs margin>0 at the 5000-doc scale: the raw cut collapses, the median keeps half") {
+    // the motivation pinned forever (r18 CurationScaleProbe finding): at
+    // sf0.1 — the first fixture past the 500-doc oracle corpora — two
+    // full-batch epochs under the 20/80 class imbalance push all but 83
+    // of 5000 margins negative (1.7% kept by a 20%-target-rate model),
+    // and at the 10x replica (50k docs, per-replica token suffixes
+    // growing the hashed vocabulary) margin>0 keeps exactly ZERO docs —
+    // the gate q89 originally used silently emptied the whole mix
+    val scored = graft.llm.Classifier.trainScore(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.1"),
+        LlmQueries.dsirTarget, LlmQueries.clfTrain,
+        LlmQueries.ClfBuckets, LlmQueries.ClfEpochs)
+      .select(col("doc_id"), col("score"), col("keep"))
+      .as[(Long, Double, Boolean)].collect()
+    assert(scored.length == 5000)
+    val rawKept = scored.count(_._3)
+    assert(rawKept <= 250,
+      s"margin>0 keeps $rawKept of 5000 (was 83 when measured) — if the " +
+        "trainer improved past 5%, re-evaluate whether q89's rank gate " +
+        "is still the right call")
+    val med = median6(scored.map(_._2).toSeq)
+    val kept = scored.count(_._2 >= med)
+    assert(kept >= 2400 && kept <= 2600,
+      s"median gate must keep ~half at any scale, kept $kept of 5000")
   }
 
   test("at most one kept doc per semantic cluster (the packaged component as the referee)") {

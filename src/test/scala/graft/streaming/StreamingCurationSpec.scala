@@ -67,14 +67,15 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(appended.sum > 0, "no score rows appended")
 
     def mix() = StreamingCuration.curatedMix(spark, stateDir, benchDocCol,
-        LlmQueries.TokenBudget, LlmQueries.PplGateQuantile)
+        LlmQueries.TokenBudget, LlmQueries.PplGateQuantile,
+        LlmQueries.ClfGateQuantile)
       .as[(Long, String, Long, Double, Long)].collect().toSet
 
     val incremental = mix()
     spark.catalog.clearCache() // curatedMix persists reps (caller-owned)
     val oneShot = LlmQueries.queries("q89_pretrain_curation")(spark, dir)
       .as[(Long, String, Long, Double, Long)].collect().toSet
-    spark.catalog.clearCache() // q89's three persists are caller-owned too
+    spark.catalog.clearCache() // q89's four persists are caller-owned too
     assert(incremental == oneShot,
       s"incremental != one-shot: missing ${oneShot -- incremental}, " +
         s"extra ${incremental -- oneShot}")
@@ -90,7 +91,7 @@ class StreamingCurationSpec extends SparkTestBase {
     full.unpersist()
   }
 
-  test("per-trigger scoring: score log carries exactly the docs that tokenize; contaminated flags appear") {
+  test("per-trigger scoring: score log carries every doc, NLL only where text tokenizes; contaminated flags appear") {
     val tmp = Files.createTempDirectory("graft-stream-curation2").toFile
     val modelDir = s"${tmp.getAbsolutePath}/model"
     val stateDir = s"${tmp.getAbsolutePath}/state"
@@ -99,11 +100,15 @@ class StreamingCurationSpec extends SparkTestBase {
       LlmQueries.ClfBuckets, LlmQueries.CosineDupThreshold)
     val scores = spark.read.parquet(s"$stateDir/scores")
     assert(scores.count() == n)
-    // one row per doc with >= 1 token — q70/q80's empty-text convention
-    val expected = Tables.documents(spark, dir)
+    // one score row per doc (every doc has a classifier margin via the
+    // bias feature); the NLL column is null exactly where the text
+    // tokenizes to nothing — q70/q80's empty-text convention
+    val expected = Tables.documents(spark, dir).count()
+    assert(n == expected, s"score rows $n != docs $expected")
+    val tokenizing = Tables.documents(spark, dir)
       .select(col("doc_id"), size(graft.llm.TextStats.tokens(col("text"))).as("nt"))
       .filter(col("nt") > 0).count()
-    assert(n == expected, s"score rows $n != tokenizing docs $expected")
+    assert(scores.filter(col("nll_per_token").isNotNull).count() == tokenizing)
     assert(scores.select("doc_id").distinct().count() == n, "duplicate score rows in one trigger")
     // the synthetic corpus contains near-benchmark replicas by design, so
     // contamination must flag something beyond the benchmark docs themselves
