@@ -362,6 +362,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"the recount must partial-aggregate map-side:\n$p")
   }
 
+  test("q64b blocked simhash: one shared banded frame, band-key exchanges bounded, cap window on the join key") {
+    val p = plan(LlmQueries.simhashNearDupWide(spark, dir))
+    // both sides of the candidate self-join read the ONE persisted combo
+    // frame (56 bands/doc computed once, never per join side)
+    assert(p.contains("InMemoryTableScan"),
+      s"the banded combo frame must be shared via the persist:\n$p")
+    // the cap's row_number partitions on exactly the join key (band, bv),
+    // so no extra exchange may appear between window and join: one per
+    // join side is the budget
+    val bandExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(band"))
+    assert(bandExchanges <= 2,
+      s"combo banding added an extra band-key exchange ($bandExchanges):\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window ") && l.contains("band") && l.contains("row_number")),
+      s"the bucket cap window must partition on the band key:\n$p")
+  }
+
   test("q70 unigram surprisal: term frequencies derive from the shared explode, both aggs partial") {
     val p = plan(LlmQueries.unigramSurprisal(spark, dir))
     assert(p.contains("InMemoryTableScan"),

@@ -57,8 +57,11 @@ for k in range(R):
 
 import pandas as pd
 out = pd.concat(parts, ignore_index=True)
+# label rides along unchanged: the q48 fixture family selects it, and a
+# wide run of the semantic tier must accept the same fixture SQL
 schema = pa.schema([("vec_id", pa.int64()),
-                    ("embedding", pa.list_(pa.float32()))])
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32())])
 pq.write_table(pa.Table.from_pandas(out, schema=schema, preserve_index=False),
                f"{OUT}/embeddings.parquet")
 print("embeddings", len(out), "width", WIDTH)
