@@ -3796,6 +3796,161 @@ object LlmQueries {
 
   private val q80Oracle: String = s"WITH $q80Ctes\n$q80Select"
 
+  // ---- q90: DoReMi domain reweighting -----------------------------------
+
+  /** Group-DRO step size on the excess-loss exponent. DoReMi's published
+    * multiplicative update is α ∝ α_prev · exp(η · excess); with the
+    * statistical-LM excess fixed (no proxy retraining loop in a
+    * deterministic engine), the rounds collapse into one exponent — η is
+    * the whole temperature of the reweighting. Keep the operand order
+    * `η * (excess_u / 1e6)` IDENTICAL in both engines if this ever moves
+    * off 1.0: at η = 1.0 the multiply is exact and order-free.
+    */
+  private[graft] val DoremiEta = 1.0
+
+  /** q90 — DoReMi-shape domain MIXTURE REWEIGHTING (Xie et al. 2023,
+    * public): per-source excess loss = mean NLL under the SHARED
+    * reference LM (q80's model, trained on the `lang = 'en'` slice) minus
+    * mean NLL under the source's OWN bigram LM
+    * ([[graft.llm.LanguageModel.domainNll]] — one positions pass scores
+    * both models), then the multiplicative Group-DRO update on the
+    * token-mass prior: weight ∝ token_frac · exp(η · max(excess, 0)).
+    * Sources the reference model already fits (no headroom) keep their
+    * natural token share; sources it finds surprising RELATIVE TO THEIR
+    * OWN ENTROPY are upweighted — noise that is simply high-entropy
+    * everywhere is not (its own model can't compress it either, so the
+    * excess stays small). Output one row per source:
+    * (source, n_docs, n_tokens, token_frac, nll_ref, nll_own, excess,
+    * weight) — the mixture table a q53-style sampler realizes.
+    *
+    * Determinism: the NLL means arrive as exact micro-unit BIGINTs, so
+    * `excess` is an integer difference; the only doubles are the
+    * identical-input exp/multiply (same q80 last-ulp argument) whose
+    * product is immediately rounded to 6 decimals and re-anchored as a
+    * DECIMAL micro-int, and BOTH normalizations (token share, final
+    * weight) are the integer-space [[intRatio6]] over window-summed
+    * BIGINTs — no order-sensitive double accumulation anywhere. The two
+    * whole-frame windows run on the |sources|-row aggregate (bounded
+    * rows, the single-partition warning is about a 20-row frame).
+    */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val perDom = LanguageModel.domainNll(
+      docs, "doc_id", "source", "text", col("lang") === LmRefLang)
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDom.join(nd, Seq("source"))
+      .withColumn("__tok_total", sum(col("n_tokens")).over(w))
+      .withColumn("token_frac", intRatio6("n_tokens", "__tok_total"))
+      .withColumn("__x_u", greatest(col("__m_ref") - col("__m_own"), lit(0L)))
+      .withColumn("__score",
+        round(col("token_frac") *
+          exp(lit(DoremiEta) * (col("__x_u").cast("double") / lit(1000000.0))), 6)
+          .cast("decimal(20,6)"))
+      .withColumn("__score_u", (col("__score") * lit(1000000L)).cast("long"))
+      .withColumn("__total_u", sum(col("__score_u")).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("token_frac"),
+        (col("__m_ref").cast("double") / lit(1000000.0)).as("nll_ref"),
+        (col("__m_own").cast("double") / lit(1000000.0)).as("nll_own"),
+        ((col("__m_ref") - col("__m_own")).cast("double") / lit(1000000.0)).as("excess"),
+        intRatio6("__score_u", "__total_u").as("weight"))
+  }
+
+  /** Twin: the q80 reference-model CTEs plus their domain-keyed doubles
+    * (duni/dtot/dbi grouped by source), one source-carrying positions
+    * unnest scored under both models in the same select, per-source
+    * integer-space means, and the two intRatio6 normalizations over
+    * `sum(...) OVER ()` BIGINT window totals — additions all integer, so
+    * window evaluation order cannot matter.
+    */
+  private val q90Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, source, lang, $dToks AS toks FROM documents),
+       |rt AS (SELECT unnest(toks) AS w FROM tok WHERE lang = '$LmRefLang'),
+       |uni AS (SELECT w, count(*) AS c FROM rt GROUP BY 1),
+       |tot AS (SELECT sum(c) AS t, count(*) AS v FROM uni),
+       |rp AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |         i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+       |       FROM tok WHERE lang = '$LmRefLang'),
+       |bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c2 FROM rp
+       |       GROUP BY 1, 2
+       |       HAVING count(*) >= ${LanguageModel.DefaultMinBigramCount}),
+       |du AS (SELECT source, unnest(toks) AS w FROM tok),
+       |duni AS (SELECT source, w, count(*) AS c FROM du GROUP BY 1, 2),
+       |dtot AS (SELECT source, sum(c) AS dt, count(*) AS dv FROM duni GROUP BY 1),
+       |drp AS (SELECT source, unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |         i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p FROM tok),
+       |dbi AS (SELECT source, p.w1 AS w1, p.w2 AS w2, count(*) AS c2 FROM drp
+       |        GROUP BY 1, 2, 3
+       |        HAVING count(*) >= ${LanguageModel.DefaultMinBigramCount}),
+       |pos AS (SELECT doc_id, source,
+       |          unnest(list_transform(range(1, len(toks) + 1),
+       |            i -> {'prev': CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END,
+       |                  'w': toks[i]})) AS p
+       |        FROM tok),
+       |flat AS (SELECT doc_id, source, p.prev AS prev, p.w AS w FROM pos),
+       |sc AS (SELECT f.source,
+       |         CAST(COALESCE(u.c, 0) + 1 AS DOUBLE) / (t.t + t.v + 1) AS puni_ref,
+       |         CASE WHEN f.prev IS NULL THEN NULL
+       |              WHEN b.c2 IS NULL THEN 0.0
+       |              ELSE CAST(b.c2 AS DOUBLE) / CAST(up.c AS DOUBLE) END AS cond_ref,
+       |         CAST(COALESCE(da.c, 0) + 1 AS DOUBLE)
+       |           / CAST(dt.dt + dt.dv + 1 AS DOUBLE) AS puni_own,
+       |         CASE WHEN f.prev IS NULL THEN NULL
+       |              WHEN db.c2 IS NULL THEN 0.0
+       |              ELSE CAST(db.c2 AS DOUBLE) / CAST(dp.c AS DOUBLE) END AS cond_own
+       |       FROM flat f
+       |       LEFT JOIN uni u ON f.w = u.w
+       |       LEFT JOIN uni up ON f.prev = up.w
+       |       LEFT JOIN bi b ON f.prev = b.w1 AND f.w = b.w2
+       |       LEFT JOIN duni da ON f.source = da.source AND f.w = da.w
+       |       LEFT JOIN duni dp ON f.source = dp.source AND f.prev = dp.w
+       |       LEFT JOIN dbi db ON f.source = db.source AND f.prev = db.w1 AND f.w = db.w2
+       |       JOIN dtot dt ON f.source = dt.source
+       |       CROSS JOIN tot t),
+       |lp AS (SELECT source,
+       |         CAST(round(ln(
+       |           CASE WHEN cond_ref IS NULL THEN puni_ref
+       |                ELSE CAST(${LanguageModel.Lambda} AS DOUBLE) * cond_ref
+       |                   + CAST(${LanguageModel.UnigramWeight} AS DOUBLE) * puni_ref
+       |           END), 6) AS DECIMAL(20,6)) AS lp_ref,
+       |         CAST(round(ln(
+       |           CASE WHEN cond_own IS NULL THEN puni_own
+       |                ELSE CAST(${LanguageModel.Lambda} AS DOUBLE) * cond_own
+       |                   + CAST(${LanguageModel.UnigramWeight} AS DOUBLE) * puni_own
+       |           END), 6) AS DECIMAL(20,6)) AS lp_own
+       |       FROM sc),
+       |agg AS (SELECT source, count(*) AS n_tokens,
+       |          CAST(-sum(lp_ref) * 1000000 AS BIGINT) AS smr,
+       |          CAST(-sum(lp_own) * 1000000 AS BIGINT) AS smo
+       |        FROM lp GROUP BY 1),
+       |mm AS (SELECT source, n_tokens,
+       |         (2 * smr + n_tokens) // (2 * n_tokens) AS mru,
+       |         (2 * smo + n_tokens) // (2 * n_tokens) AS mou
+       |       FROM agg),
+       |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |j1 AS (SELECT mm.source, nd.n_docs, mm.n_tokens, mru, mou,
+       |         sum(mm.n_tokens) OVER () AS tok_total
+       |       FROM mm JOIN nd ON mm.source = nd.source),
+       |j2 AS (SELECT source, n_docs, n_tokens, mru, mou,
+       |         ${sqlIntRatio6("n_tokens", "tok_total")} AS token_frac,
+       |         greatest(mru - mou, 0) AS x_u
+       |       FROM j1),
+       |j3 AS (SELECT source, n_docs, n_tokens, mru, mou, token_frac,
+       |         CAST(CAST(round(token_frac * exp(CAST($DoremiEta AS DOUBLE)
+       |             * (CAST(x_u AS DOUBLE) / 1000000.0)), 6) AS DECIMAL(20,6))
+       |           * 1000000 AS BIGINT) AS score_u
+       |       FROM j2),
+       |j4 AS (SELECT *, sum(score_u) OVER () AS total_u FROM j3)
+       |SELECT source, n_docs, n_tokens, token_frac,
+       |  CAST(mru AS DOUBLE) / 1000000.0 AS nll_ref,
+       |  CAST(mou AS DOUBLE) / 1000000.0 AS nll_own,
+       |  CAST(mru - mou AS DOUBLE) / 1000000.0 AS excess,
+       |  ${sqlIntRatio6("score_u", "total_u")} AS weight
+       |FROM j4""".stripMargin
+
   // ---- q89: modern pretraining curation (capstone) ----------------------
 
   /** Perplexity-gate quantile for q89: keep documents at or below the
@@ -4166,7 +4321,8 @@ object LlmQueries {
     "q85_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "q88_classifier_eval" -> ((s, d) => classifierEval(s, d)),
     "q86_kmeans_converged" -> ((s, d) => kmeansConvergedQuery(s, d)),
-    "q89_pretrain_curation" -> ((s, d) => pretrainCuration(s, d))
+    "q89_pretrain_curation" -> ((s, d) => pretrainCuration(s, d)),
+    "q90_doremi_weights" -> ((s, d) => doremiWeights(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -4250,6 +4406,7 @@ object LlmQueries {
     "q85_quality_classifier" -> q85Oracle,
     "q88_classifier_eval" -> q88Oracle,
     "q86_kmeans_converged" -> q86Oracle,
-    "q89_pretrain_curation" -> q89Oracle
+    "q89_pretrain_curation" -> q89Oracle,
+    "q90_doremi_weights" -> q90Oracle
   )
 }

@@ -124,6 +124,142 @@ object LanguageModel {
     perplexityFrom(docs, idCol, textCol, uni, bi, t, v)
   }
 
+  /** Per-domain mean NLL under TWO bigram LMs at once — the measurement
+    * half of the DoReMi mixture-reweighting shape (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * public): for every value of `domCol` (the corpus' domain/source
+    * column), score that domain's tokens under (a) the SHARED reference LM
+    * trained on the `isRef` slice — the model every domain is judged
+    * against — and (b) the domain's OWN bigram LM — the achievable
+    * entropy a domain-fit model reaches. The gap (ref − own) is the
+    * engine's stand-in for DoReMi's per-domain excess loss: how much
+    * headroom the reference-shaped model leaves on that domain. Both
+    * models are the [[perplexity]] LM (interpolated bigram, add-one
+    * unigram smoothing, pruned bigrams) — identical arithmetic, so the
+    * two NLL columns are directly comparable.
+    *
+    * Output: one row per domain —
+    * (domCol, n_tokens, __m_ref, __m_own) where the `__m_*` columns are
+    * the per-token mean NLLs in exact micro-units (BIGINT, the q80
+    * integer-space mean: `(2m + n) div (2n)` half-away-from-zero on exact
+    * integers) so the caller can difference them without touching
+    * doubles. Domains whose every document tokenizes to nothing produce
+    * no row (no positions — the registry-wide empty-text convention).
+    *
+    * Scale shape (100 TB): all four model tables are token-vocabulary
+    * aggregates — `uni`/`bi` reference-slice-sized, `duni`/`dbi` bounded
+    * by vocab × |domains| with the same `minBigramCount` tail cut — so
+    * every probe join broadcasts; the corpus pays ONE positions pass
+    * (shuffle-free per-row explode) and one |domains|-row aggregation
+    * with map-side combine. The per-domain totals (`dtot`) stay a keyed
+    * |domains|-row join, never a driver collect; only the reference
+    * (T, V) pair is carried as literals (q80's bounded-metadata pattern).
+    */
+  def domainNll(
+      docs: DataFrame, idCol: String, domCol: String, textCol: String,
+      isRef: Column, minBigramCount: Int = DefaultMinBigramCount): DataFrame = {
+    val ref = docs.filter(isRef)
+    val uni = unigramCounts(ref, textCol)
+    val bi = bigramCounts(ref, textCol, minBigramCount)
+    val totals = uni.agg(
+      coalesce(sum("c"), lit(0L)).as("t"), count(lit(1)).as("v")).first()
+    val t = totals.getLong(0)
+    val v = totals.getLong(1)
+    require(t > 0,
+      "domainNll reference slice is empty (isRef matched no tokens) — " +
+        "excess loss against a model trained on nothing is meaningless")
+    val denom = (t + v + 1).toDouble
+
+    val toks = TextStats.tokens(col(textCol))
+    val duni = docs.select(col(domCol), explode(toks).as("w"))
+      .groupBy(domCol, "w").agg(count(lit(1)).as("c"))
+    val dtot = duni.groupBy(domCol)
+      .agg(sum("c").as("dt"), count(lit(1)).as("dv"))
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val dbi = docs.select(col(domCol), explode(pairs).as("p"))
+      .groupBy(col(domCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minBigramCount)
+
+    // One positions pass carries the domain key alongside each (prev, w);
+    // the two reference unigram probes join the BARE `uni` aggregate so
+    // physical planning reuses one broadcast exchange (the perplexityFrom
+    // discipline), and the two domain unigram probes do the same on `duni`.
+    val flat = positionsBy(docs, idCol, domCol, textCol)
+    val ua = uni.alias("ua")
+    val ub = uni.alias("ub")
+    val da = duni.alias("da")
+    val db = duni.alias("db")
+    val scored = flat.alias("f")
+      .join(ua, col("f.w") === col("ua.w"), "left")
+      .join(ub, col("f.prev") === col("ub.w"), "left")
+      .join(da, col(s"f.$domCol") === col(s"da.$domCol") &&
+        col("f.w") === col("da.w"), "left")
+      .join(db, col(s"f.$domCol") === col(s"db.$domCol") &&
+        col("f.prev") === col("db.w"), "left")
+      .select(col(s"f.$idCol"), col(s"f.$domCol").as(domCol),
+        col("f.prev").as("prev"), col("f.w").as("w"),
+        col("ua.c").as("c_w"), col("ub.c").as("c_prev"),
+        col("da.c").as("dc_w"), col("db.c").as("dc_prev"))
+      .join(bi.select(col("w1").as("prev"), col("w2").as("w"), col("c2")),
+        Seq("prev", "w"), "left")
+      .join(dbi.select(col(domCol), col("w1").as("prev"), col("w2").as("w"),
+        col("c2").as("dc2")), Seq(domCol, "prev", "w"), "left")
+      .join(dtot, Seq(domCol))
+
+    val puniRef = (coalesce(col("c_w"), lit(0L)) + lit(1L)).cast("double") / lit(denom)
+    val condRef = when(col("prev").isNull, lit(null).cast("double"))
+      .when(col("c2").isNull, lit(0.0))
+      .otherwise(col("c2").cast("double") / col("c_prev").cast("double"))
+    val pRef = when(condRef.isNull, puniRef)
+      .otherwise(lit(Lambda) * condRef + lit(UnigramWeight) * puniRef)
+    val puniOwn = (coalesce(col("dc_w"), lit(0L)) + lit(1L)).cast("double") /
+      (col("dt") + col("dv") + lit(1L)).cast("double")
+    val condOwn = when(col("prev").isNull, lit(null).cast("double"))
+      .when(col("dc2").isNull, lit(0.0))
+      .otherwise(col("dc2").cast("double") / col("dc_prev").cast("double"))
+    val pOwn = when(condOwn.isNull, puniOwn)
+      .otherwise(lit(Lambda) * condOwn + lit(UnigramWeight) * puniOwn)
+
+    // Same determinism discipline as perplexityFrom: per-position
+    // round(ln(p), 6) summed as DECIMAL(20,6), mean decided in integer
+    // space — both NLL columns come out as exact micro-unit BIGINTs.
+    scored
+      .withColumn("lp_ref", round(log(pRef), 6).cast("decimal(20,6)"))
+      .withColumn("lp_own", round(log(pOwn), 6).cast("decimal(20,6)"))
+      .groupBy(col(domCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp_ref")).as("sr"), sum(col("lp_own")).as("so"))
+      .withColumn("__mr", (col("sr") * lit(-1000000L)).cast("long"))
+      .withColumn("__mo", (col("so") * lit(-1000000L)).cast("long"))
+      .select(col(domCol), col("n_tokens"),
+        expr("(2 * __mr + n_tokens) div (2 * n_tokens)").as("__m_ref"),
+        expr("(2 * __mo + n_tokens) div (2 * n_tokens)").as("__m_own"))
+  }
+
+  /** [[positions]] carrying a domain column on every (prev, w) row — same
+    * shuffle-free in-row construction, used by [[domainNll]] so the
+    * per-domain aggregation needs no corpus-scale join back to the docs.
+    */
+  private[llm] def positionsBy(
+      df: DataFrame, idCol: String, domCol: String, textCol: String): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val m = greatest(size(toks) - 1, lit(0))
+    val rest = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+    val head = when(size(toks) >= 1,
+      array(struct(lit(null).cast("string").as("prev"),
+        element_at(toks, 1).as("w"))))
+      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
+    df.select(col(idCol), col(domCol), explode(concat(head, rest)).as("p"))
+      .select(col(idCol), col(domCol),
+        col("p.prev").as("prev"), col("p.w").as("w"))
+  }
+
   /** The SCORING half of [[perplexity]] against PREBUILT model tables —
     * the artifact form the streaming curation loop consumes: `uni`
     * ((w, c)) and `bi` ((w1, w2, c2)) are the persisted count tables, and
