@@ -3866,8 +3866,11 @@ object LlmQueries {
     * `sum(...) OVER ()` BIGINT window totals — additions all integer, so
     * window evaluation order cannot matter.
     */
-  private val q90Oracle: String =
-    s"""WITH tok AS (SELECT doc_id, source, lang, $dToks AS toks FROM documents),
+  /** The q90 CTE chain through `j4` (per-source micro-unit scores +
+    * window totals), shared with q90b where the final select becomes a
+    * `w90` CTE. */
+  private val q90Ctes: String =
+    s"""tok AS (SELECT doc_id, source, lang, $dToks AS toks FROM documents),
        |rt AS (SELECT unnest(toks) AS w FROM tok WHERE lang = '$LmRefLang'),
        |uni AS (SELECT w, count(*) AS c FROM rt GROUP BY 1),
        |tot AS (SELECT sum(c) AS t, count(*) AS v FROM uni),
@@ -3943,13 +3946,78 @@ object LlmQueries {
        |             * (CAST(x_u AS DOUBLE) / 1000000.0)), 6) AS DECIMAL(20,6))
        |           * 1000000 AS BIGINT) AS score_u
        |       FROM j2),
-       |j4 AS (SELECT *, sum(score_u) OVER () AS total_u FROM j3)
-       |SELECT source, n_docs, n_tokens, token_frac,
+       |j4 AS (SELECT *, sum(score_u) OVER () AS total_u FROM j3)""".stripMargin
+
+  /** The q90 final select (full mixture row per source). */
+  private val q90Select: String =
+    s"""SELECT source, n_docs, n_tokens, token_frac,
        |  CAST(mru AS DOUBLE) / 1000000.0 AS nll_ref,
        |  CAST(mou AS DOUBLE) / 1000000.0 AS nll_own,
        |  CAST(mru - mou AS DOUBLE) / 1000000.0 AS excess,
        |  ${sqlIntRatio6("score_u", "total_u")} AS weight
        |FROM j4""".stripMargin
+
+  private val q90Oracle: String = s"WITH $q90Ctes\n$q90Select"
+
+  /** q90b — REALIZE the q90 mixture (the train→apply closure, the q87
+    * convention): per-source keep rate r_s = round((w_s / frac_s) ·
+    * min_{s'}(frac_{s'} / w_{s'}), 6) — kept token mass ∝ weight, rate
+    * anchored so the most-upweighted source keeps everything (hash
+    * sampling never upsamples, the q53 temperature-mix discipline) — and
+    * each document's keep decision is the [[graft.operators.Sampling]]
+    * md5-prefix draw at its source's rate, keyed on doc_id. Output
+    * (doc_id, source, rate): the realized pretraining mixture plus the
+    * audit column. Sources whose every document tokenizes to nothing
+    * carry no weight row and drop out (nothing to sample).
+    *
+    * Scale shape: the whole q90 plan runs ONCE into a |sources|-row rate
+    * table that broadcasts back onto a (doc_id, source) corpus
+    * projection; the keep decision is a map-side string compare — the
+    * corpus is never shuffled and never scanned wider than two columns.
+    *
+    * Determinism: w and frac are round-6 doubles, their quotients and
+    * the 20-way min are identical-input double ops (min is exact and
+    * order-free), and the only new rounding is the final round-6 on the
+    * rate — same operand order in both engines, then the same printf-hex
+    * threshold derivation as q53.
+    */
+  def doremiResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = doremiWeights(spark, dir)
+    // min anchor via a global window over the |sources|-row weight table
+    // (the temperatureSample pattern — avoids the plan-audit-banned
+    // constant-key cross join)
+    val anchored = w.select(col("source"), col("token_frac"), col("weight"))
+      .withColumn("__c",
+        min(col("token_frac") / col("weight")).over(Window.partitionBy()))
+    val rates = anchored.select(col("source"),
+      round((col("weight") / col("token_frac")) * col("__c"), 6).as("rate"))
+    val threshold = format_string("%08x",
+      least(floor(col("rate") * lit(4294967296.0)).cast("long"),
+        lit(4294967295L)))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select("doc_id", "source")
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 8) < threshold)
+      .select("doc_id", "source", "rate")
+  }
+
+  /** Twin: the q90 chain as CTEs, the same min-anchored rate with the
+    * identical parenthesization, and the q53 printf-hex keep draw. */
+  private val q90bOracle: String =
+    s"""WITH $q90Ctes,
+       |w90 AS ($q90Select),
+       |r AS (SELECT source,
+       |  round((weight / token_frac) * (SELECT min(token_frac / weight) FROM w90),
+       |    6) AS rate
+       |  FROM w90)
+       |SELECT d.doc_id, d.source, r.rate
+       |FROM documents d JOIN r USING (source)
+       |WHERE r.rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+       |  < printf('%08x', least(CAST(floor(rate * 4294967296.0) AS BIGINT),
+       |                         4294967295))""".stripMargin
 
   // ---- q89: modern pretraining curation (capstone) ----------------------
 
@@ -4322,7 +4390,8 @@ object LlmQueries {
     "q88_classifier_eval" -> ((s, d) => classifierEval(s, d)),
     "q86_kmeans_converged" -> ((s, d) => kmeansConvergedQuery(s, d)),
     "q89_pretrain_curation" -> ((s, d) => pretrainCuration(s, d)),
-    "q90_doremi_weights" -> ((s, d) => doremiWeights(s, d))
+    "q90_doremi_weights" -> ((s, d) => doremiWeights(s, d)),
+    "q90b_doremi_resample" -> ((s, d) => doremiResample(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -4407,6 +4476,7 @@ object LlmQueries {
     "q88_classifier_eval" -> q88Oracle,
     "q86_kmeans_converged" -> q86Oracle,
     "q89_pretrain_curation" -> q89Oracle,
-    "q90_doremi_weights" -> q90Oracle
+    "q90_doremi_weights" -> q90Oracle,
+    "q90b_doremi_resample" -> q90bOracle
   )
 }

@@ -208,6 +208,48 @@ class DoremiSpec extends SparkTestBase {
       s"upweighting must follow excess order: $ratios")
   }
 
+  // ---- q90b: realized mixture -----------------------------------------
+
+  test("q90b matches the driver-side resample exactly (rates, membership)") {
+    val expected = {
+      val rows = Tables.documents(spark, dir)
+        .select("doc_id", "text", "lang", "source")
+        .as[(Long, String, String, String)].collect()
+        .map(r => Doc(r._1, r._2, r._3, r._4)).toSeq
+      val w = bruteDoremi(rows)
+      val c = w.values.map(r => r._3 / r._7).min
+      val rates = w.map { case (dom, r) =>
+        dom -> BigDecimal((r._7 / r._3) * c)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex8(s: String): String =
+        md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      rows.flatMap { d =>
+        rates.get(d.source).filter { rate =>
+          rate >= 1.0 || md5hex8(d.id.toString) <
+            f"${math.min(math.floor(rate * 4294967296.0).toLong, 4294967295L)}%08x"
+        }.map(rate => (d.id, d.source, rate))
+      }.toSet
+    }
+    val got = LlmQueries.queries("q90b_doremi_resample")(spark, dir)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("q90b rates: the anchor source keeps everything, every other rate is in (0, 1]") {
+    val rates = LlmQueries.queries("q90b_doremi_resample")(spark, dir)
+      .select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates.values.max == 1.0,
+      "the least-downsampled source must anchor at rate 1 (no upsampling)")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0), s"rates out of range: $rates")
+    // every weighted source survives the sample (positive rate, and the
+    // md5 draw at these corpus sizes keeps >0 docs for every source here)
+    assert(rates.size == 20)
+  }
+
   test("q90 plan: no cartesian, bounded corpus scans, model joins broadcast with reuse") {
     val df = LlmQueries.queries("q90_doremi_weights")(spark, dir)
     val p0 = df.queryExecution.executedPlan.toString
