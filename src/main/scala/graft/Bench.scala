@@ -207,7 +207,17 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // noop-write, NOT count(): under count() Catalyst prunes every
+        // computation that doesn't bear on output CARDINALITY — q90's
+        // whole scoring pipeline (8 joins → 2, windows and log() gone,
+        // measured r18), and a bare projection like q71 can answer from
+        // parquet row-group metadata without reading data at all. The
+        // noop sink evaluates every output column and discards rows at
+        // the executor, so the timed body is the plan a consumer
+        // actually pays for. Protocol generation note: r18 and later
+        // totals are NOT comparable with count()-era records
+        // (BASELINE.md, superseded-records section).
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         acc += name -> (acc(name) :+ (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -3998,7 +3998,7 @@ object LlmQueries {
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select("doc_id", "source")
-      .join(broadcast(rates), Seq("source"))
+      .join(rates, Seq("source"))
       .filter(col("rate") >= 1.0 ||
         substring(md5(col("doc_id").cast("string")), 1, 8) < threshold)
       .select("doc_id", "source", "rate")

@@ -91,6 +91,11 @@ object MemPressure {
       System.gc()
       listener.reset()
       val t0 = System.nanoTime()
+      // count() here is deliberate — the row count IS the recorded
+      // evidence (the q89 rows:0 find). Caveat inherited from Bench's r18
+      // noop-sink rationale: count() lets Catalyst prune value-only
+      // computation, so a value-heavy/cardinality-light query (q90) is
+      // under-stressed here; pressure-probe it via Bench instead.
       val outcome =
         try { val n = fn(spark, sfDir).count(); Right(n) }
         catch { case e: Throwable =>
