@@ -4019,6 +4019,75 @@ object LlmQueries {
        |  < printf('%08x', least(CAST(floor(rate * 4294967296.0) AS BIGINT),
        |                         4294967295))""".stripMargin
 
+  // ---- q91: prototypicality pruning (SSL-prototypes / D4) ---------------
+
+  /** Keep quantile for q91: drop the top 20% most-prototypical members of
+    * every cluster (the abundant-data operating point of Sorscher et al. —
+    * at scale the EASY examples are the redundant ones). */
+  private[graft] val ProtoKeepQuantile = 0.8
+
+  /** q91 — PROTOTYPICALITY pruning over the embedding corpus
+    * ([[graft.llm.Similarity.prototypePrune]], the SSL-prototypes / D4
+    * cluster-based data-pruning shape): one q81 Lloyd refine from the
+    * pinned [[kmeansSeedSet]], assignment to the refined centroids, per-
+    * member cosine-to-centroid prototypicality, and a per-cluster exact-
+    * percentile cut keeping the bottom [[ProtoKeepQuantile]] — the
+    * diversity-preserving prune that complements q48c's near-dup removal
+    * (semantic dedup removes TWINS; prototype pruning thins the dense
+    * CORE every cluster keeps after dedup). Output (vec_id, bucket,
+    * proto) for the kept vectors.
+    */
+  def protoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+    Similarity.prototypePrune(e, kmeansSeedSet(e), ProtoKeepQuantile)
+      .select(col("id").as("vec_id"), col("bucket"), col("proto"))
+  }
+
+  /** Twin: the q82 chain through round-1 wide centroids (c1n), the a2
+    * assignment against them, the same round-6 cosine recomputed as the
+    * proto score, and the q49 quantile_cont threshold per bucket. */
+  private val q91Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id AS id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |c0 AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_nrm FROM n
+      |       WHERE id % $KmeansSeedStride = 0 AND id < $KmeansCentroidIdBound),
+      |a1 AS (
+      |  SELECT id, emb, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c0 c) WHERE r = 1),
+      |x1 AS (SELECT bucket,
+      |         unnest(list_transform(range(len(emb)), i ->
+      |           {'pos': i + 1, 'xd': CAST(round(emb[i+1], 6) AS DECIMAL(18,6))})) AS u
+      |       FROM a1),
+      |s1 AS (SELECT bucket, u.pos AS dim_pos,
+      |         CAST(sum(u.xd) * 1000000 AS BIGINT) AS sI, count(*) AS n
+      |       FROM x1 GROUP BY 1, 2),
+      |m1 AS (SELECT bucket, dim_pos,
+      |         CAST(CASE WHEN sI < 0 THEN -((2 * abs(sI) + n) // (2 * n))
+      |                   ELSE (2 * abs(sI) + n) // (2 * n) END AS DOUBLE)
+      |           / 1000000.0 AS mean_val
+      |       FROM s1),
+      |c1 AS (SELECT bucket AS c_id, list(mean_val ORDER BY dim_pos) AS c_emb
+      |       FROM m1 GROUP BY 1),
+      |c1n AS (SELECT c_id, c_emb, sqrt(list_dot_product(c_emb, c_emb)) AS c_nrm FROM c1),
+      |a2 AS (
+      |  SELECT id, emb, nrm, c_id AS bucket FROM (
+      |    SELECT n.id, n.emb, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.id
+      |        ORDER BY round(list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm), 6) DESC, c.c_id) AS r
+      |    FROM n, c1n c) WHERE r = 1),
+      |p AS (SELECT a2.id, a2.bucket,
+      |        round(list_dot_product(a2.emb, c.c_emb) / (a2.nrm * c.c_nrm), 6) AS proto
+      |      FROM a2 JOIN c1n c ON a2.bucket = c.c_id),
+      |t AS (SELECT bucket, round(quantile_cont(proto, $ProtoKeepQuantile), 6) AS thr
+      |      FROM p GROUP BY 1)
+      |SELECT p.id AS vec_id, p.bucket, p.proto
+      |FROM p JOIN t USING (bucket) WHERE p.proto <= t.thr""".stripMargin
+
   // ---- q89: modern pretraining curation (capstone) ----------------------
 
   /** Perplexity-gate quantile for q89: keep documents at or below the
@@ -4391,7 +4460,8 @@ object LlmQueries {
     "q86_kmeans_converged" -> ((s, d) => kmeansConvergedQuery(s, d)),
     "q89_pretrain_curation" -> ((s, d) => pretrainCuration(s, d)),
     "q90_doremi_weights" -> ((s, d) => doremiWeights(s, d)),
-    "q90b_doremi_resample" -> ((s, d) => doremiResample(s, d))
+    "q90b_doremi_resample" -> ((s, d) => doremiResample(s, d)),
+    "q91_prototype_prune" -> ((s, d) => protoPrune(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -4477,6 +4547,7 @@ object LlmQueries {
     "q86_kmeans_converged" -> q86Oracle,
     "q89_pretrain_curation" -> q89Oracle,
     "q90_doremi_weights" -> q90Oracle,
-    "q90b_doremi_resample" -> q90bOracle
+    "q90b_doremi_resample" -> q90bOracle,
+    "q91_prototype_prune" -> q91Oracle
   )
 }

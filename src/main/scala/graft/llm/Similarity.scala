@@ -263,6 +263,47 @@ object Similarity {
         array_sort(collect_list(struct(col("dim_pos"), col("mean_val")))),
         x => x.getField("mean_val")).as("emb"))
 
+  /** Prototypicality pruning — the SSL-prototypes / D4 shape (Sorscher
+    * et al. 2022 "Beyond neural scaling laws"; Tirumala et al. 2023 D4,
+    * both public): refine the seed centroids with ONE Lloyd round (the
+    * q81 step — training and scoring share [[ivfAssign]] so they can
+    * never disagree), assign every vector to its refined centroid, score
+    * each member's PROTOTYPICALITY as its cosine to the centroid, and
+    * drop the most-prototypical tail of every cluster — at the
+    * abundant-data regime the easy, redundant examples are the ones to
+    * shed. Keep rule: proto <= the per-cluster `keepQuantile` exact
+    * percentile (round-6, the q49 threshold convention — boundary rows
+    * kept in both engines). Output (id, bucket, proto), one row per
+    * KEPT vector; degenerate members (zero-norm embedding, or a
+    * zero-norm dead centroid) score a null cosine and drop out — nothing
+    * prototypical about a vector with no direction.
+    *
+    * Scale shape: both assignments are the broadcast-centroid row-local
+    * pass with the hash-aggregable packed argmin; the proto score is one
+    * broadcast join + row-local arithmetic; the threshold is a K-row
+    * aggregate broadcast back onto a map-side filter — the corpus never
+    * shuffles beyond the assignment's per-id combine. The one honest
+    * caveat is the q36/q49 percentile caveat: EXACT per-cluster
+    * percentiles buffer member scores per group — at production scale
+    * switch to `approx_percentile`, same plan shape.
+    */
+  def prototypePrune(
+      n: DataFrame, seeds: DataFrame, keepQuantile: Double): DataFrame = {
+    require(keepQuantile > 0 && keepQuantile < 1,
+      s"keepQuantile must be in (0,1), got $keepQuantile")
+    val cents = wideCentroids(meanPool(ivfAssign(n, seeds), "bucket", "emb"))
+    val c = cents.select(col("id").as("bucket"), col("emb").as("c_emb"))
+    val proto = ivfAssign(n, cents)
+      .join(broadcast(c), Seq("bucket"))
+      .select(col("id"), col("bucket"),
+        round(fusedCosine(col("emb"), col("c_emb")), 6).as("proto"))
+    val thr = proto.groupBy("bucket")
+      .agg(round(percentile(col("proto"), lit(keepQuantile)), 6).as("thr"))
+    proto.join(broadcast(thr), Seq("bucket"))
+      .filter(col("proto") <= col("thr"))
+      .select(col("id"), col("bucket"), col("proto"))
+  }
+
   /** Eager localCheckpoint rebased to a fresh frame — cuts lineage AND the
     * cubic sizeInBytes growth (the CC-loop lesson). State-sized inputs
     * only. */
