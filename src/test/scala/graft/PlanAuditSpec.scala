@@ -80,12 +80,14 @@ class PlanAuditSpec extends SparkTestBase {
       // same ivfAssign broadcast centroid set). Plain q24 (lexical) stays
       // under the general ban.
       // q89 composes the same bounded-broadcast scoring joins (the shared
-      // ivfAssign centroid set + the probed benchmark set)
+      // ivfAssign centroid set + the probed benchmark set); q91's two
+      // Lloyd/assignment passes are the q81 machinery (k = 20 pinned by
+      // the seed-id window)
       assert(!p.contains("BroadcastNestedLoopJoin") || name.startsWith("q15") ||
         name.startsWith("q16") || name.startsWith("q24b") ||
         name.startsWith("q24c") || name.startsWith("q77") ||
         name.startsWith("q81") || name.startsWith("q82") ||
-        name.startsWith("q89"),
+        name.startsWith("q89") || name.startsWith("q91"),
         s"$name plans a BroadcastNestedLoopJoin")
     }
   }
