@@ -227,14 +227,30 @@ object CoreQueries {
     * `approx_percentile` with an error budget, same plan shape.
     */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
+    // The four price percentiles are ONE array-percentile aggregate, not
+    // four scalar ones (r18 optimization round, guide §2.3): Spark's
+    // `Percentile` buffers the group's full value→count multiset PER
+    // AGGREGATE EXPRESSION, so the scalar form built four identical
+    // OpenHashMaps over l_extendedprice per group and shipped four copies
+    // of that buffer through the exchange — measured 4.97→1.5–2.0 s at
+    // sf0.1 (subset A/B medians, OPTIMIZATION_r18.md; plan: 5
+    // partial_percentile buffers → 2). The array form computes
+    // every requested percentage from one shared buffer with the same
+    // interpolation arithmetic, so the output doubles are bit-identical
+    // (oracle-verified) and only the buffer count changes.
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile(col("l_extendedprice"), lit(0.25)).as("price_p25"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("price_p50"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("price_p75"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("price_p99"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99))).as("__pp"),
         percentile(col("l_quantity"), lit(0.5)).as("qty_p50"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("__pp"), 1).as("price_p25"),
+        element_at(col("__pp"), 2).as("price_p50"),
+        element_at(col("__pp"), 3).as("price_p75"),
+        element_at(col("__pp"), 4).as("price_p99"),
+        col("qty_p50"))
 
   /** q54 — CUBE of the q25 pricing summary: every grouping-set combination
     * (leaf, per-flag, per-status, grand total) in one pass, tagged by

@@ -497,22 +497,49 @@ object Dedup {
       maxIterations: Int = 50,
       roundsCallback: Option[Int => Unit] = None): DataFrame = {
     val spark = pairs.sparkSession
-    // symmetric closure PLUS a self-loop per vertex: with (v,v) present,
-    // the neighbor-min in the edge pass automatically includes v's own
-    // label, so each round is a single join+groupBy — never a union of a
-    // frame with its own derivation (which trips Union constraint
-    // rewriting in Spark 4.1).
-    val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-    // Null-id edges are dropped up front (an id paired only with null stays
-    // a singleton via its self-loop): the loop's equi-joins would drop them
+    // Symmetric closure PLUS self-loops in ONE generator pass over the
+    // pair list (r18 optimization round, guide §2.4). The previous shape —
+    // `sym = pairs ∪ pairs.swapped` then `staged = sym ∪ sym.selfloops
+    // .distinct()` — referenced the `pairs` subtree FOUR times, and a
+    // caller's pair generation is typically its query's most expensive
+    // plan (a banded bucket-join plus exact-Jaccard verification, or a
+    // cell-blocked cosine self-join). AQE's stage reuse deduplicates the
+    // EXCHANGES under those branches but not the post-exchange join +
+    // verification segments, which re-ran per branch; the distinct for
+    // self-loop dedup added one more exchange. Measured at sf0.1 (subset
+    // A/B medians, OPTIMIZATION_r18.md): q32 7.24→4.43 s, q48b
+    // 4.38→2.40, q48c 4.27→2.62, q52_oneshot 4.74→2.83, q89 15.0→11.5.
+    // (An alternative fix — persist+count the pair list, then union —
+    // measured SLOWER than baseline at sf0.1: the extra materialization
+    // action and cache build cost more than the deduped segments saved.)
+    // Here each pair row
+    // explodes into its four edges — (a,b), (b,a), (a,a), (b,b) — so the
+    // pair plan is referenced (and evaluated) exactly once, with no
+    // distinct exchange and no extra materialization action. Self-loops
+    // now repeat per pair OCCURRENCE rather than once per vertex: both
+    // component strategies are multiplicity-blind (union-find ignores
+    // duplicate edges; the loop's groupBy-min absorbs them), so the
+    // output is unchanged; `edgeRows` below now counts 4·|pairs| rows,
+    // which only nudges the two size HEURISTICS that consume it (the
+    // driver-path gate and the loop grain).
+    //
+    // Null-id edges drop up front (an id paired only with null stays a
+    // singleton via its self-loop): the loop's equi-joins would drop them
     // anyway — null never equals anything in SQL — but the driver
     // union-find would NPE on the collected rows, so the two strategies
-    // diverged on the same degenerate input (r14 advisor). One filter on
-    // the staged frame keeps them output-equal everywhere.
-    val staged = sym.filter(col("u").isNotNull && col("v").isNotNull)
-      .union(sym.select(col("u"), col("u").as("v"))
-        .filter(col("u").isNotNull).distinct())
+    // diverged on the same degenerate input (r14 advisor). With (v,v)
+    // present, the neighbor-min in the edge pass automatically includes
+    // v's own label, so each round is a single join+groupBy — never a
+    // union of a frame with its own derivation (which trips Union
+    // constraint rewriting in Spark 4.1).
+    val staged = pairs
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")),
+        struct(col("id_a").as("u"), col("id_a").as("v")),
+        struct(col("id_b").as("u"), col("id_b").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One counting action materializes the edge set and MEASURES it.
     // Everything the loop shuffles from here on is state-scale — the edges

@@ -123,10 +123,18 @@ object Profile {
       df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     require(0 <= pLo && pLo <= pHi && pHi <= 1, "need 0 <= pLo <= pHi <= 1")
+    // Both bounds from ONE array-percentile aggregate (the q36 fusion,
+    // r18 optimization round): two scalar `percentile`s buffer the
+    // group's value multiset twice and ship two copies through the
+    // exchange; the array form shares one buffer and interpolates both
+    // percentages from it with identical arithmetic — same doubles,
+    // half the aggregate state (measured 2.66→1.7–1.9 s at sf0.1,
+    // subset A/B medians, OPTIMIZATION_r18.md).
     val bounds = df.groupBy(col(groupCol)).agg(
-      percentile(col(valueCol), lit(pLo)).as("__lo"),
-      percentile(col(valueCol), lit(pHi)).as("__hi"))
-      .withColumnRenamed(groupCol, "__grp")
+      percentile(col(valueCol), array(lit(pLo), lit(pHi))).as("__b"))
+      .select(col(groupCol).as("__grp"),
+        element_at(col("__b"), 1).as("__lo"),
+        element_at(col("__b"), 2).as("__hi"))
     df.join(broadcast(bounds), col(groupCol) <=> col("__grp"))
       .withColumn("clipped",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
