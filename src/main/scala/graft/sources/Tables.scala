@@ -206,7 +206,16 @@ object Compaction {
       (dataBytes(spark, inPath) + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inPath)
     val laid =
-      if (sortCols.nonEmpty)
+      if (sortCols.nonEmpty && files == 1)
+        // Single-file target: `repartitionByRange(1, …)` would still run
+        // the range partitioner's SAMPLING job and a full shuffle to
+        // compute the one trivial range — `coalesce(1)` merges the input
+        // splits with no shuffle and no sampling pass, and the
+        // within-partition sort produces the identical sorted file
+        // (r18 optimization round, guide §2.4: an orderBy-shaped exchange
+        // used only to reach a single output partition is removable).
+        df.coalesce(1).sortWithinPartitions(sortCols.map(df.col): _*)
+      else if (sortCols.nonEmpty)
         df.repartitionByRange(files, sortCols.map(df.col): _*)
           .sortWithinPartitions(sortCols.map(df.col): _*)
       else df.repartition(files)
@@ -254,11 +263,31 @@ object Compaction {
     val leaves = partitions.getOrElse(partitionDirs(spark, inPath))
     if (leaves.isEmpty)
       Map("" -> compactParquet(spark, inPath, outPath, targetFileBytes, sortCols))
-    else
-      leaves.map { rel =>
-        rel -> compactParquet(
-          spark, s"$inPath/$rel", s"$outPath/$rel", targetFileBytes, sortCols)
-      }.toMap
+    else {
+      // Per-partition compactions are INDEPENDENT jobs (disjoint inputs,
+      // disjoint output leaves), so submit them from a small thread pool
+      // instead of serially (r18 optimization round, guide §2.6: overlap
+      // independent jobs so one partition's write/commit tail back-fills
+      // with the next partition's scan). Each partition is still its own
+      // bounded Spark job — the failure-isolation property the scaladoc
+      // promises is unchanged, and the result map is keyed, so completion
+      // order cannot reorder it. 4 in flight is the guide's "enough to
+      // fill the tail" sizing; measured at sf0.1 (5 lang partitions):
+      // q63 5.10 (in-registry) → 3.05 s (solo, normally the SLOWER
+      // protocol) together with the coalesce fast path above.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, leaves.size))
+      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = leaves.map { rel =>
+          scala.concurrent.Future(rel -> compactParquet(
+            spark, s"$inPath/$rel", s"$outPath/$rel", targetFileBytes, sortCols))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf).toMap
+      } finally pool.shutdown()
+    }
   }
 }
 
