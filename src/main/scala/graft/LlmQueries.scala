@@ -4170,6 +4170,32 @@ object LlmQueries {
     val par = spark.sparkContext.defaultParallelism
     val docs = Tables.documents(spark, dir).repartition(par)
 
+    // The three prep families below — classifier train+score+median (stage
+    // 1), perplexity score+median (stage 2), and the embedding
+    // count→assignment→clusters chain (stages 3+4) — are INDEPENDENT until
+    // the gate conjunction, but each runs bounded driver actions (epoch
+    // gradient collects, the two median `first()`s, the geometry `count()`,
+    // the CC resolution), which serialized the whole prep: every action's
+    // job tail left the cluster idle while the next family waited. Submit
+    // each family from its own driver thread (guide §2.6 — overlap
+    // independent jobs; FIFO scheduling back-fills one family's stragglers
+    // with the next family's tasks) and join before composing the gate.
+    // Results are unchanged — each family's output is deterministic and
+    // the composed plan is identical; only the driver-side submission
+    // order moved. Measured at sf0.1 (r18 opt round): q89 12.8 s
+    // in-registry → 5.9 s SOLO (normally the slower protocol) — the prep
+    // families' ~80 small AQE-stage jobs were mostly cluster-idle driver
+    // latency, which is exactly what overlapping recovers. Note the CC
+    // grain-swap trade documented on
+    // [[graft.llm.Dedup.connectedComponents]] — a concurrently PLANNED
+    // query can see the loop's temporary state-scale grain — now applies
+    // within this method's prep window too (at bench scale the small-graph
+    // driver path makes it moot; at corpus scale the swap is live for the
+    // loop's duration regardless of who planned alongside).
+    val prepPool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val prepEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(prepPool)
+
     // stage 1: trained classifier, RANK-based keep — score at or above
     // the corpus median margin ([[ClfGateQuantile]]), NOT q85's raw
     // margin > 0 cut. Measured reason (r18 CurationScaleProbe): under the
@@ -4186,17 +4212,19 @@ object LlmQueries {
     // margin>0 semantics (q88 evaluates that cut); the pipeline consumes
     // the RANKING. The median is one bounded `first()` carried as a
     // literal, exactly like the NLL median.
-    val clfScores = Classifier
-      .trainScore(docs, dsirTarget, clfTrain, ClfBuckets, ClfEpochs)
-      .select("doc_id", "score")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val clfMedRow = clfScores
-      .agg(round(percentile(col("score"), lit(ClfGateQuantile)), 6))
-      .first()
-    require(!clfMedRow.isNullAt(0),
-      "curation needs at least one classifier-scored document")
-    val clfKeepIds = clfScores
-      .filter(col("score") >= clfMedRow.getDouble(0)).select("doc_id")
+    val clfFut = scala.concurrent.Future {
+      val clfScores = Classifier
+        .trainScore(docs, dsirTarget, clfTrain, ClfBuckets, ClfEpochs)
+        .select("doc_id", "score")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val clfMedRow = clfScores
+        .agg(round(percentile(col("score"), lit(ClfGateQuantile)), 6))
+        .first()
+      require(!clfMedRow.isNullAt(0),
+        "curation needs at least one classifier-scored document")
+      clfScores
+        .filter(col("score") >= clfMedRow.getDouble(0)).select("doc_id")
+    }
 
     // stage 2: perplexity + median gate; persist — the N-row score frame
     // feeds the median aggregate AND the gate join (q49's caller-owned
@@ -4207,55 +4235,67 @@ object LlmQueries {
     // (and its bench timing's) physical plan whenever both live in one
     // session without a clearCache between (measured: the same collision
     // class flipped q16h's plan-audit via the shared assignment below).
-    val ppl = LanguageModel
-      .perplexity(docs, "doc_id", "text", col("lang") === LmRefLang)
-      .select("doc_id", "nll_per_token", "n_tokens")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val medianRow = ppl
-      .agg(round(percentile(col("nll_per_token"), lit(PplGateQuantile)), 6))
-      .first()
-    // percentile over ZERO rows returns SQL NULL, not an error — surface
-    // the empty-corpus case as a message instead of getDouble's opaque
-    // NPE (the embedding corpus gets the same guard via `nEmb > 0` below)
-    require(!medianRow.isNullAt(0),
-      "curation needs at least one perplexity-scored document " +
-        "(documents table empty, or no rows to score)")
-    val nllMedian = medianRow.getDouble(0)
-    val pplKeep = ppl.filter(col("nll_per_token") <= nllMedian)
-      .select("doc_id", "n_tokens")
+    val pplFut = scala.concurrent.Future {
+      val ppl = LanguageModel
+        .perplexity(docs, "doc_id", "text", col("lang") === LmRefLang)
+        .select("doc_id", "nll_per_token", "n_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val medianRow = ppl
+        .agg(round(percentile(col("nll_per_token"), lit(PplGateQuantile)), 6))
+        .first()
+      // percentile over ZERO rows returns SQL NULL, not an error — surface
+      // the empty-corpus case as a message instead of getDouble's opaque
+      // NPE (the embedding corpus gets the same guard via `nEmb > 0` below)
+      require(!medianRow.isNullAt(0),
+        "curation needs at least one perplexity-scored document " +
+          "(documents table empty, or no rows to score)")
+      val nllMedian = medianRow.getDouble(0)
+      ppl.filter(col("nll_per_token") <= nllMedian)
+        .select("doc_id", "n_tokens")
+    }
 
     // stages 3+4 share ONE embedding scan and ONE adaptive assignment
-    val embRaw = Tables.embeddings(spark, dir).repartition(par)
-    val nEmb = embRaw.count()
-    require(nEmb > 0, "curation needs a non-empty embedding corpus")
-    val kCent = math.ceil(math.sqrt(nEmb.toDouble)).toLong
-    val stride = math.max(1L, nEmb / kCent)
-    val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
-    val vecs = embRaw.select(col("vec_id").as("id"),
-      Similarity.asDouble(col("embedding")).as("emb"))
-    val centroids = vecs.filter(col("id") % stride === 0)
-    // reordered before the persist for the same cache-collision reason as
-    // ppl above: q16h/q16i/q48c build this exact ivfAssign subtree (same
-    // corpus, same count-derived stride), and the cached fragment must
-    // never substitute into THEIR plans
-    val assigned = Similarity.ivfAssign(vecs, centroids)
-      .select("id", "bucket", "emb")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // BOUNDED benchmark suite ([[SemBenchIdBound]]): the unbounded % 48
-    // form made the probe broadcast N·√N-sized and candidates quadratic —
-    // the measured 1000× broadcast OOM (r17 BASELINE section)
-    val benchPred = semBenchCol
-    val contaminatedIds = assigned.filter(!benchPred)
-      .join(broadcast(
-        Similarity.probeBuckets(vecs.filter(benchPred), centroids, nprobe)),
-        Seq("bucket"))
-      .filter(round(Similarity.fusedCosine(col("emb"), col("q_emb")), 6)
-        >= CosineDupThreshold)
-      .select(col("id").as("doc_id")).distinct()
-    val clusters = Dedup.connectedComponents(
-        Similarity.cosinePairs(assigned, "id", "emb", col("bucket"),
-          CosineDupThreshold))
-      .withColumnRenamed("id", "doc_id")
+    val embFut = scala.concurrent.Future {
+      val embRaw = Tables.embeddings(spark, dir).repartition(par)
+      val nEmb = embRaw.count()
+      require(nEmb > 0, "curation needs a non-empty embedding corpus")
+      val kCent = math.ceil(math.sqrt(nEmb.toDouble)).toLong
+      val stride = math.max(1L, nEmb / kCent)
+      val nprobe = math.ceil(AdaptiveProbeFraction * kCent).toInt
+      val vecs = embRaw.select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("emb"))
+      val centroids = vecs.filter(col("id") % stride === 0)
+      // reordered before the persist for the same cache-collision reason as
+      // ppl above: q16h/q16i/q48c build this exact ivfAssign subtree (same
+      // corpus, same count-derived stride), and the cached fragment must
+      // never substitute into THEIR plans
+      val assigned = Similarity.ivfAssign(vecs, centroids)
+        .select("id", "bucket", "emb")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // BOUNDED benchmark suite ([[SemBenchIdBound]]): the unbounded % 48
+      // form made the probe broadcast N·√N-sized and candidates quadratic —
+      // the measured 1000× broadcast OOM (r17 BASELINE section)
+      val benchPred = semBenchCol
+      val contaminatedIds = assigned.filter(!benchPred)
+        .join(broadcast(
+          Similarity.probeBuckets(vecs.filter(benchPred), centroids, nprobe)),
+          Seq("bucket"))
+        .filter(round(Similarity.fusedCosine(col("emb"), col("q_emb")), 6)
+          >= CosineDupThreshold)
+        .select(col("id").as("doc_id")).distinct()
+      val clusters = Dedup.connectedComponents(
+          Similarity.cosinePairs(assigned, "id", "emb", col("bucket"),
+            CosineDupThreshold))
+        .withColumnRenamed("id", "doc_id")
+      (contaminatedIds, clusters)
+    }
+
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val (clfKeepIds, pplKeep, (contaminatedIds, clusters)) =
+      try (Await.result(clfFut, Duration.Inf), Await.result(pplFut, Duration.Inf),
+        Await.result(embFut, Duration.Inf))
+      finally prepPool.shutdown()
 
     // gate conjunction → surviving-representative dedup → mix → budget
     val gated = docs.select(col("doc_id"), col("lang"))
