@@ -4292,10 +4292,24 @@ object LlmQueries {
 
     import scala.concurrent.Await
     import scala.concurrent.duration.Duration
+    // Await ALL three families before propagating a failure (ADVICE r18):
+    // a fail-fast Await chain threw while the other families' Spark job
+    // chains kept running to completion in the background, leaving their
+    // MEMORY_AND_DISK persists registered with nothing to unpersist them.
+    // Lifting each future to its Try makes the join total — every family
+    // has finished (either way) before the first failure is rethrown.
     val (clfKeepIds, pplKeep, (contaminatedIds, clusters)) =
-      try (Await.result(clfFut, Duration.Inf), Await.result(pplFut, Duration.Inf),
-        Await.result(embFut, Duration.Inf))
-      finally prepPool.shutdown()
+      try {
+        val outcomes = Await.result(
+          scala.concurrent.Future.sequence(Seq(
+            clfFut.transform(scala.util.Success(_)),
+            pplFut.transform(scala.util.Success(_)),
+            embFut.transform(scala.util.Success(_)))),
+          Duration.Inf)
+        outcomes.foreach { case scala.util.Failure(e) => throw e; case _ => () }
+        (Await.result(clfFut, Duration.Inf), Await.result(pplFut, Duration.Inf),
+          Await.result(embFut, Duration.Inf))
+      } finally prepPool.shutdown()
 
     // gate conjunction → surviving-representative dedup → mix → budget
     val gated = docs.select(col("doc_id"), col("lang"))

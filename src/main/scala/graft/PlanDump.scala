@@ -19,6 +19,12 @@ import org.apache.spark.sql.execution.ExplainMode
   * initial `isFinalPlan=false` shape — Exchange counts and join
   * strategies shown are the static planner's choices, which is exactly
   * what code-level optimization changes.
+  *
+  * `SPARK_GRAFT_PLANDUMP_EXEC=1` additionally EXECUTES each query with
+  * the Bench noop sink and appends the post-execution
+  * `executedPlan.toString` (the final adaptive plan) — that's where
+  * runtime artifacts like ReusedExchange / AQE stage reuse are visible,
+  * which the initial plan cannot show (r19 diagnostic).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -28,6 +34,7 @@ object PlanDump {
     val only = args.lift(3)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
+    val exec = sys.env.get("SPARK_GRAFT_PLANDUMP_EXEC").contains("1")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
@@ -36,9 +43,19 @@ object PlanDump {
     }
     for ((name, fn) <- selected) {
       try {
+        spark.catalog.clearCache()
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-        Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), txt)
+        val full =
+          if (exec) {
+            // Execute THIS QueryExecution (df.write would spawn its own,
+            // leaving df's adaptive plan untouched): run the plan's RDD
+            // and discard rows at the executor — noop-sink-equivalent.
+            df.queryExecution.executedPlan.execute().foreach(_ => ())
+            txt + "\n\n== Post-execution adaptive plan ==\n" +
+              df.queryExecution.executedPlan.toString
+          } else txt
+        Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), full)
         println(s"[plandump] $name -> $outDir/${name}_$tag.txt")
       } catch {
         case e: Throwable =>

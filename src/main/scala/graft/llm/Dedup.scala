@@ -422,10 +422,13 @@ object Dedup {
   /** Default for `spark.graft.cc.driverEdgeLimit`: STAGED row sets
     * strictly below this resolve on the driver (union-find), at or above
     * it the distributed label-propagation loop runs. The unit is staged
-    * rows — the symmetric closure plus one self-loop per vertex, ~2E+V
-    * for E raw pairs over V vertices — because that is the frame the
-    * loop's single measuring count sees; a user reasoning in raw pairs
-    * should budget roughly half this value. 2^18 staged rows is ~4 MB of
+    * rows — since the r18 explode form that is exactly 4·|pairs| (each
+    * pair row emits both directions plus BOTH endpoints' self-loops, one
+    * per pair occurrence), so a user budgeting in raw pairs should divide
+    * this value by 4. (Before r18 the staged set was ~2E+V — the unit
+    * change means the gate trips at roughly half the raw pair count it
+    * used to; the distributed loop itself dedups back to ~2E+V before
+    * persisting.) 2^18 staged rows is ~4 MB of
     * collected id pairs — an explicitly thresholded, conf-visible driver
     * collect (the GraphFrames-style small-graph strategy), NOT an
     * unbounded one: the count that gates it is the same measurement the
@@ -601,7 +604,20 @@ object Dedup {
     // the edges (the largest frame in the loop) never re-shuffle; only the
     // much smaller label state moves each round. The initial labels
     // aggregation reuses the same partitioning for free.
+    //
+    // `dropDuplicates` BEFORE the persist (r19, ADVICE r18): the explode
+    // form stages one self-loop per pair OCCURRENCE, so a vertex in k
+    // pairs carries k duplicate (v,v) rows — plus any duplicate (u,v)
+    // pairs the caller emitted — all of which the loop would otherwise
+    // re-join against the labels EVERY round. Deduping here costs no
+    // extra exchange (HashPartitioning on `u` satisfies the (u,v)
+    // aggregation's required distribution, so it rides the repartition
+    // just paid) and shrinks the loop's persisted frame toward the true
+    // ~2E+V edge set. Output unchanged either way — both strategies are
+    // multiplicity-blind — and the driver path keeps the raw multiset
+    // (union-find absorbs duplicates cheaper than a dedup job would).
     val edges = staged.repartition(grain, col("u"))
+      .dropDuplicates(Seq("u", "v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spark.conf.set(grainKey, grain.toString)
     try {

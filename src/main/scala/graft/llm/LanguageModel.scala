@@ -158,9 +158,65 @@ object LanguageModel {
   def domainNll(
       docs: DataFrame, idCol: String, domCol: String, textCol: String,
       isRef: Column, minBigramCount: Int = DefaultMinBigramCount): DataFrame = {
-    val ref = docs.filter(isRef)
-    val uni = unigramCounts(ref, textCol)
-    val bi = bigramCounts(ref, textCol, minBigramCount)
+    // ONE tokenize pass feeds every model table AND the positions unnest
+    // (r19 optimization round, guide §5/§6): the six consumers below —
+    // uni, bi, duni, dtot, dbi, flat — previously each applied
+    // `TextStats.tokens(text)` to their own `docs` reference, so the
+    // static plan re-tokenized the corpus per branch (18 documents scans
+    // in q90's formatted plan; AQE dedupes only the IDENTICAL exchanges,
+    // and the tokenize projections sit BELOW different aggregates).
+    // Sharing one `(id, dom, __is_ref, __toks)` frame makes single
+    // tokenization structural — behind the q12 measured-bytes gate,
+    // because caching a corpus-scale string-array column is the exact
+    // columnar-build heap hazard minhashPairs documents (token arrays ≈
+    // 1-shingles, so the same 6× expansion factor applies): persist only
+    // when the projected input fits the block managers' capacity, else
+    // recompute per branch exactly as before (the ungated plan collapses
+    // to the historical shape — Catalyst prunes `__toks` into each
+    // branch). `spark.graft.lm.persistTokens` pins the decision either
+    // way. LIFECYCLE: the persist is caller-owned (q49 convention) — the
+    // registered q90/q90b run under Bench/Verify's per-query clearCache;
+    // a long-lived library caller should clearCache or unpersist after
+    // consuming the result.
+    val spark = docs.sparkSession
+    val doPersist = spark.conf.getOption("spark.graft.lm.persistTokens") match {
+      case Some(p) => p.toBoolean
+      case None =>
+        val inputBytes = docs.select(col(idCol), col(domCol), col(textCol))
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val caps = spark.sparkContext.getExecutorMemoryStatus.values.map(_._1)
+        val storageBytes = BigInt(caps.min) * caps.size
+        Dedup.shouldPersistShingles(inputBytes, storageBytes, 1)
+    }
+    val tokPlan = docs.select(col(idCol), col(domCol), isRef.as("__is_ref"),
+      TextStats.tokens(col(textCol)).as("__toks"))
+    val tok =
+      if (doPersist)
+        tokPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tokPlan
+    val toks = col("__toks")
+    val refTok = tok.filter(col("__is_ref"))
+    // NOTE (r19, measured): AQE's exchange reuse deduplicated the twin
+    // unigram probes when they read parquet, but NOT when they read a
+    // cached relation (each InMemoryTableScan consumer becomes its own
+    // TableCacheQueryStage, so the canonical-equal aggregates above them
+    // no longer collapse — q90 final plan: 8 broadcast stages, 0
+    // ReusedExchange). Persisting uni/duni to restore single evaluation
+    // measured SLOWER (q90+q90b 2.93 → 4.45 s at sf0.1): the extra cache
+    // builds cost more than the duplicated vocab-sized aggregates save —
+    // the r18 persist-vs-recompute lesson again. The duplicated
+    // aggregates read the (already cached) token frame, so the corpus is
+    // still tokenized exactly once.
+    val uni = refTok.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bi = refTok.select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minBigramCount)
     val totals = uni.agg(
       coalesce(sum("c"), lit(0L)).as("t"), count(lit(1)).as("v")).first()
     val t = totals.getLong(0)
@@ -170,16 +226,11 @@ object LanguageModel {
         "excess loss against a model trained on nothing is meaningless")
     val denom = (t + v + 1).toDouble
 
-    val toks = TextStats.tokens(col(textCol))
-    val duni = docs.select(col(domCol), explode(toks).as("w"))
+    val duni = tok.select(col(domCol), explode(toks).as("w"))
       .groupBy(domCol, "w").agg(count(lit(1)).as("c"))
     val dtot = duni.groupBy(domCol)
       .agg(sum("c").as("dt"), count(lit(1)).as("dv"))
-    val m = greatest(size(toks) - 1, lit(0))
-    val pairs = zip_with(
-      slice(toks, lit(1), m), slice(toks, lit(2), m),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
-    val dbi = docs.select(col(domCol), explode(pairs).as("p"))
+    val dbi = tok.select(col(domCol), explode(pairs).as("p"))
       .groupBy(col(domCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minBigramCount)
@@ -188,7 +239,19 @@ object LanguageModel {
     // the two reference unigram probes join the BARE `uni` aggregate so
     // physical planning reuses one broadcast exchange (the perplexityFrom
     // discipline), and the two domain unigram probes do the same on `duni`.
-    val flat = positionsBy(docs, idCol, domCol, textCol)
+    // Positions are built from the SHARED `__toks` (same zip_with/head
+    // construction as [[positionsBy]], same rows).
+    val rest = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+    val head = when(size(toks) >= 1,
+      array(struct(lit(null).cast("string").as("prev"),
+        element_at(toks, 1).as("w"))))
+      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
+    val flat = tok.select(col(idCol), col(domCol),
+        explode(concat(head, rest)).as("p"))
+      .select(col(idCol), col(domCol),
+        col("p.prev").as("prev"), col("p.w").as("w"))
     val ua = uni.alias("ua")
     val ub = uni.alias("ub")
     val da = duni.alias("da")
@@ -238,26 +301,6 @@ object LanguageModel {
       .select(col(domCol), col("n_tokens"),
         expr("(2 * __mr + n_tokens) div (2 * n_tokens)").as("__m_ref"),
         expr("(2 * __mo + n_tokens) div (2 * n_tokens)").as("__m_own"))
-  }
-
-  /** [[positions]] carrying a domain column on every (prev, w) row — same
-    * shuffle-free in-row construction, used by [[domainNll]] so the
-    * per-domain aggregation needs no corpus-scale join back to the docs.
-    */
-  private[llm] def positionsBy(
-      df: DataFrame, idCol: String, domCol: String, textCol: String): DataFrame = {
-    val toks = TextStats.tokens(col(textCol))
-    val m = greatest(size(toks) - 1, lit(0))
-    val rest = zip_with(
-      slice(toks, lit(1), m), slice(toks, lit(2), m),
-      (a, b) => struct(a.as("prev"), b.as("w")))
-    val head = when(size(toks) >= 1,
-      array(struct(lit(null).cast("string").as("prev"),
-        element_at(toks, 1).as("w"))))
-      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
-    df.select(col(idCol), col(domCol), explode(concat(head, rest)).as("p"))
-      .select(col(idCol), col(domCol),
-        col("p.prev").as("prev"), col("p.w").as("w"))
   }
 
   /** The SCORING half of [[perplexity]] against PREBUILT model tables —

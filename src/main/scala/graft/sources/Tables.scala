@@ -283,9 +283,22 @@ object Compaction {
           scala.concurrent.Future(rel -> compactParquet(
             spark, s"$inPath/$rel", s"$outPath/$rel", targetFileBytes, sortCols))
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futs),
-          scala.concurrent.duration.Duration.Inf).toMap
+        // Await ALL outcomes before propagating any failure (ADVICE r18):
+        // a fail-fast Future.sequence would throw while sibling
+        // partitions' jobs were still writing their output leaves in the
+        // background, so a caller that catches and retries could race its
+        // retry against those orphaned writes. Lifting each future to its
+        // Try makes the sequence total — every in-flight compaction has
+        // finished (either way) before the first failure is rethrown, and
+        // the failure-isolation promise above (untouched partitions stay
+        // valid; failed/unstarted ones are simply absent) holds even with
+        // up to 4 compactions in flight.
+        val outcomes = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            futs.map(_.transform(scala.util.Success(_)))),
+          scala.concurrent.duration.Duration.Inf)
+        outcomes.foreach { case scala.util.Failure(e) => throw e; case _ => () }
+        outcomes.collect { case scala.util.Success(kv) => kv }.toMap
       } finally pool.shutdown()
     }
   }

@@ -250,26 +250,75 @@ class DoremiSpec extends SparkTestBase {
     assert(rates.size == 20)
   }
 
-  test("q90 plan: no cartesian, bounded corpus scans, model joins broadcast with reuse") {
+  test("q90 plan: no cartesian, one shared token cache, model joins broadcast with reuse") {
     val df = LlmQueries.queries("q90_doremi_weights")(spark, dir)
     val p0 = df.queryExecution.executedPlan.toString
     assert(!p0.contains("CartesianProduct") && !p0.contains("BroadcastNestedLoopJoin"),
       s"q90 must stay equi-keyed:\n$p0")
     assert(p0.contains("BroadcastHashJoin"), "model-table probes must broadcast")
-    // Static plan: positions pass + ref uni ×2 probes + ref bi + domain
-    // uni ×2 probes + dtot (a third duni build) + domain bi + n_docs = 9
-    // scan NODES of a narrow (text, source) projection; never more.
-    val scans = p0.linesIterator.count(l =>
-      l.contains("Scan parquet") && l.contains("documents"))
-    assert(scans <= 9, s"expected <= 9 documents scan nodes, got $scans:\n$p0")
-    // At runtime the duplicated model builds must COLLAPSE: the two ref
-    // unigram probes share one broadcast exchange and the two domain
-    // unigram probes plus dtot share the duni aggregate — the
-    // perplexityFrom bare-aggregate discipline, visible as ReusedExchange
-    // in the final adaptive plan (so only 6 distinct corpus feeds run).
+    // Since the r19 shared-token-pass optimization, every model table
+    // (uni/bi/duni/dtot/dbi) AND the positions unnest read ONE persisted
+    // (id, dom, __is_ref, __toks) frame: at sf0.001 the bytes gate always
+    // persists, so the logical plan must hold exactly one DISTINCT cached
+    // relation (the printed tree repeats its subtree per consumer — node
+    // counts in the STRING are not the evaluation count), and the only
+    // corpus scan OUTSIDE the cache is the n_docs aggregate's.
+    val opt = df.queryExecution.optimizedPlan
+    val cached = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.nonEmpty, s"expected the shared token cache in:\n$opt")
+    assert(cached.map(_.cacheBuilder).distinct.size == 1,
+      s"expected ONE distinct cached relation, got ${cached.map(_.cacheBuilder).distinct.size}")
+    val rawScans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rawScans.size <= 1,
+      s"expected <= 1 documents scan outside the token cache, got ${rawScans.size}:\n$opt")
+    // NOTE: before r19 this test asserted ReusedExchange >= 2 — the twin
+    // unigram probes deduplicated through AQE exchange reuse when they
+    // read parquet. Reading a cached relation breaks that (each consumer
+    // becomes its own TableCacheQueryStage and the canonical-equal
+    // aggregates above no longer collapse), which is the measured-and-
+    // accepted trade of the shared token cache: the duplicated model
+    // aggregates are vocab-bounded and read cached tokens, while the
+    // corpus-scale tokenize now runs exactly once (q90+q90b
+    // 3.62 → 2.93 s at sf0.1; persisting uni/duni to restore reuse
+    // measured SLOWER, 4.45 s — OPTIMIZATION_r19.md). The cache
+    // assertions above are the single-tokenize evidence; still execute
+    // the plan here to pin that the adaptive run completes.
     df.collect()
-    val p1 = df.queryExecution.executedPlan.toString
-    assert(p1.linesIterator.count(_.contains("ReusedExchange")) >= 2,
-      s"duplicated model-table builds must reuse exchanges at runtime:\n$p1")
+  }
+
+  test("domainNll persist gate: recompute path (persistTokens=false) is output-identical") {
+    // The r19 shared-token pass persists behind a measured-bytes gate;
+    // at corpus scales past the block managers' capacity the gate flips
+    // to per-branch recompute. Pin that both gate decisions compute the
+    // same table, so the gate can never change q90/q90b results.
+    val key = "spark.graft.lm.persistTokens"
+    val prev = spark.conf.getOption(key)
+    def run(): Array[org.apache.spark.sql.Row] =
+      LanguageModel.domainNll(
+        Tables.documents(spark, dir), "doc_id", "source", "text",
+        col("lang") === "en")
+        .orderBy("source").collect()
+    try {
+      spark.conf.set(key, "true")
+      val persisted = run()
+      spark.catalog.clearCache()
+      spark.conf.set(key, "false")
+      val recomputed = run()
+      assert(persisted.toSeq == recomputed.toSeq,
+        "persist-gated and recompute paths must produce identical rows")
+      // and the recompute path must register NO cache
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "persistTokens=false must not register a cached relation")
+    } finally {
+      spark.catalog.clearCache()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
