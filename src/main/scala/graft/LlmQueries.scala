@@ -4276,6 +4276,18 @@ object LlmQueries {
       // form made the probe broadcast N·√N-sized and candidates quadratic —
       // the measured 1000× broadcast OOM (r17 BASELINE section)
       val benchPred = semBenchCol
+      // Persist + count INSIDE the overlapped prep window (r19, guide
+      // §2.6/§1.2): lazily, the whole decon probe — the probeBuckets
+      // windows, the bucket join, the cosine verify, the distinct — used
+      // to re-run inside the FINAL composed plan (the q89 tail, after the
+      // families have joined), and the anti-join below planned as a
+      // corpus-side SortMergeJoin because the distinct's size was unknown
+      // at planning time. Materializing the id set here runs that work
+      // concurrently with the classifier/perplexity families, and the
+      // cache's exact (tiny) stats let AQE broadcast the gate's anti-join
+      // instead of shuffling the gated corpus on doc_id. Single-long-
+      // column cache — none of the string-array columnar-build hazard;
+      // lifecycle is the family persists' (Bench/Verify clearCache).
       val contaminatedIds = assigned.filter(!benchPred)
         .join(broadcast(
           Similarity.probeBuckets(vecs.filter(benchPred), centroids, nprobe)),
@@ -4283,6 +4295,8 @@ object LlmQueries {
         .filter(round(Similarity.fusedCosine(col("emb"), col("q_emb")), 6)
           >= CosineDupThreshold)
         .select(col("id").as("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      contaminatedIds.count()
       val clusters = Dedup.connectedComponents(
           Similarity.cosinePairs(assigned, "id", "emb", col("bucket"),
             CosineDupThreshold))
