@@ -286,6 +286,14 @@ object Similarity {
     * caveat is the q36/q49 percentile caveat: EXACT per-cluster
     * percentiles buffer member scores per group — at production scale
     * switch to `approx_percentile`, same plan shape.
+    *
+    * CACHING CONTRACT (ADVICE r18): the narrow (id, bucket, proto) score
+    * frame is persisted with the CALLER-owned lifecycle (the
+    * q49/tfidf convention) and never unpersisted here — the registered
+    * q91 runs under Bench/Verify's per-query `clearCache`. A long-lived
+    * library session calling this repeatedly must `clearCache`/unpersist
+    * between calls or it accumulates one corpus-scale cached frame per
+    * invocation.
     */
   def prototypePrune(
       n: DataFrame, seeds: DataFrame, keepQuantile: Double): DataFrame = {
@@ -354,7 +362,14 @@ object Similarity {
     * registered geometry ≤ 20×64 rows ≈ 30 KB). The table is
     * localCheckpoint'ed first, so the collect reads the same materialized
     * partitions the next round's wide rebuild consumes — one computation
-    * per round, not two. Rounds track data GEOMETRY (cluster
+    * per round, not two.
+    *
+    * CACHING CONTRACT (ADVICE r18): this method takes ownership of `n`'s
+    * cache lifecycle for its duration — it persists the frame across the
+    * Lloyd rounds and unpersists it before returning. Callers must NOT
+    * pass an already-persisted frame: persist returns `this.type`, so
+    * the caller's cache entry would be the one silently dropped on
+    * return (current callers all pass un-persisted frames). Rounds track data GEOMETRY (cluster
     * separation), never corpus size: the scale ladder pins that.
     */
   def kmeansFitConverged(
