@@ -48,6 +48,22 @@ object CcPlanEvidence {
       Files.writeString(Paths.get(outDir, s"cc_staged_edges_$tag.txt"), txt)
       println(s"[ccplan] $tag -> $outDir/cc_staged_edges_$tag.txt")
     }
+
+    // r19 loop-edge evidence: the distributed loop's persisted edge frame
+    // (`staged.repartition(grain, u)`) with and without the r19
+    // `dropDuplicates(Seq("u","v"))` — the claim under check is that the
+    // dedup rides the repartition's HashPartitioning(u) (which satisfies
+    // the (u,v) aggregation's ClusteredDistribution) and therefore adds
+    // HashAggregate nodes but NO second Exchange.
+    val grain = spark.sparkContext.defaultParallelism
+    val loopBefore = after.repartition(grain, col("u"))
+    val loopAfter = loopBefore.dropDuplicates(Seq("u", "v"))
+    for ((df, tag) <- Seq(loopBefore -> "before", loopAfter -> "after")) {
+      val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      Files.writeString(Paths.get(outDir, s"cc_loop_edges_$tag.txt"), txt)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(txt).toSeq.distinct.size
+      println(s"[ccplan] loop $tag -> $outDir/cc_loop_edges_$tag.txt (Exchange nodes: $exchanges)")
+    }
     spark.stop()
   }
 }
